@@ -1,0 +1,265 @@
+"""Point-in-time as-of join (SURVEY.md §2.3 J3) — the engine's hard core.
+
+Semantics: for each left row ``(entity, ts)``, attach the single right row
+with the greatest ``right.ts <= left.ts`` (backward direction; optional
+tolerance; optional strict ``<``). Right rows in the left row's future can
+NEVER be attached — the zero-leakage invariant of BASELINE.json's
+north_rule. ProFET has no join at all (SURVEY.md §2.3); this operator is
+new, mandated by the north rule.
+
+Spark has no native ASOF join, so three physical strategies are
+implemented at the DataFrame level (no custom Catalyst rule — SURVEY.md
+§4.2):
+
+``sort_merge`` (default, scales to 100 TB)
+    Tag both sides, ``unionByName`` them, hash-``repartition`` on the
+    entity key (ONE shuffle for both inputs), ``sortWithinPartitions(ts,
+    side)`` so right rows precede left rows at equal ts, then a single
+    ``mapInPandas`` pass per partition runs a vectorized
+    ``pd.merge_asof(by=entity)`` over the whole co-partitioned,
+    pre-sorted partition. No per-group Python dispatch (unlike
+    ``groupBy().applyInPandas``, which pays per-entity overhead when
+    entities are numerous and small), and AQE can still coalesce the
+    exchange.
+
+``broadcast``
+    Small build side: collected once, broadcast to every Python worker,
+    merged against each Arrow batch of the (un-shuffled!) left side.
+    Zero shuffle on the probe side — the strategy of choice when the
+    right side is a dimension-sized update stream.
+
+``salted``
+    Skewed entity clusters (the fixture's hot phash cluster holds ~30% of
+    rows): hot left rows get a deterministic salt in [0, s), hot right
+    rows are REPLICATED once per salt, and the sort-merge path runs on
+    ``(entity, salt)``. AQE's skew-join splitting cannot see inside
+    ``mapInPandas``, so the salting is explicit (SURVEY.md §4.2).
+    Results are bit-identical to the unsalted path (tests/test_asof.py).
+
+``auto`` picks broadcast when the build side is provably small, else
+sort-merge, upgrading to salted when a hot-key scan finds entities above
+the skew threshold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SIDE = "__asof_side"
+_SALT = "__asof_salt"
+
+
+def _right_value_cols(left: DataFrame, right: DataFrame, entity: str, ts: str, suffix: str) -> list[tuple[str, str]]:
+    """(right_col, output_name) pairs for the payload the join attaches."""
+    taken = set(left.columns)
+    out = []
+    for f in right.schema.fields:
+        if f.name in (entity, ts):
+            continue
+        name = f.name if f.name not in taken else f"{f.name}{suffix}"
+        out.append((f.name, name))
+    return out
+
+
+def _out_schema(left: DataFrame, right: DataFrame, pairs: list[tuple[str, str]]) -> T.StructType:
+    fields = list(left.schema.fields)
+    rmap = {f.name: f for f in right.schema.fields}
+    for src, dst in pairs:
+        fields.append(T.StructField(dst, rmap[src].dataType, True))
+    return T.StructType(fields)
+
+
+def _merge_kernel(
+    left_cols: list[str],
+    pairs: list[tuple[str, str]],
+    entity: str,
+    ts: str,
+    tolerance_s: float | None,
+    allow_exact: bool,
+    by_cols: list[str],
+):
+    """Build the per-partition pandas merge function. The partition
+    arrives co-partitioned on the entity key and sorted by (ts, side) —
+    merge_asof's preconditions — so one vectorized call handles every
+    entity in the partition."""
+    rsrc = [src for src, _ in pairs]
+    rename = dict(pairs)
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)  # whole partition; bounded by partition sizing
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        lmask = pdf[_SIDE] == 1
+        lkeep = left_cols + [c for c in by_cols if c not in left_cols]
+        lpdf = pdf.loc[lmask, lkeep].reset_index(drop=True)
+        rpdf = pdf.loc[~lmask, by_cols + [ts] + rsrc].reset_index(drop=True)
+        if lpdf.empty:
+            return
+        rpdf = rpdf.rename(columns=rename)
+        if rpdf.empty:
+            out = lpdf.copy()
+            for _, dst in pairs:
+                out[dst] = None
+        else:
+            out = pd.merge_asof(
+                lpdf,
+                rpdf,
+                on=ts,
+                by=by_cols,
+                direction="backward",
+                allow_exact_matches=allow_exact,
+                tolerance=tol,
+                suffixes=("", "__rdup"),
+            )
+        yield out[left_cols + [dst for _, dst in pairs]]
+
+    return merge
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    strategy: str = "auto",
+    tolerance_s: float | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+    salt: int = 8,
+    hot_keys: list[Any] | None = None,
+    broadcast_threshold: int = 200_000,
+    skew_frac: float = 0.05,
+) -> DataFrame:
+    """Attach, to every left row, the latest right row at-or-before its ts.
+
+    Returns left's columns plus right's value columns (collisions suffixed).
+    ``allow_exact_matches=False`` makes the bound strict (< instead of <=).
+    """
+    spark = left.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    pairs = _right_value_cols(left, right, entity, ts, suffix)
+    schema = _out_schema(left, right, pairs)
+    left_cols = left.columns
+
+    if strategy == "auto":
+        # cheap build-side cardinality probe; at real scale this would read
+        # Iceberg/parquet row-count metadata instead of counting.
+        n_right = right.limit(broadcast_threshold + 1).count()
+        if n_right <= broadcast_threshold:
+            strategy = "broadcast"
+        elif hot_keys:
+            strategy = "salted"
+        else:
+            strategy = "sort_merge"
+
+    if strategy == "broadcast":
+        return _asof_broadcast(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact_matches)
+    if strategy == "salted":
+        if hot_keys is None:
+            hot_keys = detect_hot_keys(left, entity, skew_frac)
+        return _asof_salted(
+            left, right, entity, ts, pairs, schema, tolerance_s, allow_exact_matches,
+            num_partitions, salt, hot_keys,
+        )
+    if strategy == "sort_merge":
+        return _asof_sort_merge(
+            left, right, entity, ts, pairs, schema, tolerance_s, allow_exact_matches, num_partitions
+        )
+    raise ValueError(f"unknown asof strategy: {strategy}")
+
+
+def detect_hot_keys(df: DataFrame, entity: str, frac: float = 0.05, max_keys: int = 64) -> list[Any]:
+    """Entities holding more than ``frac`` of all rows. One hash agg; at
+    100 TB this runs on a sample or on table statistics, never a full scan
+    per query — callers should cache/materialize the result."""
+    total = df.count()
+    if total == 0:
+        return []
+    rows = (
+        df.groupBy(entity)
+        .count()
+        .where(F.col("count") > total * frac)
+        .orderBy(F.desc("count"))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[entity] for r in rows]
+
+
+def _prep_union(left: DataFrame, right: DataFrame, entity: str, ts: str, pairs):
+    """Tag sides and union: one DataFrame carrying both inputs so a single
+    Exchange co-partitions them."""
+    rsel = [F.col(entity), F.col(ts)] + [F.col(src) for src, _ in pairs]
+    r = right.select(*rsel).withColumn(_SIDE, F.lit(0))
+    l = left.withColumn(_SIDE, F.lit(1))
+    return l.unionByName(r, allowMissingColumns=True)
+
+
+def _asof_sort_merge(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact, n):
+    u = _prep_union(left, right, entity, ts, pairs)
+    # one shuffle co-partitions both sides; sort is within-partition only
+    # (no global range sort needed — merge_asof(by=) handles interleaved keys).
+    u = u.repartition(n, entity).sortWithinPartitions(ts, _SIDE)
+    kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, [entity])
+    return u.mapInPandas(kernel, schema=schema)
+
+
+def _asof_broadcast(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact):
+    rsel = [entity, ts] + [src for src, _ in pairs]
+    rpdf = right.select(*rsel).toPandas().sort_values(ts, kind="mergesort").reset_index(drop=True)
+    rpdf = rpdf.rename(columns=dict(pairs))
+    bc = left.sparkSession.sparkContext.broadcast(rpdf)
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+    left_cols = left.columns
+    dsts = [dst for _, dst in pairs]
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rp = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lp = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+            out = pd.merge_asof(
+                lp, rp, on=ts, by=entity, direction="backward",
+                allow_exact_matches=allow_exact, tolerance=tol, suffixes=("", "__rdup"),
+            )
+            yield out[left_cols + dsts]
+
+    return left.mapInPandas(merge, schema=schema)
+
+
+def _asof_salted(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact, n, salt, hot_keys):
+    hot = F.array(*[F.lit(k) for k in hot_keys])
+    is_hot = F.array_contains(hot, F.col(entity))
+    # left: hot rows spread deterministically across salts (hash of ts —
+    # any stable per-row value works; correctness needs only that the
+    # matching right rows exist under every salt).
+    l = left.withColumn(
+        _SALT, F.when(is_hot, F.pmod(F.xxhash64(F.col(ts)), F.lit(salt)).cast("int")).otherwise(F.lit(0))
+    )
+    # right: hot rows replicated once per salt so every left shard sees
+    # the full as-of history of its entity.
+    r = right.withColumn(
+        "_salts",
+        F.when(is_hot, F.sequence(F.lit(0), F.lit(salt - 1))).otherwise(F.array(F.lit(0))),
+    ).withColumn(_SALT, F.explode("_salts")).drop("_salts")
+
+    rsel = [F.col(entity), F.col(ts), F.col(_SALT)] + [F.col(src) for src, _ in pairs]
+    rr = r.select(*rsel).withColumn(_SIDE, F.lit(0))
+    ll = l.withColumn(_SIDE, F.lit(1))
+    u = ll.unionByName(rr, allowMissingColumns=True)
+    u = u.repartition(n, entity, _SALT).sortWithinPartitions(ts, _SIDE)
+    kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, [entity, _SALT])
+    return u.mapInPandas(kernel, schema=schema)

@@ -1,0 +1,58 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every setting
+here is chosen to be correct at both scales:
+
+- AQE on (runtime partition coalescing + skew-join splitting),
+- shuffle partitions sized to cores locally (overridable; a real cluster
+  would size to 2-3x total cores),
+- Arrow enabled with a bounded batch size so ``bytes`` columns flowing
+  through pandas UDFs cannot blow executor memory (SURVEY.md §4.3),
+- session timezone pinned UTC so timestamps survive the pandas/DuckDB
+  boundary bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "profet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 4096,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS or *]`` in the sandbox;
+    on a real cluster, pass ``None`` and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = max(8, min(64, n))
+
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("PROFET_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

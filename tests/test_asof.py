@@ -1,0 +1,104 @@
+"""As-of join: all three physical strategies must agree with a pandas
+merge_asof oracle and with each other, including under skew (SURVEY.md
+§5.2-6) and with zero leakage (no right row after left ts is attached)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from profet_spark.operators.asof import asof_join, detect_hot_keys
+
+
+def _mk_fixture(seed=7, n_entities=40, hot_frac=0.3):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2025-01-01", tz=None)
+    rows_l, rows_r = [], []
+    for e in range(n_entities):
+        eid = f"e{e:04d}"
+        # entity 0 is the hot key: ~30% of all rows
+        n_l = 120 if e == 0 else rng.integers(1, 9)
+        n_r = 120 if e == 0 else rng.integers(0, 9)
+        for _ in range(int(n_l)):
+            rows_l.append((eid, base + pd.Timedelta(seconds=int(rng.integers(0, 10_000_000))),
+                           float(rng.normal())))
+        for _ in range(int(n_r)):
+            rows_r.append((eid, base + pd.Timedelta(seconds=int(rng.integers(0, 10_000_000))),
+                           float(rng.normal())))
+    lp = pd.DataFrame(rows_l, columns=["image_id", "ts", "x"])
+    rp = pd.DataFrame(rows_r, columns=["image_id", "ts", "upd"])
+    # exact-ts collision rows to exercise allow_exact_matches
+    lp.loc[0, "ts"] = rp.loc[0, "ts"] = base
+    lp.loc[0, "image_id"] = rp.loc[0, "image_id"] = "e0001"
+    return lp, rp
+
+
+def _oracle(lp, rp, allow_exact=True, tolerance_s=None):
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s else None
+    out = pd.merge_asof(
+        lp.sort_values("ts", kind="mergesort"),
+        rp.sort_values("ts", kind="mergesort"),
+        on="ts", by="image_id", direction="backward",
+        allow_exact_matches=allow_exact, tolerance=tol,
+    )
+    return out.sort_values(["image_id", "ts", "x"]).reset_index(drop=True)
+
+
+def _norm(pdf):
+    return pdf.sort_values(["image_id", "ts", "x"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def fixture_dfs(spark):
+    lp, rp = _mk_fixture()
+    return spark.createDataFrame(lp), spark.createDataFrame(rp), lp, rp
+
+
+@pytest.mark.parametrize("strategy", ["sort_merge", "broadcast", "salted"])
+def test_asof_matches_oracle(spark, fixture_dfs, strategy):
+    ldf, rdf, lp, rp = fixture_dfs
+    kw = {}
+    if strategy == "salted":
+        kw["hot_keys"] = ["e0000"]
+    got = _norm(asof_join(ldf, rdf, strategy=strategy, **kw).toPandas())
+    want = _oracle(lp, rp)
+    assert len(got) == len(want) == len(lp)
+    pd.testing.assert_series_equal(got["upd"], want["upd"], check_names=False)
+
+
+def test_asof_strict_and_tolerance(spark, fixture_dfs):
+    ldf, rdf, lp, rp = fixture_dfs
+    got = _norm(asof_join(ldf, rdf, strategy="sort_merge",
+                          allow_exact_matches=False, tolerance_s=50_000).toPandas())
+    want = _oracle(lp, rp, allow_exact=False, tolerance_s=50_000)
+    pd.testing.assert_series_equal(got["upd"], want["upd"], check_names=False)
+
+
+def test_asof_zero_leakage(spark, fixture_dfs):
+    """Poison every right row strictly after each left ts: results must be
+    unchanged when future rows are dropped entirely."""
+    ldf, rdf, lp, rp = fixture_dfs
+    full = _norm(asof_join(ldf, rdf, strategy="sort_merge").toPandas())
+    t_cut = lp["ts"].quantile(0.5)
+    l_cut = lp[lp.ts <= t_cut]
+    r_cut = rp[rp.ts <= t_cut]
+    cut = _norm(
+        asof_join(spark.createDataFrame(l_cut), spark.createDataFrame(r_cut),
+                  strategy="sort_merge").toPandas()
+    )
+    full_cut = full[full.ts <= t_cut].reset_index(drop=True)
+    pd.testing.assert_frame_equal(full_cut, cut, check_like=True)
+
+
+def test_detect_hot_keys(spark, fixture_dfs):
+    ldf, _, lp, _ = fixture_dfs
+    hot = detect_hot_keys(ldf, "image_id", frac=0.1)
+    assert hot == ["e0000"]
+
+
+def test_asof_salted_equals_unsalted(spark, fixture_dfs):
+    ldf, rdf, lp, rp = fixture_dfs
+    a = _norm(asof_join(ldf, rdf, strategy="sort_merge").toPandas())
+    b = _norm(asof_join(ldf, rdf, strategy="salted", hot_keys=["e0000"], salt=4).toPandas())
+    pd.testing.assert_frame_equal(a, b, check_like=True)

@@ -1,0 +1,73 @@
+"""Mirror of the driver's correctness gate: run every __spark_entry__
+queries()[name] at sf0.01 and compare against oracle_sql()[name] via
+DuckDB — row count, column names, and order-insensitive values."""
+
+import importlib.util
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ENTRY = _load_entry()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        if str(pdf[c].dtype).startswith("datetime"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ENTRY.queries().keys()))
+def test_query_vs_oracle(spark, duck, name):
+    q = ENTRY.queries()[name]
+    sqls = ENTRY.oracle_sql()
+    if name not in sqls:
+        got = q(spark, SF)
+        assert got.count() >= 0
+        return
+    got = _canon(q(spark, SF).toPandas())
+    want = _canon(duck.execute(sqls[name]).df())
+    assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+            np.testing.assert_allclose(
+                a.astype(float).to_numpy(), b.astype(float).to_numpy(),
+                rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=f"{name}.{c}",
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name}.{c}"
+
+
+def test_entry_smoke(spark):
+    df = ENTRY.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert df.schema is not None
