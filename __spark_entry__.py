@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from profet_spark.functions import text_descriptors as td
+from profet_spark.functions.alphabets import CTD_CLASS_MAPS, translate_pair
 from profet_spark.operators import asof, temporal
 from profet_spark.sources import load_table
 
@@ -175,6 +177,105 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return no_orders.groupBy("c_nationkey").agg(F.count("*").alias("n_custs"))
 
 
+# NB: DuckDB regexp_replace needs the 'g' flag (Spark's is global by default)
+_NORM = "regexp_replace(upper({c}), '[^A-Z]', '', 'g')"
+_HYD_SRC, _HYD_DST = translate_pair(CTD_CLASS_MAPS["hydrophobicity"])
+
+
+def _q_char_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 in SQL-expressible long form: per-document letter frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.upper("text"), "[^A-Z]", "")
+    return (
+        docs.select("doc_id", norm.alias("s"))
+        .where(F.length("s") > 0)
+        .select("doc_id", F.length("s").alias("slen"), F.explode(F.split("s", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"), (F.count("*") / F.first("slen")).alias("freq"))
+    )
+
+
+def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 Shannon entropy per document (rounded: libm log2 differs in ULPs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.upper("text"), "[^A-Z]", "")
+    chars = (
+        docs.select("doc_id", norm.alias("s"))
+        .where(F.length("s") > 0)
+        .select("doc_id", F.length("s").alias("slen"), F.explode(F.split("s", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg((F.count("*") / F.first("slen")).alias("p"))
+    )
+    return chars.groupBy("doc_id").agg(
+        F.round(F.sum(-F.col("p") * F.log2("p")), 9).alias("entropy")
+    )
+
+
+def _q_ctd_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 CTD-Composition, hydrophobicity property, via JVM translate."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.upper("text"), "[^A-Z]", "")
+    t = F.translate(norm, _HYD_SRC, _HYD_DST)
+    d = docs.select("doc_id", t.alias("t")).where(F.length("t") > 0)
+    cnt = lambda c: F.length("t") - F.length(F.regexp_replace("t", c, ""))
+    return d.select(
+        "doc_id",
+        (cnt("1") / F.length("t")).alias("c1"),
+        (cnt("2") / F.length("t")).alias("c2"),
+        (cnt("3") / F.length("t")).alias("c3"),
+    )
+
+
+def _q_ctd_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 CTD-Transition, hydrophobicity property, via bigram explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.upper("text"), "[^A-Z]", "")
+    t = F.translate(norm, _HYD_SRC, _HYD_DST)
+    d = docs.select("doc_id", t.alias("t")).where(F.length("t") > 1)
+    bi = d.select(
+        "doc_id", (F.length("t") - 1).alias("nt"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+        F.col("t"),
+    ).select("doc_id", "nt", F.substring(F.col("t"), F.col("i").cast("int"), 2).alias("bg"))
+    agg = lambda pair: F.sum(F.when(F.col("bg").isin(*pair), 1).otherwise(0))
+    return bi.groupBy("doc_id").agg(
+        (agg(["12", "21"]) / F.first("nt")).alias("t12"),
+        (agg(["13", "31"]) / F.first("nt")).alias("t13"),
+        (agg(["23", "32"]) / F.first("nt")).alias("t23"),
+    )
+
+
+def _q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 validity + length filters, pushed to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where((F.col("n_chars") >= 50) & (F.col("n_chars") <= 2000))
+        .where(F.length(F.regexp_replace(F.upper("text"), "[^A-Z]", "")) >= 20)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 JSON scalar extraction on events.props."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    )
+
+
+def _q_profet_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ProFET-analog descriptor struct (340 features) over
+    documents — not SQL-expressible; golden-vector tested in pytest
+    (tests/test_descriptors.py), driver records rows-only."""
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed("text", "caption")
+    return td.add_caption_features(docs, flatten=True).drop("caption")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -187,6 +288,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_pricing_summary": _q_pricing,
         "j2_broadcast_join": _q_bcast_join,
         "j5_anti_join": _q_anti_join,
+        "a1_char_composition": _q_char_comp,
+        "a7_entropy": _q_entropy,
+        "a4_ctd_composition": _q_ctd_comp,
+        "a5_ctd_transition": _q_ctd_trans,
+        "f1_doc_filter": _q_doc_filter,
+        "c9_json_props": _q_json_props,
+        "profet_caption_features": _q_profet_features,
     }
 
 
@@ -277,5 +385,66 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY c_nationkey
+        """,
+        "a1_char_composition": f"""
+            WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            e AS (SELECT doc_id, length(s) AS slen, unnest(string_split(s, '')) AS ch
+                  FROM d WHERE length(s) > 0)
+            SELECT doc_id, ch, count(*) AS cnt,
+                   count(*) / any_value(slen) AS freq
+            FROM e GROUP BY doc_id, ch
+        """,
+        "a7_entropy": f"""
+            WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            e AS (SELECT doc_id, length(s) AS slen, unnest(string_split(s, '')) AS ch
+                  FROM d WHERE length(s) > 0),
+            p AS (SELECT doc_id, count(*) / CAST(any_value(slen) AS DOUBLE) AS p
+                  FROM e GROUP BY doc_id, ch)
+            SELECT doc_id, round(sum(-p * log2(p)), 9) AS entropy
+            FROM p GROUP BY doc_id
+        """,
+        "a4_ctd_composition": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     translate({_NORM.format(c='text')}, '{_HYD_SRC}', '{_HYD_DST}') AS t
+              FROM documents)
+            SELECT doc_id,
+                   (length(t) - length(replace(t, '1', ''))) / CAST(length(t) AS DOUBLE) AS c1,
+                   (length(t) - length(replace(t, '2', ''))) / CAST(length(t) AS DOUBLE) AS c2,
+                   (length(t) - length(replace(t, '3', ''))) / CAST(length(t) AS DOUBLE) AS c3
+            FROM d WHERE length(t) > 0
+        """,
+        # a 2-char pattern of DISTINCT chars cannot self-overlap, so
+        # (len - len(replace))/2 counts occurrences exactly
+        "a5_ctd_transition": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     translate({_NORM.format(c='text')}, '{_HYD_SRC}', '{_HYD_DST}') AS t
+              FROM documents)
+            SELECT doc_id,
+                   ((length(t) - length(replace(t, '12', ''))) / 2
+                    + (length(t) - length(replace(t, '21', ''))) / 2)
+                     / CAST(length(t) - 1 AS DOUBLE) AS t12,
+                   ((length(t) - length(replace(t, '13', ''))) / 2
+                    + (length(t) - length(replace(t, '31', ''))) / 2)
+                     / CAST(length(t) - 1 AS DOUBLE) AS t13,
+                   ((length(t) - length(replace(t, '23', ''))) / 2
+                    + (length(t) - length(replace(t, '32', ''))) / 2)
+                     / CAST(length(t) - 1 AS DOUBLE) AS t23
+            FROM d WHERE length(t) > 1
+        """,
+        "f1_doc_filter": f"""
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents
+            WHERE n_chars BETWEEN 50 AND 2000
+              AND length({_NORM.format(c='text')}) >= 20
+            GROUP BY lang
+        """,
+        "c9_json_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
     }

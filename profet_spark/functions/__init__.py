@@ -1,0 +1,3 @@
+from profet_spark.functions import alphabets, image_descriptors, text_descriptors
+
+__all__ = ["alphabets", "text_descriptors", "image_descriptors"]

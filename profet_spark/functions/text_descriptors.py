@@ -1,0 +1,321 @@
+"""Vectorized caption descriptor UDFs (SURVEY.md §2.4 A1-A8/A12, §2.5 W1-W2,
+§2.2 F5) — the ProFET descriptor families re-expressed for Spark.
+
+The reference computes one Python dict per sequence in a driver-side loop
+([R] ProFET/feat_extract/FeatureGen.py ≈L100-600 `Get_Protein_Feat` —
+reconstructed, SURVEY.md §0). Here the whole batch is flattened into ONE
+numpy byte array (`codes`) with a parallel row-index array, and every
+family is computed with bincount/reduceat-style whole-batch kernels —
+no per-row Python in the hot path, Arrow both directions (BASELINE.json
+input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)").
+
+Semantics are frozen by the independent per-string oracle in
+profet_spark/oracle_numpy.py; tests/test_descriptors.py asserts allclose
+(rtol=1e-9, atol=1e-12) between the two on adversarial fixtures.
+
+Scale notes (100 TB): the UDF is a pure map — no shuffle, fully
+pipeline-parallel; Arrow batch size bounds memory; LUTs are module-level
+(built once per Python worker, not per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from profet_spark.functions.alphabets import (
+    AROMATIC,
+    CTD_CLASS_MAPS,
+    CTD_PROPERTIES,
+    FLEX_SCALE,
+    HYDRO_SCALE,
+    NEGATIVE,
+    POLAR,
+    POSITIVE,
+    R4_MAP,
+    R8_MAP,
+    class_lut,
+    scale_lut,
+    set_lut,
+)
+
+# module-level LUTs: one build per Python worker process
+_R8 = class_lut(R8_MAP)
+_R4 = class_lut(R4_MAP)
+_CTD = {p: class_lut(m) for p, m in CTD_CLASS_MAPS.items()}
+_HYD = scale_lut(HYDRO_SCALE)
+_FLX = scale_lut(FLEX_SCALE)
+_ARO = set_lut(AROMATIC)
+_POS = set_lut(POSITIVE)
+_NEG = set_lut(NEGATIVE)
+_POL = set_lut(POLAR)
+
+def _build_feature_names() -> list[str]:
+    names = [f"comp_{c}" for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"] + ["length", "entropy"]
+
+    def combos_ordered(k, n_groups, prefix):
+        out = []
+
+        def rec(k_left, cur):
+            if k_left == 0:
+                out.append(f"{prefix}_{cur}")
+                return
+            for g in range(1, n_groups + 1):
+                rec(k_left - 1, cur + str(g))
+
+        rec(k, "")
+        return out
+
+    names += combos_ordered(2, 8, "k2")
+    names += combos_ordered(3, 4, "k3")
+    for prop in CTD_PROPERTIES:
+        names += [f"ctd_{prop}_c{c}" for c in "123"]
+        names += [f"ctd_{prop}_{t}" for t in ("t12", "t13", "t23")]
+        for c in "123":
+            names += [f"ctd_{prop}_d{c}_{q}" for q in ("001", "025", "050", "075", "100")]
+    names += ["gravy", "aromaticity", "net_charge", "frac_polar", "flex_mean", "instability"]
+    for prefix in ("prof_hyd", "prof_flex"):
+        names += [f"{prefix}_{s}" for s in ("max", "min", "mean", "argmax_rel", "argmin_rel")]
+    names += [f"pse_corr_{d}" for d in range(1, 6)]
+    for tag in ("n", "c"):
+        names += [f"term_{tag}_{g}" for g in "12345678"]
+    return names
+
+
+FEATURE_NAMES: list[str] = _build_feature_names()
+FEATURES_SCHEMA = T.StructType(
+    [T.StructField(n, T.DoubleType(), False) for n in FEATURE_NAMES]
+)
+
+
+def _flatten(seqs: pd.Series):
+    """Normalize captions and flatten the batch into one byte array."""
+    norm = seqs.fillna("").str.upper().str.replace("[^A-Z]", "", regex=True)
+    lens = norm.str.len().to_numpy(dtype=np.int64)
+    blob = "".join(norm.tolist())
+    codes = np.frombuffer(blob.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    row = np.repeat(np.arange(len(norm), dtype=np.int64), lens)
+    starts = np.zeros(len(norm), dtype=np.int64)
+    if len(norm) > 1:
+        starts[1:] = np.cumsum(lens)[:-1]
+    return codes, row, lens, starts
+
+
+def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    den = np.asarray(den, dtype=np.float64)
+    return np.divide(num, den, out=np.zeros_like(num, dtype=np.float64), where=den > 0)
+
+
+def _composition(codes, row, lens, nrows, out: dict):
+    letter = codes - 65
+    cnt = np.bincount(row * 26 + letter, minlength=nrows * 26).reshape(nrows, 26)
+    freq = _safe_div(cnt, lens[:, None])
+    for i, c in enumerate("ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+        out[f"comp_{c}"] = freq[:, i]
+    out["length"] = lens.astype(np.float64)
+    p = freq
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = np.where(p > 0, -p * np.log2(p, where=p > 0), 0.0)
+    out["entropy"] = ent.sum(axis=1)
+
+
+def _pairs(row):
+    """Mask of adjacent positions that stay within one row."""
+    return row[:-1] == row[1:] if len(row) else np.zeros(0, dtype=bool)
+
+
+def _kmer(codes, row, lens, nrows, lut, k, n_groups, prefix, out: dict):
+    g = lut[codes] - 1  # 0-based group ids
+    total = np.maximum(lens - k + 1, 0)
+    if k == 2:
+        valid = _pairs(row)
+        idx = g[:-1] * n_groups + g[1:]
+        r = row[:-1]
+    else:  # k == 3
+        valid = (row[:-2] == row[1:-1]) & (row[1:-1] == row[2:]) if len(row) > 2 else np.zeros(0, dtype=bool)
+        idx = (g[:-2] * n_groups + g[1:-1]) * n_groups + g[2:]
+        r = row[:-2]
+    nb = n_groups**k
+    cnt = np.bincount(r[valid] * nb + idx[valid], minlength=nrows * nb).reshape(nrows, nb)
+    freq = _safe_div(cnt, total[:, None])
+    combos = []
+
+    def rec(k_left, cur):
+        if k_left == 0:
+            combos.append(cur)
+            return
+        for gg in range(1, n_groups + 1):
+            rec(k_left - 1, cur + str(gg))
+
+    rec(k, "")
+    for j, combo in enumerate(combos):
+        out[f"{prefix}_{combo}"] = freq[:, j]
+
+
+def _ctd(codes, row, lens, starts, nrows, out: dict):
+    pos_in_row = np.arange(len(codes), dtype=np.int64) - starts[row] if len(codes) else np.zeros(0, dtype=np.int64)
+    nt = np.maximum(lens - 1, 0)
+    pair_valid = _pairs(row)
+    for prop in CTD_PROPERTIES:
+        cls = _CTD[prop][codes]  # values in {1,2,3}
+        # composition
+        cnt = np.bincount(row * 4 + cls, minlength=nrows * 4).reshape(nrows, 4)
+        freq = _safe_div(cnt[:, 1:4], lens[:, None])
+        for i, c in enumerate("123"):
+            out[f"ctd_{prop}_c{c}"] = freq[:, i]
+        # transition (unordered adjacent pairs of distinct classes)
+        a, b = cls[:-1], cls[1:]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        tcode = np.where((lo == 1) & (hi == 2), 0, np.where((lo == 1) & (hi == 3), 1, np.where((lo == 2) & (hi == 3), 2, -1)))
+        tv = pair_valid & (tcode >= 0)
+        tc = np.bincount(row[:-1][tv] * 3 + tcode[tv], minlength=nrows * 3).reshape(nrows, 3)
+        tf = _safe_div(tc, nt[:, None])
+        for i, tag in enumerate(("t12", "t13", "t23")):
+            out[f"ctd_{prop}_{tag}"] = tf[:, i]
+        # distribution: propy rank convention, vectorized per class
+        for c in (1, 2, 3):
+            mask = cls == c
+            m = np.bincount(row[mask], minlength=nrows)  # occurrences per row
+            occ_rank = np.cumsum(mask)  # global cumulative
+            # per-row rank = global cumsum minus count before row start
+            before = np.zeros(nrows, dtype=np.int64)
+            if len(codes):
+                cum_at_start = np.concatenate([[0], np.cumsum(mask)])[starts]
+                before = cum_at_start
+            rank_in_row = occ_rank - before[row] if len(codes) else occ_rank
+            for q, tag in ((0.0, "001"), (0.25, "025"), (0.5, "050"), (0.75, "075"), (1.0, "100")):
+                if q == 0.0:
+                    target = np.ones(nrows, dtype=np.int64)
+                elif q == 1.0:
+                    target = m
+                else:
+                    target = np.maximum(1, np.floor(m * q).astype(np.int64))
+                res = np.zeros(nrows, dtype=np.float64)
+                sel = mask & (rank_in_row == target[row]) if len(codes) else mask
+                if sel.any():
+                    rows_sel = row[sel]
+                    res[rows_sel] = (pos_in_row[sel] + 1) / lens[rows_sel] * 100.0
+                res[m == 0] = 0.0
+                out[f"ctd_{prop}_d{c}_{tag}"] = res
+
+
+def _scalars(codes, row, lens, nrows, out: dict):
+    hyd = _HYD[codes]
+    flx = _FLX[codes]
+    out["gravy"] = _safe_div(np.bincount(row, weights=hyd, minlength=nrows), lens)
+    out["aromaticity"] = _safe_div(np.bincount(row[_ARO[codes]], minlength=nrows), lens)
+    pos = np.bincount(row[_POS[codes]], minlength=nrows)
+    neg = np.bincount(row[_NEG[codes]], minlength=nrows)
+    out["net_charge"] = _safe_div(pos - neg, lens)
+    out["frac_polar"] = _safe_div(np.bincount(row[_POL[codes]], minlength=nrows), lens)
+    out["flex_mean"] = _safe_div(np.bincount(row, weights=flx, minlength=nrows), lens)
+    pv = _pairs(row)
+    prod = hyd[:-1] * hyd[1:]
+    out["instability"] = _safe_div(
+        np.bincount(row[:-1][pv], weights=prod[pv], minlength=nrows), np.maximum(lens - 1, 0)
+    )
+
+
+def _profile(codes, row, lens, starts, nrows, lut, window, prefix, out: dict):
+    """Moving-mean profile per row (W1) + summary features (W2), computed
+    with one global cumsum and segment-wise reduceat kernels."""
+    for name in ("max", "min", "mean", "argmax_rel", "argmin_rel"):
+        out[f"{prefix}_{name}"] = np.zeros(nrows, dtype=np.float64)
+    plens = lens - window + 1
+    ok = plens > 0
+    if not ok.any() or len(codes) == 0:
+        return
+    vals = lut[codes]
+    # profile element j of row r starts at global position starts[r]+j;
+    # summation is sequential left-to-right (w vectorized adds) so it is
+    # bitwise identical to the oracle's per-row convention.
+    rows_ok = np.flatnonzero(ok)
+    pstarts = starts[rows_ok]
+    pl = plens[rows_ok]
+    prow = np.repeat(np.arange(len(rows_ok)), pl)
+    offset = np.concatenate([[0], np.cumsum(pl)[:-1]])
+    pidx = np.arange(pl.sum()) - offset[prow] + pstarts[prow]
+    prof = np.zeros(len(pidx), dtype=np.float64)
+    for k in range(window):
+        prof += vals[pidx + k]
+    prof /= window
+    seg = offset  # reduceat boundaries
+    mx = np.maximum.reduceat(prof, seg)
+    mn = np.minimum.reduceat(prof, seg)
+    sm = np.add.reduceat(prof, seg)
+    gidx = np.arange(len(prof))
+    big = len(prof)
+    first_max = np.minimum.reduceat(np.where(prof == mx[prow], gidx, big), seg) - seg
+    first_min = np.minimum.reduceat(np.where(prof == mn[prow], gidx, big), seg) - seg
+    out[f"{prefix}_max"][rows_ok] = mx
+    out[f"{prefix}_min"][rows_ok] = mn
+    out[f"{prefix}_mean"][rows_ok] = sm / pl
+    out[f"{prefix}_argmax_rel"][rows_ok] = first_max / pl
+    out[f"{prefix}_argmin_rel"][rows_ok] = first_min / pl
+
+
+def _pseaac(codes, row, lens, nrows, lam, out: dict):
+    vals = _HYD[codes]
+    for d in range(1, lam + 1):
+        denom = np.maximum(lens - d, 0)
+        if len(codes) > d:
+            valid = row[:-d] == row[d:]
+            sq = (vals[:-d] - vals[d:]) ** 2
+            num = np.bincount(row[:-d][valid], weights=sq[valid], minlength=nrows)
+        else:
+            num = np.zeros(nrows)
+        out[f"pse_corr_{d}"] = _safe_div(num, denom)
+
+
+def _terminal(seqs_norm: pd.Series, nrows, k, out: dict):
+    for tag, seg in (("n", seqs_norm.str[:k]), ("c", seqs_norm.str[-k:])):
+        lens = seg.str.len().to_numpy(dtype=np.int64)
+        blob = "".join(seg.tolist())
+        codes = np.frombuffer(blob.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        g = _R8[codes]
+        cnt = np.bincount(row * 9 + g, minlength=nrows * 9).reshape(nrows, 9)
+        freq = _safe_div(cnt[:, 1:9], lens[:, None])
+        for i, gg in enumerate("12345678"):
+            out[f"term_{tag}_{gg}"] = freq[:, i]
+
+
+def compute_features_batch(captions: pd.Series) -> pd.DataFrame:
+    """The whole ProFET-analog vector for one Arrow batch of captions."""
+    nrows = len(captions)
+    if nrows == 0:
+        return pd.DataFrame({n: pd.Series(dtype="float64") for n in FEATURE_NAMES})
+    norm = captions.fillna("").str.upper().str.replace("[^A-Z]", "", regex=True)
+    codes, row, lens, starts = _flatten(captions)
+    out: dict[str, np.ndarray] = {}
+    _composition(codes, row, lens, nrows, out)
+    _kmer(codes, row, lens, nrows, _R8, 2, 8, "k2", out)
+    _kmer(codes, row, lens, nrows, _R4, 3, 4, "k3", out)
+    _ctd(codes, row, lens, starts, nrows, out)
+    _scalars(codes, row, lens, nrows, out)
+    _profile(codes, row, lens, starts, nrows, _HYD, 9, "prof_hyd", out)
+    _profile(codes, row, lens, starts, nrows, _FLX, 5, "prof_flex", out)
+    _pseaac(codes, row, lens, nrows, 5, out)
+    _terminal(norm, nrows, 15, out)
+    return pd.DataFrame({n: out[n] for n in FEATURE_NAMES})
+
+
+@F.pandas_udf(FEATURES_SCHEMA)
+def caption_features(captions: pd.Series) -> pd.DataFrame:
+    return compute_features_batch(captions)
+
+
+def add_caption_features(
+    df: DataFrame, caption_col: str = "caption", out_col: str = "features", flatten: bool = False
+) -> DataFrame:
+    """Attach the descriptor struct; ``flatten=True`` explodes it to
+    top-level columns (column pruning then works per-feature)."""
+    out = df.withColumn(out_col, caption_features(F.col(caption_col)))
+    if flatten:
+        keep = [c for c in out.columns if c != out_col]
+        out = out.select(*keep, F.col(f"{out_col}.*"))
+    return out

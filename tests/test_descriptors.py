@@ -1,0 +1,71 @@
+"""Golden-vector tests (SURVEY.md §5.2-1): the vectorized Spark descriptor
+UDF must be allclose(rtol=1e-9, atol=1e-12) to the independent per-string
+numpy oracle, on adversarial caption fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from profet_spark import oracle_numpy as oracle
+from profet_spark.functions import text_descriptors as td
+
+CASES = [
+    "The quick brown fox jumps over the lazy dog",
+    "",                                  # empty
+    None,                                # null caption
+    "a",                                 # single char
+    "zzzzzzzzzzzzzzzzzzzzzzzz",          # all-one-class (CTD distribution edge)
+    "ababababababababab",                # repeated-run transitions
+    "1234 !!! ??? ~~~",                  # no letters at all after normalize
+    "Mixed CASE with Punctuation!!! and numbers 123",
+    "short",
+    "x" * 500 + "y" * 300 + "z" * 200,   # long with blocks
+    "ACDEFGHIKLMNPQRSTVWY",              # the 20-AA alphabet itself
+    "The   many    spaces   collapse",
+]
+
+
+def test_batch_matches_oracle():
+    got = td.compute_features_batch(pd.Series(CASES))
+    for i, cap in enumerate(CASES):
+        want = oracle.all_features(cap or "")
+        for name, wv in want.items():
+            gv = got.iloc[i][name]
+            assert np.isclose(gv, wv, rtol=1e-9, atol=1e-12), (
+                f"row {i} ({cap!r:.40}) feature {name}: spark={gv} oracle={wv}"
+            )
+
+
+def test_feature_names_stable():
+    names = td.FEATURE_NAMES
+    assert len(names) == len(set(names))
+    assert names == oracle.feature_names()
+    # contract counts: 28 comp + 64 k2 + 64 k3 + 147 ctd + 6 scalar
+    # + 10 profile + 5 pse + 16 terminal
+    assert len(names) == 28 + 64 + 64 + 147 + 6 + 10 + 5 + 16
+
+
+def test_spark_udf_roundtrip(spark):
+    pdf = pd.DataFrame({"image_id": [f"i{k}" for k in range(len(CASES))],
+                        "caption": [c or "" for c in CASES]})
+    df = spark.createDataFrame(pdf)
+    out = td.add_caption_features(df, flatten=True).toPandas().set_index("image_id")
+    for k, cap in enumerate(CASES):
+        want = oracle.all_features(cap or "")
+        row = out.loc[f"i{k}"]
+        for name, wv in want.items():
+            assert np.isclose(row[name], wv, rtol=1e-9, atol=1e-12), (
+                f"{name} at row {k}: {row[name]} vs {wv}"
+            )
+
+
+def test_udf_on_documents(spark, sf_dir):
+    """Real data smoke: full descriptor struct over documents.text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = td.add_caption_features(docs.withColumnRenamed("text", "caption"), flatten=True)
+    pdf = out.select("doc_id", "length", "entropy", "gravy", "ctd_hydrophobicity_c1").toPandas()
+    assert len(pdf) == docs.count()
+    assert (pdf["length"] >= 0).all()
+    assert pdf["entropy"].between(0, np.log2(26)).all()
