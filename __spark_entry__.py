@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from profet_spark import fixtures
+from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
 from profet_spark.functions.alphabets import CTD_CLASS_MAPS, translate_pair
 from profet_spark.operators import asof, temporal
@@ -276,6 +278,20 @@ def _q_profet_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.add_caption_features(docs, flatten=True).drop("caption")
 
 
+def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native image+caption snapshot pipeline (BASELINE.json input_hint):
+    deterministic fixture → mapInPandas pixel decode + stats → phash
+    Hamming-to-previous. Not SQL-expressible (binary codecs); covered by
+    golden pixel tests in tests/test_pipeline.py — driver records
+    rows-only."""
+    pdf = fixtures.make_fixture(n_entities=80)
+    df = fixtures.to_spark(spark, pdf)
+    out = imgd.add_image_features(df)
+    out = imgd.phash_hamming_to_prev(out)
+    return out.select("image_id", "ts", "w", "h", "fmt", "lum_mean", "lum_var",
+                      "edge_density", "rowprof_mean", "phash", "phash_hamming_prev")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -295,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_doc_filter": _q_doc_filter,
         "c9_json_props": _q_json_props,
         "profet_caption_features": _q_profet_features,
+        "image_snapshot_pipeline": _q_image_pipeline,
     }
 
 

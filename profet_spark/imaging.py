@@ -1,0 +1,187 @@
+"""Minimal deterministic image codecs + hashes (FIXTURES.md §A.1).
+
+No PIL in the sandbox, so the fixture formats are hand-rolled in
+numpy/stdlib:
+
+- PPM (P6, binary): raw RGB — exact round-trip;
+- PNG: IHDR/IDAT/IEND with filter type 0 rows and stdlib zlib — lossless,
+  exact round-trip (decoder supports the sub/up/average/paeth filters
+  too, for robustness, but the encoder only emits 0);
+- average-hash (aHash): 8x8 block-mean luminance thresholded at its mean
+  → 64-bit int. DCT-free and fully deterministic — the fixture's
+  ``phash`` column (BASELINE.json input_hint).
+- PSNR gate for any future lossy format (BASELINE.json: PSNR ≥ 40 dB).
+
+All functions operate on ``np.ndarray[h, w, 3] uint8``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------------ PPM
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, whitespace-separated w h maxval, single whitespace, raster
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            while data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        parts.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    # filter byte 0 per scanline
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a, b, c):
+    p = a.astype(np.int16) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    i = len(_PNG_SIG)
+    w = h = None
+    idat = b""
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    ftypes = raw[:, 0]
+    lines = raw[:, 1:].astype(np.uint8)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        f = ftypes[y]
+        cur = lines[y].copy()
+        prev = out[y - 1] if y else np.zeros(w * 3, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # up
+            out[y] = cur + prev
+        elif f in (1, 3, 4):  # sub / average / paeth need left-to-right scan
+            line = np.zeros(w * 3, dtype=np.uint8)
+            for x in range(w * 3):
+                left = line[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    line[x] = cur[x] + left
+                elif f == 3:
+                    line[x] = cur[x] + ((int(left) + int(up)) >> 1)
+                else:
+                    pa = _paeth(np.uint8(left), np.uint8(up), np.uint8(ul))
+                    line[x] = cur[x] + pa
+            out[y] = line
+        else:
+            raise ValueError(f"bad filter {f}")
+    return out.reshape(h, w, 3)
+
+
+# ------------------------------------------------------------------ codecs by fmt
+
+ENCODERS = {"ppm": encode_ppm, "png": encode_png}
+DECODERS = {"ppm": decode_ppm, "png": decode_png}
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    try:
+        return DECODERS[fmt](data)
+    except KeyError:
+        # jpeg/webp etc. would need codec libs absent from this container;
+        # the Spark-side plumbing (schema, batching) is format-agnostic.
+        raise NotImplementedError(f"no decoder for fmt={fmt!r} in this environment")
+
+
+# ------------------------------------------------------------------ metrics
+
+
+def luminance(arr: np.ndarray) -> np.ndarray:
+    """Rec.601 luma, float64 in [0,255]."""
+    a = arr.astype(np.float64)
+    return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def average_hash(arr: np.ndarray) -> int:
+    """8x8 block-mean aHash over luma → signed int64 (parquet-friendly)."""
+    lum = luminance(arr)
+    h, w = lum.shape
+    # block-mean "resize" to 8x8: pad to multiples of 8 by edge-truncation
+    hh, ww = (h // 8) * 8, (w // 8) * 8
+    if hh == 0 or ww == 0:
+        return 0
+    blocks = lum[:hh, :ww].reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    # wrap to signed 64-bit
+    return v - (1 << 64) if v >= (1 << 63) else v

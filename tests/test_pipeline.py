@@ -1,0 +1,109 @@
+"""End-to-end engine pipeline on the native fixture (SURVEY.md §5.2-2/3):
+image decode through Spark, zero-leakage property with poison rows,
+caption byte-equality, and phash temporal ops."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from profet_spark import fixtures
+from profet_spark.functions import image_descriptors as imgd
+from profet_spark.functions import text_descriptors as td
+from profet_spark.operators import asof, temporal
+
+FIXTURE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+@pytest.fixture(scope="module")
+def snap(spark):
+    pdf = fixtures.make_fixture(n_entities=60)
+    return spark.createDataFrame(pdf, schema=FIXTURE_SCHEMA), pdf
+
+
+def test_image_features_match_oracle(spark, snap):
+    df, pdf = snap
+    out = imgd.add_image_features(df).toPandas()
+    assert "bytes" not in out.columns  # pruned before any shuffle
+    merged = out.set_index(["image_id", "ts"])
+    hot = set(fixtures.hot_entity_ids(60))  # synthetic shared-hash entities
+    for _, r in pdf.sample(30, random_state=0).iterrows():
+        want = imgd.compute_image_stats(r.bytes, r.fmt)
+        got = merged.loc[(r.image_id, r.ts)]
+        assert bool(got["decode_ok"])
+        if r.image_id not in hot:
+            assert got["phash_check"] == r.phash
+        for k in ("lum_mean", "lum_var", "edge_density", "rowprof_max", "rowprof_mean"):
+            assert np.isclose(got[k], want[k], rtol=1e-9), k
+
+
+def test_caption_byte_equality(spark, snap):
+    df, pdf = snap
+    back = df.select("image_id", "ts", "caption").toPandas()
+    m = back.merge(pdf[["image_id", "ts", "caption"]], on=["image_id", "ts"], suffixes=("_spark", "_src"))
+    assert (m["caption_spark"] == m["caption_src"]).all()
+
+
+def test_phash_hamming(spark, snap):
+    df, pdf = snap
+    out = imgd.phash_hamming_to_prev(df.select("image_id", "ts", "phash")).toPandas()
+    g = pdf.sort_values(["image_id", "ts"]).groupby("image_id")["phash"]
+    want = []
+    for _, s in g:
+        prev = None
+        for v in s:
+            want.append(np.nan if prev is None else bin((v ^ prev) & (2**64 - 1)).count("1"))
+            prev = v
+    got = out.sort_values(["image_id", "ts"])["phash_hamming_prev"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(np.nan_to_num(got, nan=-1), np.nan_to_num(np.array(want), nan=-1))
+
+
+def test_phash_nibbles(spark, snap):
+    df, pdf = snap
+    row = imgd.phash_nibbles(df).select("phash", "nibbles").first()
+    ph = row.phash & (2**64 - 1)
+    want = [(ph >> (4 * i)) & 15 for i in range(16)]
+    assert list(row.nibbles) == want
+
+
+def test_zero_leakage_full_pipeline(spark, snap):
+    """SURVEY.md §5.2-2: every feature at (e, t) must be identical when all
+    rows with ts > t are dropped. Poison rows in the fixture make any
+    leak visible."""
+    df, pdf = snap
+    upd = spark.createDataFrame(fixtures.updates_fixture(n_entities=60))
+
+    def featurize(d):
+        out = td.add_caption_features(d.select("image_id", "ts", "caption"), flatten=True)
+        out = asof.asof_join(out, upd, entity="image_id", ts="ts", strategy="sort_merge")
+        out = temporal.ffill(out, ["upd"], entity="image_id", ts="ts")
+        out = temporal.sessionize(out, gap_seconds=7200, entity="image_id", ts="ts")
+        out = temporal.expanding_stats(out, "entropy", entity="image_id", ts="ts",
+                                       stats=("mean", "max", "count"))
+        return out.drop("caption")
+
+    full = featurize(df).toPandas()
+    t_cut = pdf["ts"].quantile(0.6)
+    cut = featurize(df.where(F.col("ts") <= F.lit(t_cut))).toPandas()
+    full_cut = full[full.ts <= t_cut]
+    key = ["image_id", "ts"]
+    a = full_cut.sort_values(key).reset_index(drop=True)
+    b = cut.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_poison_rows_present(snap):
+    _, pdf = snap
+    assert pdf["caption"].str.contains("ZZZZPOISON").any(), "fixture lost its poison rows"
