@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract + BASELINE.md protocol).
+
+Runs the engine's headline pipelines at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the ``noop`` sink so the full plan
+(including descriptor UDF columns) executes — ``count()`` would let
+Catalyst prune the expensive projections away and fake the numbers.
+
+Fixture-backed stages (native image+caption snapshots) are generated
+OUTSIDE the timed region; the timer covers Spark execution only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from profet_spark import fixtures, get_spark
+from profet_spark.functions import image_descriptors as imgd
+from profet_spark.functions import text_descriptors as td
+from profet_spark.operators import asof, temporal
+from profet_spark.sources import load_table
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def pit_features_events(spark, sf_dir):
+    """Flagship: PIT feature pipeline over the events stream (as-of join +
+    ffill + sessionize + expanding stats)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("purch_val"))
+    )
+    out = asof.asof_join(ev, purchases, entity="user_id", ts="ts", strategy="sort_merge")
+    out = temporal.ffill(out, ["purch_val"], entity="user_id", ts="ts", tiebreak=["event_id"])
+    out = temporal.sessionize(out, gap_seconds=3600, entity="user_id", ts="ts", tiebreak=["event_id"])
+    out = temporal.expanding_stats(out, "value", entity="user_id", ts="ts", tiebreak=["event_id"],
+                                   stats=("mean", "count", "max"))
+    return out
+
+
+def caption_descriptors(spark, snap_text):
+    """Full 340-feature ProFET-analog vector over native captions."""
+    return td.add_caption_features(snap_text, flatten=True).drop("caption")
+
+
+def image_pipeline(spark, snap_img):
+    out = imgd.add_image_features(snap_img)
+    return imgd.phash_hamming_to_prev(out)
+
+
+def pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sq"),
+             F.sum(dec("l_extendedprice")).alias("sb"))
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app="profet_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, int(cpus)))
+
+    # fixture setup (untimed): text-heavy snapshot set + image snapshot set.
+    # Rows arrive entity-ordered (hot entities cluster), so repartition to
+    # 2x cores for straggler-free UDF stages — the local-mode analog of
+    # sizing shuffle partitions to a multiple of total executor cores.
+    n_parts = 2 * max(8, int(cpus))
+    n_text_entities = max(200, int(20000 * (sf if sf > 0 else 0.1) * 10))
+    n_img_entities = max(100, int(2000 * (sf if sf > 0 else 0.1) * 10))
+    snap_text_pdf = fixtures.make_fixture(n_entities=n_text_entities, with_images=False)
+    snap_text = fixtures.to_spark(
+        spark, snap_text_pdf
+    ).select("image_id", "ts", "caption").repartition(n_parts).cache()
+    snap_text.count()
+    snap_img_pdf = fixtures.make_fixture(n_entities=n_img_entities, img_sizes=(32, 64))
+    snap_img = fixtures.to_spark(spark, snap_img_pdf).repartition(n_parts).cache()
+    snap_img.count()
+
+    stages = {
+        "pit_features_events": lambda: pit_features_events(spark, sf_dir),
+        "caption_descriptors": lambda: caption_descriptors(spark, snap_text),
+        "image_pipeline": lambda: image_pipeline(spark, snap_img),
+        "a9_pricing_summary": lambda: pricing_summary(spark, sf_dir),
+    }
+    # warm-up (untimed): exercise shuffle + window + Python-worker startup
+    # on small slices so the first timed stage isn't paying JVM cold-start
+    ev_small = load_table(spark, sf_dir, "events").limit(4000)
+    _materialize(temporal.sessionize(ev_small, 3600, entity="user_id", ts="ts"))
+    _materialize(td.add_caption_features(snap_text.limit(500)))
+
+    times = {}
+    for name, mk in stages.items():
+        t0 = time.perf_counter()
+        _materialize(mk())
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    n_vectors = len(snap_text_pdf) + len(snap_img_pdf)
+    total = round(sum(times.values()), 3)
+    desc_sec = times["caption_descriptors"] + times["image_pipeline"]
+    print(json.dumps({
+        "metric": "headline pipeline wall time (PIT features + descriptors + image decode + agg)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "feature_vectors": n_vectors,
+        "feature_vectors_per_sec": round(n_vectors / desc_sec, 1) if desc_sec > 0 else None,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -156,10 +156,16 @@ def _kmer(codes, row, lens, nrows, lut, k, n_groups, prefix, out: dict):
         out[f"{prefix}_{combo}"] = freq[:, j]
 
 
+# transition-pair LUT: cls_a*4+cls_b → {0:'12',1:'13',2:'23',-1:other}
+_TRANS_LUT = np.full(16, -1, dtype=np.int64)
+for _a, _b, _t in ((1, 2, 0), (2, 1, 0), (1, 3, 1), (3, 1, 1), (2, 3, 2), (3, 2, 2)):
+    _TRANS_LUT[_a * 4 + _b] = _t
+
+
 def _ctd(codes, row, lens, starts, nrows, out: dict):
-    pos_in_row = np.arange(len(codes), dtype=np.int64) - starts[row] if len(codes) else np.zeros(0, dtype=np.int64)
     nt = np.maximum(lens - 1, 0)
     pair_valid = _pairs(row)
+    lens_f = lens.astype(np.float64)
     for prop in CTD_PROPERTIES:
         cls = _CTD[prop][codes]  # values in {1,2,3}
         # composition
@@ -168,38 +174,35 @@ def _ctd(codes, row, lens, starts, nrows, out: dict):
         for i, c in enumerate("123"):
             out[f"ctd_{prop}_c{c}"] = freq[:, i]
         # transition (unordered adjacent pairs of distinct classes)
-        a, b = cls[:-1], cls[1:]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        tcode = np.where((lo == 1) & (hi == 2), 0, np.where((lo == 1) & (hi == 3), 1, np.where((lo == 2) & (hi == 3), 2, -1)))
+        tcode = _TRANS_LUT[cls[:-1] * 4 + cls[1:]] if len(cls) else np.zeros(0, dtype=np.int64)
         tv = pair_valid & (tcode >= 0)
         tc = np.bincount(row[:-1][tv] * 3 + tcode[tv], minlength=nrows * 3).reshape(nrows, 3)
         tf = _safe_div(tc, nt[:, None])
         for i, tag in enumerate(("t12", "t13", "t23")):
             out[f"ctd_{prop}_{tag}"] = tf[:, i]
-        # distribution: propy rank convention, vectorized per class
-        for c in (1, 2, 3):
-            mask = cls == c
-            m = np.bincount(row[mask], minlength=nrows)  # occurrences per row
-            occ_rank = np.cumsum(mask)  # global cumulative
-            # per-row rank = global cumsum minus count before row start
-            before = np.zeros(nrows, dtype=np.int64)
-            if len(codes):
-                cum_at_start = np.concatenate([[0], np.cumsum(mask)])[starts]
-                before = cum_at_start
-            rank_in_row = occ_rank - before[row] if len(codes) else occ_rank
+        # distribution (propy rank convention): occurrences of class c are
+        # already grouped by row and position-sorted in flatnonzero order,
+        # so rank-r positions are direct gathers at per-row block offsets.
+        for c, col in ((1, cnt[:, 1]), (2, cnt[:, 2]), (3, cnt[:, 3])):
+            idx = np.flatnonzero(cls == c)  # global positions, row-grouped
+            m = col  # occurrences per row (from composition bincount)
+            off = np.zeros(nrows, dtype=np.int64)
+            if nrows > 1:
+                off[1:] = np.cumsum(m)[:-1]
+            has = m > 0
+            rows_has = np.flatnonzero(has)
             for q, tag in ((0.0, "001"), (0.25, "025"), (0.5, "050"), (0.75, "075"), (1.0, "100")):
-                if q == 0.0:
-                    target = np.ones(nrows, dtype=np.int64)
-                elif q == 1.0:
-                    target = m
-                else:
-                    target = np.maximum(1, np.floor(m * q).astype(np.int64))
                 res = np.zeros(nrows, dtype=np.float64)
-                sel = mask & (rank_in_row == target[row]) if len(codes) else mask
-                if sel.any():
-                    rows_sel = row[sel]
-                    res[rows_sel] = (pos_in_row[sel] + 1) / lens[rows_sel] * 100.0
-                res[m == 0] = 0.0
+                if len(rows_has):
+                    mh = m[rows_has]
+                    if q == 0.0:
+                        rank = np.ones(len(rows_has), dtype=np.int64)
+                    elif q == 1.0:
+                        rank = mh
+                    else:
+                        rank = np.maximum(1, np.floor(mh * q).astype(np.int64))
+                    gpos = idx[off[rows_has] + rank - 1]
+                    res[rows_has] = (gpos - starts[rows_has] + 1) / lens_f[rows_has] * 100.0
                 out[f"ctd_{prop}_d{c}_{tag}"] = res
 
 
