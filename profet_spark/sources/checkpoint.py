@@ -1,0 +1,161 @@
+"""Checkpointed, resumable partition sink (SURVEY.md §2.1 S7; north_rule
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Design (works identically on a 1000-executor cluster):
+
+- rows are assigned to one of N *deterministic* buckets by
+  ``pmod(xxhash64(key_cols), N)`` — restart-stable, unlike
+  ``spark_partition_id()`` which depends on scheduling;
+- data lands under ``out_dir/bucket=K/`` via a single dynamic
+  partition-overwrite job over the NOT-yet-committed buckets only
+  (idempotent: a re-run of a failed bucket replaces its partial files);
+- after the write succeeds, per-bucket metrics are computed with one
+  hash agg — row count + order-insensitive checksum (sum of per-row
+  xxhash64 over the output columns) — and appended to the manifest
+  (JSON lines under ``out_dir/_manifest/``) together with lineage;
+- resume = call ``checkpointed_write`` again: committed buckets are
+  skipped by manifest lookup, the rest are (re)written.
+
+The manifest doubles as the lineage record: every entry carries the
+caller-supplied lineage string, the bucket's key columns, and metrics a
+verifier can recompute from the written files (``verify_manifest``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR)
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> list[dict]:
+    path = _manifest_path(out_dir)
+    if not os.path.isdir(path):
+        return []
+    entries = []
+    for fn in sorted(os.listdir(path)):
+        if fn.endswith(".json"):
+            with open(os.path.join(path, fn)) as f:
+                for line in f:
+                    if line.strip():
+                        entries.append(json.loads(line))
+    return entries
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    return {e["bucket"] for e in read_manifest(spark, out_dir)}
+
+
+def _bucket_metrics(df: DataFrame, cols: list[str]) -> list[dict]:
+    """(bucket, rows, checksum) in one hash agg. The checksum is the
+    64-bit wrapping sum of per-row xxhash64 over all output columns —
+    order-insensitive, so any execution order verifies equal."""
+    # canonical column order; low-32-bit mask + DECIMAL(38) sum keeps the
+    # checksum exact and overflow-free up to ~10^28 rows (ANSI mode would
+    # reject a wrapping long sum)
+    h = F.xxhash64(*[F.col(c) for c in sorted(cols)]).bitwiseAND(F.lit(0xFFFFFFFF))
+    rows = (
+        df.groupBy(BUCKET_COL)
+        .agg(F.count("*").alias("rows"), F.sum(h.cast("decimal(38,0)")).alias("checksum"))
+        .collect()
+    )
+    return [
+        {"bucket": int(r[BUCKET_COL]), "rows": int(r["rows"]), "checksum": int(r["checksum"] or 0)}
+        for r in rows
+    ]
+
+
+def checkpointed_write(
+    df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    num_buckets: int = 32,
+    lineage: str = "",
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Write ``df`` to parquet under ``out_dir`` in resumable buckets.
+
+    ``fail_after_buckets`` is a test hook: commit only that many pending
+    buckets then raise, simulating a mid-job kill AFTER some buckets
+    committed (the crash window between data-write and manifest-append of
+    a single bucket is covered by idempotent overwrite on retry).
+
+    Returns {"written": [...], "skipped": [...]}.
+    """
+    spark = df.sparkSession
+    done = committed_buckets(spark, out_dir)
+    bucketed = df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+    )
+    pending = sorted(set(range(num_buckets)) - done)
+    if fail_after_buckets is not None:
+        to_write = pending[:fail_after_buckets]
+    else:
+        to_write = pending
+    if not to_write:
+        return {"written": [], "skipped": sorted(done)}
+
+    subset = bucketed.where(F.col(BUCKET_COL).isin([int(b) for b in to_write]))
+    (
+        subset.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(out_dir)
+    )
+    data_cols = [c for c in df.columns]
+    metrics = _bucket_metrics(subset, data_cols)
+
+    os.makedirs(_manifest_path(out_dir), exist_ok=True)
+    entry_file = os.path.join(_manifest_path(out_dir), f"commit-{uuid.uuid4().hex}.json")
+    app_id = spark.sparkContext.applicationId
+    with open(entry_file, "w") as f:
+        for m in metrics:
+            f.write(json.dumps({
+                **m,
+                "key_cols": key_cols,
+                "num_buckets": num_buckets,
+                "lineage": lineage,
+                "app_id": app_id,
+                "committed_at": time.time(),
+            }) + "\n")
+
+    if fail_after_buckets is not None and len(pending) > len(to_write):
+        raise RuntimeError(f"injected failure after {fail_after_buckets} buckets")
+    return {"written": to_write, "skipped": sorted(done)}
+
+
+def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read back ONLY committed buckets (uncommitted partials excluded)."""
+    done = committed_buckets(spark, out_dir)
+    df = spark.read.parquet(out_dir)
+    return df.where(F.col(BUCKET_COL).isin([int(b) for b in done])).drop(BUCKET_COL)
+
+
+def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
+    """Recompute per-bucket rows+checksum from the written files and
+    compare with the manifest."""
+    entries = {e["bucket"]: e for e in read_manifest(spark, out_dir)}
+    if not entries:
+        return True
+    df = spark.read.parquet(out_dir)
+    data_cols = [c for c in df.columns if c != BUCKET_COL]
+    recomputed = {
+        m["bucket"]: m
+        for m in _bucket_metrics(df.where(F.col(BUCKET_COL).isin(list(entries))), data_cols)
+    }
+    for b, e in entries.items():
+        m = recomputed.get(b)  # a fully-missing bucket recomputes to nothing
+        if m is None or e["rows"] != m["rows"] or e["checksum"] != m["checksum"]:
+            return False
+    return not (set(recomputed) - set(entries))
