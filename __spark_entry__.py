@@ -20,10 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from profet_spark import fixtures
+from profet_spark.functions import hashing as H
 from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
+from profet_spark.functions import textstats as ts
 from profet_spark.functions.alphabets import CTD_CLASS_MAPS, translate_pair
-from profet_spark.operators import asof, temporal
+from profet_spark.operators import asof, dedup, similarity, temporal
 from profet_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -292,6 +294,142 @@ def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "edge_density", "rowprof_mean", "phash", "phash_hamming_prev")
 
 
+# ------------------------------------------- training-data pipeline ops
+# (dedup / similarity / text analysis — task mandate beyond ProFET's set)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.add_language_id(docs).select("doc_id", "lang", "pred_lang", "pred_score")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.add_quality_features(docs).select(
+        "doc_id", "n_tokens", "mean_tok_len", "alpha_ratio",
+        "stopword_ratio", "quality_score")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.add_token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.add_fingerprint(docs).select("doc_id", "fp_minhash", "fp_windows")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "content_fp")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs, k=2)
+
+
+def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.3)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 approximate ANN — no exact SQL oracle (bucketing is the point);
+    recall vs the exact N1 baseline is asserted in tests/test_similarity.py;
+    driver records rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann(emb, emb.where(F.col("vec_id") < 20), k=5, dim=64)
+
+
+# ------------------------------------------------------- misc operators
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 interval/range join: purchase validity windows x events."""
+    from pyspark.sql.window import Window
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts").distinct()
+        .withColumn("end_ts", F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts")))
+        .withColumnRenamed("ts", "start_ts")
+    )
+    joined = ev.alias("e").join(
+        p.alias("p"),
+        (F.col("e.user_id") == F.col("p.user_id"))
+        & (F.col("e.ts") >= F.col("p.start_ts"))
+        & (F.col("p.end_ts").isNull() | (F.col("e.ts") < F.col("p.end_ts"))),
+    )
+    return joined.groupBy(F.col("p.user_id").alias("user_id"), "start_ts").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("e.value").cast("decimal(18,2)")).cast("string").alias("sv"),
+    )
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 multi-granularity rollup with grouping indicators."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total"),
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+    )
+
+
+def _q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 distinct-count diagnostics (exact; approx_count_distinct is the
+    scale path, exercised in tests — approximate values can't hash-match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5(dedup.normalized("text"))).alias("n_contents"),
+    )
+
+
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 temporal autocorrelation (lag-1 Pearson) per entity, from exact
+    DECIMAL sums -> one IEEE-deterministic double expression."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    ).withColumn("x", F.lag("y").over(w)).where(F.col("x").isNotNull())
+    s = o.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).where(F.col("n") >= 2)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    corr = F.when(vx * vy > 0,
+                  (d("n") * d("sxy") - d("sx") * d("sy")) / (F.sqrt(vx) * F.sqrt(vy)))
+    return s.select("user_id", "n", corr.alias("autocorr_lag1"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -312,7 +450,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_json_props": _q_json_props,
         "profet_caption_features": _q_profet_features,
         "image_snapshot_pipeline": _q_image_pipeline,
+        "t1_language_id": _q_lang_id,
+        "t2_quality_score": _q_quality,
+        "t3_token_counts": _q_token_counts,
+        "t4_fingerprint": _q_fingerprint,
+        "d1_exact_dedup": _q_exact_dedup,
+        "d2_ngram_jaccard": _q_ngram_jaccard,
+        "d3_minhash_lsh": _q_minhash_lsh,
+        "d4_simhash": _q_simhash,
+        "d5_embedding_dup": _q_embedding_dup,
+        "n1_cosine_topk": _q_cosine_topk,
+        "n2_lsh_ann": _q_lsh_ann,
+        "j4_range_join": _q_range_join,
+        "a10_distinct_counts": _q_distinct,
+        "a11_rollup": _q_rollup,
+        "a13_autocorr": _q_autocorr,
     }
+
+
+# --------------------------------------------------- oracle SQL builders
+# DuckDB-side twins of the portable primitives in profet_spark.functions.
+# hashing — same md5-derived h32, same frozen MinHash permutations, same
+# integer quantization, so values match the Spark plans bit for bit.
+
+_DUCK_WORDS = "list_filter(string_split_regex(trim(lower({c})), '\\s+'), x -> x <> '')"
+_DUCK_NORM_TXT = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+
+def _duck_shingle_cte(k: int, table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """CTEs d/g/hs/cnt: distinct word-k-gram h32 hashes per doc."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+        d AS (SELECT {id_col} AS id, {_DUCK_WORDS.format(c=text_col)} AS w FROM {table}),
+        g AS (SELECT id, {parts} AS s
+              FROM (SELECT id, w, unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS i
+                    FROM d)),
+        hs AS (SELECT DISTINCT id, {H.h32_sql_duckdb('s')} AS h FROM g),
+        cnt AS (SELECT id, count(*) AS n FROM hs GROUP BY id)"""
+
+
+def _duck_minhash_lsh_sql(threshold: float) -> str:
+    p = H.MINHASH_P
+    mins = ",\n                   ".join(
+        f"min(({a} * (h % {p}) + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(H.MINHASH_PERMS))
+    bands = ", ".join(
+        "md5(CAST(m{0} AS VARCHAR) || ',' || CAST(m{1} AS VARCHAR))".format(
+            b * H.LSH_ROWS, b * H.LSH_ROWS + 1)
+        for b in range(H.LSH_BANDS))
+    return f"""
+        WITH {_duck_shingle_cte(3)},
+        sig AS (SELECT id, {mins} FROM hs GROUP BY id),
+        bands AS (SELECT id, unnest([{bands}]) AS bh FROM sig),
+        cand AS (SELECT a.id AS ia, b.id AS ib FROM bands a
+                 JOIN bands b ON a.bh = b.bh AND a.id < b.id GROUP BY 1, 2),
+        i AS (SELECT ia, ib, count(*) AS k FROM cand c
+              JOIN hs x ON x.id = c.ia JOIN hs y ON y.id = c.ib AND y.h = x.h
+              GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b, k AS inter, ca.n AS na, cb.n AS nb,
+               k / (ca.n + cb.n - k) AS jaccard
+        FROM i JOIN cnt ca ON ca.id = ia JOIN cnt cb ON cb.id = ib
+        WHERE k / (ca.n + cb.n - k) >= {threshold}"""
+
+
+def _duck_quantized_cte(where: str = "") -> str:
+    """CTEs q/nrm over embeddings: int64-quantized elements + exact norms."""
+    return f"""
+        q AS (SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(1000000.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qx
+              FROM (SELECT vec_id, embedding,
+                           unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings {where})),
+        nrm AS (SELECT vec_id, sum(qx * qx) AS nrm FROM q GROUP BY vec_id)"""
+
+
+_DUCK_COS = ("CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))")
+
+
+def _duck_lid_sql() -> str:
+    w = _DUCK_WORDS.format(c="text")
+    scores = []
+    for lang in sorted(ts.LID_LEXICONS):
+        lex = ", ".join(f"'{t}'" for t in ts.LID_LEXICONS[lang])
+        scores.append(
+            f"CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> x IN ({lex}))) / len(w) "
+            f"ELSE CAST(0.0 AS DOUBLE) END AS s_{lang}")
+    langs = sorted(ts.LID_LEXICONS)
+    pred_cases = []
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        pred_cases.append(f"WHEN {' AND '.join(others)} THEN '{lang}'")
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {w} AS w FROM documents),
+        s AS (SELECT doc_id, lang, {', '.join(scores)} FROM t)
+        SELECT doc_id, lang,
+               CASE {' '.join(pred_cases)} END AS pred_lang,
+               greatest({', '.join('s_' + lg for lg in langs)}) AS pred_score
+        FROM s"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -463,5 +699,135 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "t1_language_id": _duck_lid_sql(),
+        "t2_quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {_DUCK_WORDS.format(c='text')} AS w,
+                              length(text) AS n_chars,
+                              length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+                       FROM documents)
+            SELECT doc_id, len(w) AS n_tokens,
+                   CASE WHEN len(w) > 0 THEN alpha / len(w) ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len,
+                   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+                   CASE WHEN len(w) > 0
+                        THEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) / len(w)
+                        ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
+                   CAST(0.4 AS DOUBLE)
+                     * (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE CAST(0.0 AS DOUBLE) END)
+                   + CAST(0.3 AS DOUBLE) * least(len(w) / CAST(32.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE)
+                     * least((CASE WHEN len(w) > 0
+                              THEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) / len(w)
+                              ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE),
+                             CAST(1.0 AS DOUBLE)) AS quality_score
+            FROM t
+        """,
+        "t3_token_counts": f"""
+            SELECT doc_id, len({_DUCK_WORDS.format(c='text')}) AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '{ts.TOKEN_RE}')) AS bpe_tokens
+            FROM documents
+        """,
+        "t4_fingerprint": f"""
+            WITH {_duck_shingle_cte(4)}
+            SELECT d0.doc_id, coalesce(m.mn, -1) AS fp_minhash,
+                   coalesce(m.c, 0) AS fp_windows
+            FROM documents d0
+            LEFT JOIN (SELECT id, min(h) AS mn, count(*) AS c FROM hs GROUP BY id) m
+              ON m.id = d0.doc_id
+        """,
+        "d1_exact_dedup": f"""
+            SELECT min(doc_id) AS doc_id, content_fp
+            FROM (SELECT doc_id, md5({_DUCK_NORM_TXT.format(c='text')}) AS content_fp
+                  FROM documents)
+            GROUP BY content_fp
+        """,
+        "d2_ngram_jaccard": f"""
+            WITH {_duck_shingle_cte(3)},
+            i AS (SELECT a.id AS ia, b.id AS ib, count(*) AS k
+                  FROM hs a JOIN hs b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b, k AS inter, ca.n AS na, cb.n AS nb,
+                   k / (ca.n + cb.n - k) AS jaccard
+            FROM i JOIN cnt ca ON ca.id = ia JOIN cnt cb ON cb.id = ib
+            WHERE k / (ca.n + cb.n - k) >= 0.5
+        """,
+        "d3_minhash_lsh": _duck_minhash_lsh_sql(0.5),
+        "d4_simhash": f"""
+            WITH {_duck_shingle_cte(2)},
+            bits AS (SELECT id, j,
+                            sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                     FROM (SELECT id, h, unnest(generate_series(0, 31)) AS j FROM hs)
+                     GROUP BY id, j)
+            SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+            FROM bits GROUP BY id
+        """,
+        "d5_embedding_dup": f"""
+            WITH {_duck_quantized_cte()},
+            dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.qx * b.qx) AS dot
+                     FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                     GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b, {_DUCK_COS} AS cosine
+            FROM dots JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib
+            WHERE {_DUCK_COS} >= 0.3
+        """,
+        "n1_cosine_topk": f"""
+            WITH {_duck_quantized_cte()},
+            dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.qx * b.qx) AS dot
+                     FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 20
+                                      AND a.vec_id <> b.vec_id
+                     GROUP BY 1, 2),
+            cos AS (SELECT qid, nid, {_DUCK_COS.replace('ia', 'qid').replace('ib', 'nid')} AS cosine
+                    FROM dots JOIN nrm na ON na.vec_id = qid JOIN nrm nb ON nb.vec_id = nid)
+            SELECT qid AS query_id, nid AS neighbor_id, cosine, rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                  FROM cos)
+            WHERE rank <= 5
+        """,
+        "j4_range_join": """
+            WITH p AS (
+              SELECT user_id, ts AS start_ts,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS end_ts
+              FROM (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'))
+            SELECT p.user_id, p.start_ts, count(*) AS n_events,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS sv
+            FROM p JOIN events e
+              ON e.user_id = p.user_id AND e.ts >= p.start_ts
+                 AND (p.end_ts IS NULL OR e.ts < p.end_ts)
+            GROUP BY 1, 2
+        """,
+        "a10_distinct_counts": f"""
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   count(DISTINCT md5({_DUCK_NORM_TXT.format(c='text')})) AS n_contents
+            FROM documents GROUP BY lang
+        """,
+        "a11_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total,
+                   GROUPING(o_orderstatus) AS g_status,
+                   GROUPING(o_orderpriority) AS g_prio
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "a13_autocorr": """
+            WITH o AS (
+              SELECT user_id, CAST(value AS DECIMAL(18,2)) AS y,
+                     lag(CAST(value AS DECIMAL(18,2)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+              FROM events),
+            s AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM o WHERE x IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   END AS autocorr_lag1
+            FROM s WHERE n >= 2
         """,
     }

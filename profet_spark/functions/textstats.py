@@ -1,0 +1,107 @@
+"""Text-analysis functions for training-data curation (task mandate):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All four are pure JVM expressions (pyspark.sql.functions only — zero
+Python, zero UDF), so they ride whole-stage codegen and cost one narrow
+projection per document at 100 TB. Ratios divide exact integer counts, so
+every emitted double is IEEE-deterministic and oracle-portable.
+
+ProFET parity: these are the caption/document-level analog of ProFET's
+per-sequence scalar features (length/ratio features in
+[R] ProFET/feat_extract/FeatureGen.py ~L100-300); the fingerprint is the
+rolling-window min-hash flavor of its k-mer machinery (~L200-260).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from profet_spark.functions import hashing as H
+
+# Marker lexicons for the n-gram/stopword language-ID heuristic. On a real
+# corpus these are per-language stopword lists; the synthetic documents
+# share one vocabulary, so the lexicons partition that vocabulary — the
+# MECHANISM (hit-ratio argmax with deterministic tie-break) is the operator
+# under test, and the oracle recomputes it exactly.
+LID_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "key", "table", "row"),
+    "de": ("agg", "hash", "sort", "merge"),
+    "es": ("data", "query", "small", "stream"),
+    "fr": ("window", "order", "line", "big"),
+    "zh": ("join", "batch", "spark", "scan"),
+}
+
+# BPE-ish tokenizer: letter runs | digit runs | single non-alnum marks.
+# Kept to constructs Java regex and RE2 (DuckDB) treat identically.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(text_col: str) -> F.Column:
+    return H.words(F.col(text_col))
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: per lexicon, score = hits / n_tokens;
+    prediction = argmax score, ties broken by language code ascending.
+
+    Implemented as a greatest()-of-structs trick so the argmax stays in one
+    codegen'd projection (struct comparison is lexicographic: score desc
+    via negation, then lang asc via its position in the struct)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    scored = []
+    for lang in sorted(LID_LEXICONS):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*LID_LEXICONS[lang])))
+        score = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+        scored.append(F.struct(score.alias("score"),
+                               F.lit(sorted(LID_LEXICONS, reverse=True).index(lang))
+                               .alias("tie"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return df.withColumn("pred_lang", best["lang"]).withColumn(
+        "pred_score", best["score"])
+
+
+def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: token count, mean token length, alpha
+    ratio, stopword ratio, and a fixed-weight quality score in [0,1]."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    mean_tok_len = F.when(n_tok > 0, alpha_chars / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    len_term = F.least(n_tok / F.lit(32.0), F.lit(1.0))
+    score = (F.lit(0.4) * alpha_ratio + F.lit(0.3) * len_term
+             + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0)))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_tok_len", mean_tok_len)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (TOKEN_RE)."""
+    return (
+        df.withColumn("ws_tokens", F.size(_tokens(text_col)))
+        .withColumn("bpe_tokens",
+                    F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                                F.lit(TOKEN_RE), 0)))
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Document fingerprint: min over the rolling word-k-gram windows of the
+    portable 32-bit shingle hash (a 1-permutation MinHash / winnowing-style
+    selector), plus the distinct-window count. Identical content -> identical
+    fingerprint regardless of row order or partitioning."""
+    hashes = H.shingle_hashes(text_col, k)
+    return (
+        df.withColumn("fp_minhash", F.coalesce(F.array_min(hashes), F.lit(-1)))
+        .withColumn("fp_windows", F.size(hashes))
+    )

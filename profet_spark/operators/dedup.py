@@ -1,0 +1,213 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup strategies, each Spark-first and designed for the 100 TB case
+(the task mandate adds these on top of ProFET's own operator set; the
+closest reference analog is ProFET's duplicate-record drop in
+[R] ProFET/feat_extract/FastaFilter.py ~L70-110, which is D1 here):
+
+D1  exact_dedup          — md5-fingerprint groupBy; one shuffle on a 32-char
+                           key, never on the text itself.
+D2  ngram_jaccard_pairs  — exact word-k-gram Jaccard via shingle-hash
+                           self-join (the *verifier*; quadratic in docs that
+                           share a shingle, so only for candidate sets /
+                           small corpora).
+D3  minhash_lsh_pairs    — the scale path: per-row MinHash signature (zero
+                           shuffle), band explode (docs x BANDS rows), bucket
+                           self-join, exact-Jaccard verification on the
+                           surviving candidates only.
+D4  simhash_pairs        — 32-bit SimHash + pigeonhole byte-block join:
+                           hamming(a,b) <= 3 implies at least one of the 4
+                           byte blocks is equal, so the block join finds ALL
+                           such pairs (exact, not approximate) while joining
+                           on 8-bit blocks instead of cross-joining.
+D5  embedding_dup_pairs  — cosine near-dup over quantized int64 vectors
+                           (exact, order-insensitive arithmetic; see
+                           functions/hashing.py).
+
+Scale notes:
+- Signatures/fingerprints are narrow projections: Catalyst prunes ``text``
+  out of every downstream exchange; only (id, hashes) shuffle.
+- Pair joins shuffle on short hash keys. Skewed buckets (a shingle shared by
+  millions of docs — boilerplate) are handled by AQE skew-join on the equi
+  join; `max_bucket` hard-caps degenerate buckets the way production dedup
+  pipelines drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from profet_spark.functions import hashing as H
+
+
+def normalized(text_col: str) -> F.Column:
+    """Dedup normalization: lowercase, collapse whitespace runs, trim."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                keep: str = "min") -> DataFrame:
+    """D1: keep one row per normalized-content fingerprint.
+
+    Window over the 32-char md5 — the shuffle key is the fingerprint, so the
+    full text never moves; ties broken by id for determinism."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy("content_fp").orderBy(order)
+    return (
+        df.withColumn("content_fp", F.md5(normalized(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingles: sorted distinct array<bigint>, n: int) — narrow."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        H.shingle_hashes(text_col, k).alias("shingles"),
+    ).withColumn("n", F.size("shingles")).where(F.col("n") > 0)
+
+
+def _verify_jaccard(cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs carrying both shingle arrays.
+
+    inter/union are exact integers, so the jaccard double is
+    IEEE-deterministic (portable to the DuckDB oracle bit for bit)."""
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.withColumn("inter", inter)
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, threshold: float = 0.5,
+                        max_bucket: int | None = None) -> DataFrame:
+    """D2: ALL pairs with word-k-gram Jaccard >= threshold (exact).
+
+    Plan: shingle-hash explode -> self equi-join on the hash -> per-pair
+    intersection count -> jaccard from set sizes. The join key is an int64
+    hash; ``max_bucket`` drops stop-shingles (appearing in more docs than
+    the cap) exactly like production near-dup pipelines do."""
+    s = _shingle_sets(df, id_col, text_col, k)
+    ex = s.select("id", "n", F.explode("shingles").alias("h"))
+    if max_bucket is not None:
+        wcnt = Window.partitionBy("h")
+        ex = ex.withColumn("_bn", F.count("*").over(wcnt)).where(
+            F.col("_bn") <= max_bucket).drop("_bn")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"),
+             F.first(F.col("a.n")).alias("na"),
+             F.first(F.col("b.n")).alias("nb"))
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 3) -> DataFrame:
+    """(id, shingles, n, sig: array<bigint>[MINHASH_K]) — zero-shuffle."""
+    s = _shingle_sets(df, id_col, text_col, k)
+    return s.withColumn("sig", H.minhash_signature(F.col("shingles")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """D3: MinHash+LSH candidate generation, exact-Jaccard verified.
+
+    Banding: MINHASH_K=16 split into 8 bands x 2 rows -> a pair with true
+    jaccard j collides in >=1 band with prob 1-(1-j^2)^8 (0.97 at j=0.5,
+    1-3e-7 at j=0.8; identical docs always collide). Candidates are verified
+    with EXACT jaccard, so false positives are impossible — output is a
+    (near-total at the chosen threshold) subset of D2's.
+
+    Scale: signature+bands are narrow per-row arrays; the only wide ops are
+    the band-digest self-join and the distinct on candidate ids."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    banded = sigs.select(
+        "id", "n", "shingles",
+        F.explode(H.band_hashes(F.col("sig"))).alias("bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sa"), F.col("b.shingles").alias("sb"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_jaccard(cand, threshold)
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 2) -> DataFrame:
+    """(id, simhash: bigint) — 32-bit SimHash over word-k-gram shingle
+    hashes; narrow projection, engine-portable integer math."""
+    s = _shingle_sets(df, id_col, text_col, k)
+    return s.select("id", H.simhash32(F.col("shingles")).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 2, max_hamming: int = 3) -> DataFrame:
+    """D4: ALL pairs with simhash hamming distance <= max_hamming (<=3).
+
+    Pigeonhole: 32 bits in 4 byte-blocks; <=3 differing bits cannot touch
+    all 4 blocks, so every qualifying pair shares >=1 exact block — the
+    block equi-join has full recall while shuffling only (block_id, byte)."""
+    assert max_hamming <= 3, "pigeonhole argument needs <= 3 for 4 blocks"
+    t = simhash_table(df, id_col, text_col, k)
+    blocks = t.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias("val"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .where(ham <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.3) -> DataFrame:
+    """D5: pairs with cosine(embedding_a, embedding_b) >= threshold.
+
+    Vectors are quantized to int64 (hashing.quantize_vec), so dot and norms
+    are exact integer folds and the cosine double is bitwise-deterministic.
+    Brute-force O(n^2) pair join — the *verifier* tier; the bucketed scale
+    path is operators/similarity.lsh_ann (random-hyperplane LSH)."""
+    q = df.select(
+        F.col(id_col).alias("id"),
+        H.quantize_vec(vec_col).alias("q"),
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q")))
+    a = q.alias("a")
+    b = q.alias("b")
+    dot = H.int_dot(F.col("a.q"), F.col("b.q"))
+    cos = H.cosine_from_quantized(dot, F.col("a.nrm"), F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

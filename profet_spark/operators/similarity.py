@@ -1,0 +1,134 @@
+"""Approximate/exact nearest-neighbor search over embedding columns.
+
+Two tiers (task mandate: similarity search as a first-class component):
+
+N1  cosine_topk — brute-force exact top-k: broadcast the (small) query set
+    against the corpus, cosine per (query, corpus) pair, window top-k.
+    Exact baseline + the verifier for N2. Cosines use the quantized-int64
+    scheme from functions/hashing.py so values are bitwise-deterministic
+    and oracle-portable.
+
+N2  lsh_ann — random-hyperplane (sign) LSH: per-row signature bits from
+    deterministic pseudo-random planes (h32-derived — no RNG state to ship),
+    banded into buckets; candidates = corpus rows sharing >=1 band with the
+    query; exact cosine + top-k within candidates. Recall measured against
+    N1 in tests.
+
+Scale notes (100 TB corpus):
+- N1 broadcasts ONLY the query side (queries are small by construction);
+  the corpus is scanned once, map-side, no shuffle before the final
+  per-query top-k (which AQE handles as a tiny aggregate).
+- N2's bucket join shuffles (band_id, band_digest) keys, never raw vectors
+  beyond the candidate set; plane projections are narrow per-row folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from profet_spark.functions import hashing as H
+
+ANN_PLANES = 16  # hyperplane count (signature bits)
+ANN_BANDS = 4    # 4 bands x 4 bits
+ANN_BAND_BITS = 4
+
+
+def _plane_coef(p: int, d: int) -> float:
+    """Deterministic pseudo-random coefficient in [-1, 1): derived from the
+    portable h32 hash of "plane:p:dim:d" — reproducible on any engine or
+    restart without shipping RNG state."""
+    import hashlib
+    h = int(hashlib.md5(f"plane:{p}:dim:{d}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
+
+
+def _signature_bits(vec_col: F.Column, dim: int) -> F.Column:
+    """ANN_PLANES sign bits packed into a bigint: bit p = 1 iff
+    dot(plane_p, v) > 0. Each plane is ONE flat literal array folded with
+    zip_with+aggregate — keeps the expression tree (and generated code)
+    small; an n-term arithmetic chain here would blow codegen/driver heap
+    when many queries share one JVM."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(ANN_PLANES):
+        plane = F.array(*[F.lit(_plane_coef(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def _band_cols(sig: F.Column) -> F.Column:
+    mask = (1 << ANN_BAND_BITS) - 1
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(sig, b * ANN_BAND_BITS).bitwiseAND(F.lit(mask)).alias("digest"),
+        )
+        for b in range(ANN_BANDS)
+    ])
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        H.quantize_vec(vec_col).alias("q"),
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q")))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """N1: exact top-k neighbors per query row by cosine similarity.
+
+    Returns (query_id, neighbor_id, cosine, rank). Deterministic total
+    order: (cosine desc, neighbor_id asc) — ties cannot reorder across
+    engines because cosines are bitwise-reproducible."""
+    c = _quantized(corpus, id_col, vec_col).alias("c")
+    qr = _quantized(queries, id_col, vec_col).alias("qr")
+    dot = H.int_dot(F.col("qr.q"), F.col("c.q"))
+    cos = H.cosine_from_quantized(dot, F.col("qr.nrm"), F.col("c.nrm"))
+    pairs = (
+        c.join(F.broadcast(qr), F.col("qr.id") != F.col("c.id"))
+        .select(F.col("qr.id").alias("query_id"), F.col("c.id").alias("neighbor_id"),
+                cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            dim: int = 64) -> DataFrame:
+    """N2: LSH-bucketed approximate top-k (the 100 TB path).
+
+    Candidates: corpus rows sharing >=1 of the 4 signature bands with the
+    query; exact cosine + top-k among candidates. Returns the same schema
+    as :func:`cosine_topk` (rank may hold fewer than k rows per query when
+    buckets are sparse)."""
+    def with_bands(df: DataFrame) -> DataFrame:
+        qd = _quantized(df, id_col, vec_col)
+        sig = _signature_bits(F.col("v"), dim)
+        return qd.select(
+            "id", "q", "nrm", F.explode(_band_cols(sig)).alias("bd")
+        ).select("id", "q", "nrm", F.col("bd.band").alias("band"),
+                 F.col("bd.digest").alias("digest"))
+
+    c = with_bands(corpus).alias("c")
+    qr = with_bands(queries).alias("qr")
+    dot = H.int_dot(F.col("qr.q"), F.col("c.q"))
+    cos = H.cosine_from_quantized(dot, F.col("qr.nrm"), F.col("c.nrm"))
+    cand = (
+        c.join(qr, (F.col("qr.band") == F.col("c.band"))
+               & (F.col("qr.digest") == F.col("c.digest"))
+               & (F.col("qr.id") != F.col("c.id")))
+        .select(F.col("qr.id").alias("query_id"), F.col("c.id").alias("neighbor_id"),
+                cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

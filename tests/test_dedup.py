@@ -1,0 +1,119 @@
+"""Dedup operator family (D1-D5) against planted duplicates and a numpy
+brute-force oracle. SURVEY.md §2 'NEW' training-data ops."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from profet_spark.operators import dedup
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm stove in the kitchen every single day")
+NEAR = BASE.replace("warm stove", "cold stove")  # 1-word edit => high jaccard
+FAR = "completely different text about spark shuffles and parquet readers here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE), (1, BASE.upper()),        # exact dup after normalization
+        (2, "  " + BASE + "  "),             # whitespace-only variant
+        (3, NEAR),                            # near duplicate
+        (4, FAR), (5, "tiny"),               # unrelated / sub-shingle-length
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = dedup.exact_dedup(docs).select("doc_id").toPandas()
+    # 0,1,2 normalize identically -> keeper 0; others unique
+    assert sorted(kept.doc_id) == [0, 3, 4, 5]
+
+
+def _jaccard(a: str, b: str, k: int = 3) -> float:
+    sh = lambda s: {" ".join(s.lower().split()[i:i + k])
+                    for i in range(len(s.split()) - k + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_exact_values(docs):
+    got = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    got = got.set_index(["id_a", "id_b"]).jaccard.to_dict()
+    # normalized-identical docs: jaccard 1.0 on all three pairs
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0 and got[(1, 2)] == 1.0
+    expected = _jaccard(BASE, NEAR)
+    assert expected >= 0.5
+    for a in (0, 1, 2):
+        assert np.isclose(got[(a, 3)], expected)
+    assert len(got) == 6  # no pair involving FAR or 'tiny'
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values))
+    # identical docs always share every band; the 0.9-jaccard near-dup
+    # collides with prob 1-(1-j^2)^8 ~= 1 - 5e-8 under random permutations
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    assert any(b == 3 for _, b in pairs)
+    # verification step guarantees zero false positives
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    assert pairs <= set(map(tuple, exact[["id_a", "id_b"]].values))
+
+
+def test_simhash_identical_and_near(docs):
+    t = dedup.simhash_table(docs).toPandas().set_index("id").simhash.to_dict()
+    assert t[0] == t[1] == t[2]
+    ham = bin(int(t[0]) ^ int(t[3])).count("1")
+    assert ham <= 6  # near-dup stays close in simhash space
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    for _, r in pairs.iterrows():
+        assert bin(int(t[r.id_a]) ^ int(t[r.id_b])).count("1") == r.hamming <= 3
+
+
+def test_simhash_pairs_equal_bruteforce(spark):
+    """Pigeonhole block join must find EXACTLY the hamming<=3 pairs."""
+    rng = np.random.default_rng(7)
+    texts = [" ".join(rng.choice(list("abcdefgh"), size=12)) for _ in range(60)]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    t = dedup.simhash_table(df).toPandas().set_index("id").simhash.to_dict()
+    brute = {(a, b) for a in t for b in t if a < b
+             and bin(int(t[a]) ^ int(t[b])).count("1") <= 3}
+    got = dedup.simhash_pairs(df, max_hamming=3).toPandas()
+    assert set(map(tuple, got[["id_a", "id_b"]].values)) == brute
+
+
+def test_embedding_dup_pairs_vs_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=16).astype(np.float32)  # planted
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    got = dedup.embedding_dup_pairs(df, threshold=0.9).toPandas()
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5)
+    n = (q * q).sum(axis=1)
+    cos = (q @ q.T) / np.sqrt(np.outer(n, n))
+    brute = {(a, b) for a in range(40) for b in range(a + 1, 40) if cos[a, b] >= 0.9}
+    assert set(map(tuple, got[["id_a", "id_b"]].values)) == brute == {(3, 7)}
+    np.testing.assert_allclose(
+        got.cosine.to_numpy(), [cos[3, 7]], rtol=1e-12)
+
+
+def test_dedup_plans_prune_text(docs):
+    """Scale invariant: the pair-join exchanges must not carry raw text."""
+    plan = dedup.minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    from profet_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.agg(
+        F.countDistinct("doc_id").alias("exact"),
+        F.approx_count_distinct("doc_id", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.1 * row.exact

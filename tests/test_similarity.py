@@ -1,0 +1,68 @@
+"""Similarity search: exact brute-force top-k vs numpy; LSH-ANN recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from profet_spark.operators import similarity
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    # clustered corpus so ANN buckets are meaningful
+    centers = rng.normal(size=(6, DIM))
+    vecs = (centers[rng.integers(0, 6, N)] + rng.normal(scale=0.3, size=(N, DIM)))
+    vecs = vecs.astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(N), "embedding": list(map(list, vecs))})
+    return spark.createDataFrame(pdf), vecs
+
+
+def _numpy_topk(vecs, qids, k):
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5)
+    n = (q * q).sum(axis=1)
+    cos = (q @ q.T) / np.sqrt(np.outer(n, n))
+    out = {}
+    for qi in qids:
+        order = sorted((-cos[qi, j], j) for j in range(len(vecs)) if j != qi)
+        out[qi] = [j for _, j in order[:k]]
+    return out, cos
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    qids = list(range(10))
+    got = similarity.cosine_topk(df, df.where(df.vec_id < 10), k=5).toPandas()
+    want, cos = _numpy_topk(vecs, qids, 5)
+    for qi in qids:
+        g = got[got.query_id == qi].sort_values("rank")
+        assert g.neighbor_id.tolist() == want[qi]
+        np.testing.assert_allclose(
+            g.cosine.to_numpy(), [cos[qi, j] for j in want[qi]], rtol=1e-12)
+
+
+def test_lsh_ann_recall(emb):
+    """Bucketed ANN must recover most true neighbors on clustered data —
+    the scale-path contract (recall, not exactness)."""
+    df, vecs = emb
+    qids = list(range(20))
+    ann = similarity.lsh_ann(df, df.where(df.vec_id < 20), k=5, dim=DIM).toPandas()
+    want, _ = _numpy_topk(vecs, qids, 5)
+    hits = total = 0
+    for qi in qids:
+        got = set(ann[ann.query_id == qi].neighbor_id)
+        hits += len(got & set(want[qi]))
+        total += 5
+    assert hits / total >= 0.6, f"ANN recall {hits/total:.2f} too low"
+
+
+def test_lsh_ann_subset_of_exact_ordering(emb):
+    """Within returned candidates the ranking must agree with exact cosine."""
+    df, vecs = emb
+    ann = similarity.lsh_ann(df, df.where(df.vec_id < 5), k=5, dim=DIM).toPandas()
+    for qi, grp in ann.groupby("query_id"):
+        ranked = grp.sort_values("rank").cosine.to_numpy()
+        assert (np.diff(ranked) <= 1e-15).all()

@@ -1,0 +1,61 @@
+"""Text-analysis functions: hand-computed expectations on tiny rows."""
+
+import numpy as np
+import pytest
+
+from profet_spark.functions import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the key table row a the"),          # en-heavy
+        (1, "agg hash sort merge agg hash"),     # de-lexicon heavy
+        (2, "Hello, World! 42 times."),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_language_id(docs):
+    got = ts.add_language_id(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "pred_lang"] == "en"
+    assert got.loc[0, "pred_score"] == 6 / 6
+    assert got.loc[1, "pred_lang"] == "de"
+    assert got.loc[1, "pred_score"] == 1.0
+    # no lexicon hits -> all scores 0 -> tie broken to smallest lang code
+    assert got.loc[2, "pred_lang"] == "de" and got.loc[2, "pred_score"] == 0.0
+    assert got.loc[3, "pred_score"] == 0.0
+
+
+def test_quality_features(docs):
+    got = ts.add_quality_features(docs).toPandas().set_index("doc_id")
+    r = got.loc[2]  # "Hello, World! 42 times." -> 4 ws tokens
+    assert r.n_tokens == 4
+    alpha = len("helloworldtimes")
+    assert r.alpha_ratio == alpha / len("Hello, World! 42 times.")
+    assert r.mean_tok_len == alpha / 4
+    assert r.stopword_ratio == 0.0
+    expected = 0.4 * r.alpha_ratio + 0.3 * min(4 / 32.0, 1.0) + 0.3 * 0.0
+    assert np.isclose(r.quality_score, expected)
+    assert got.loc[3].quality_score == 0.0
+
+
+def test_token_counts(docs):
+    got = ts.add_token_counts(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "ws_tokens"] == 6
+    # "hello, world! 42 times." -> hello , world ! 42 times . => 7
+    assert got.loc[2, "bpe_tokens"] == 7
+    assert got.loc[3, "ws_tokens"] == 0 and got.loc[3, "bpe_tokens"] == 0
+
+
+def test_fingerprint_invariance(spark):
+    """Identical normalized content -> identical fingerprint; different
+    content -> (w.h.p.) different; short docs get the -1 sentinel."""
+    rows = [(0, "a b c d e f"), (1, "A  B C D E F"), (2, "x y z q w e"), (3, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = ts.add_fingerprint(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "fp_minhash"] == got.loc[1, "fp_minhash"]
+    assert got.loc[0, "fp_windows"] == 3
+    assert got.loc[0, "fp_minhash"] != got.loc[2, "fp_minhash"]
+    assert got.loc[3, "fp_minhash"] == -1 and got.loc[3, "fp_windows"] == 0
