@@ -294,6 +294,42 @@ def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "edge_density", "rowprof_mean", "phash", "phash_hamming_prev")
 
 
+def _q_bigram_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 k-mer (k=2) composition over the hydrophobicity-reduced alphabet,
+    SQL-expressible long form (wide struct form is golden-tested in
+    profet_caption_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.upper("text"), "[^A-Z]", "")
+    t = F.translate(norm, _HYD_SRC, _HYD_DST)
+    d = docs.select("doc_id", t.alias("t")).where(F.length("t") > 1)
+    return (
+        d.select(
+            "doc_id", (F.length("t") - 1).alias("nk"),
+            F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+            F.col("t"),
+        )
+        .select("doc_id", "nk", F.substring(F.col("t"), F.col("i").cast("int"), 2).alias("kmer"))
+        .groupBy("doc_id", "kmer")
+        .agg(F.count("*").alias("cnt"), (F.count("*") / F.first("nk")).alias("freq"))
+    )
+
+
+def _q_terminal_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 terminal-segment projection: char composition of the first 60
+    normalized chars (N-terminal analog) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.upper("text"), "[^A-Z]", "")
+    seg = F.substring(norm, 1, 60)
+    return (
+        docs.select("doc_id", seg.alias("s"))
+        .where(F.length("s") > 0)
+        .select("doc_id", F.length("s").alias("slen"),
+                F.explode(F.split("s", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"), (F.count("*") / F.first("slen")).alias("freq"))
+    )
+
+
 # ------------------------------------------- training-data pipeline ops
 # (dedup / similarity / text analysis — task mandate beyond ProFET's set)
 
@@ -443,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_broadcast_join": _q_bcast_join,
         "j5_anti_join": _q_anti_join,
         "a1_char_composition": _q_char_comp,
+        "a2_bigram_composition": _q_bigram_comp,
+        "f5_terminal_composition": _q_terminal_comp,
         "a7_entropy": _q_entropy,
         "a4_ctd_composition": _q_ctd_comp,
         "a5_ctd_transition": _q_ctd_trans,
@@ -699,6 +737,26 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "a2_bigram_composition": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     translate({_NORM.format(c='text')}, '{_HYD_SRC}', '{_HYD_DST}') AS t
+              FROM documents),
+            e AS (SELECT doc_id, length(t) - 1 AS nk,
+                         substr(t, i, 2) AS kmer
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+                        FROM d WHERE length(t) > 1))
+            SELECT doc_id, kmer, count(*) AS cnt, count(*) / any_value(nk) AS freq
+            FROM e GROUP BY doc_id, kmer
+        """,
+        "f5_terminal_composition": f"""
+            WITH d AS (SELECT doc_id, substr({_NORM.format(c='text')}, 1, 60) AS s
+                       FROM documents),
+            e AS (SELECT doc_id, length(s) AS slen, unnest(string_split(s, '')) AS ch
+                  FROM d WHERE length(s) > 0)
+            SELECT doc_id, ch, count(*) AS cnt, count(*) / any_value(slen) AS freq
+            FROM e GROUP BY doc_id, ch
         """,
         "t1_language_id": _duck_lid_sql(),
         "t2_quality_score": f"""

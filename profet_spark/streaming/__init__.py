@@ -1,0 +1,13 @@
+"""Structured Streaming analogs of the batch temporal operators (SURVEY.md
+§2.9). Batch is the correctness contract; these prove every temporal op has
+a streaming twin with matching semantics (verified in tests/test_streaming.py
+by running both on the same rows)."""
+
+from profet_spark.streaming.temporal_stream import (  # noqa: F401
+    dedup_within_watermark,
+    read_parquet_stream,
+    run_available_now,
+    session_agg,
+    sliding_counts,
+    tumbling_counts,
+)

@@ -1,0 +1,90 @@
+"""Streaming twins of the batch temporal algebra (SURVEY.md §2.9).
+
+ProFET has no streaming surface at all (single-process batch scripts —
+[R] ProFET/feat_extract/pipeline.py); the engine's batch point-in-time
+semantics are the contract, and each batch operator below has a Structured
+Streaming analog with the SAME grouping semantics:
+
+  batch temporal.tumbling_window     <-> tumbling_counts  (F.window)
+  batch temporal.sliding_time_window <-> sliding_counts   (F.window w/ slide)
+  batch temporal.sessionize+groupBy  <-> session_agg      (F.session_window)
+  batch dropDuplicates               <-> dedup_within_watermark
+
+Late data: every stream is watermarked; rows older than the watermark are
+dropped by Spark's state eviction — the streaming stand-in for the batch
+zero-leakage rule (state never reaches back past the watermark horizon).
+
+At scale these run with the same partitioning story as batch (state-store
+shuffle on the grouping keys); `availableNow` triggers give exactly-once
+batch-equivalent replays for the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet_stream(spark: SparkSession, path: str, schema: StructType,
+                        ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """File-source stream over a parquet directory with an event-time
+    watermark (the production shape would be Kafka/Iceberg incremental;
+    the source swap changes one line)."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    # testdata timestamps are TIMESTAMP_NTZ; event-time/watermark require
+    # TIMESTAMP (LTZ). Session TZ is pinned UTC so the cast is the identity.
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark)
+
+
+def tumbling_counts(stream: DataFrame, width: str, entity: str = "user_id",
+                    ts: str = "ts", value: str = "value") -> DataFrame:
+    """W7 streaming twin: per-entity tumbling-window count + exact sum."""
+    return (
+        stream.groupBy(F.window(ts, width).alias("win"), entity)
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col(value).cast("decimal(18,2)")).alias("sv"))
+        .select(entity, F.col("win.start").cast("timestamp_ntz").alias("win_start"), "n", "sv")
+    )
+
+
+def sliding_counts(stream: DataFrame, width: str, slide: str,
+                   entity: str = "user_id", ts: str = "ts") -> DataFrame:
+    """W7 sliding variant (overlapping windows)."""
+    return (
+        stream.groupBy(F.window(ts, width, slide).alias("win"), entity)
+        .agg(F.count("*").alias("n"))
+        .select(entity, F.col("win.start").cast("timestamp_ntz").alias("win_start"), "n")
+    )
+
+
+def session_agg(stream: DataFrame, gap_seconds: int, entity: str = "user_id",
+                ts: str = "ts") -> DataFrame:
+    """W5 streaming twin: gap-based session windows. Session start/end and
+    row counts match batch temporal.sessionize + groupBy(session_id)."""
+    gap = f"{gap_seconds} seconds"
+    return (
+        stream.groupBy(F.session_window(ts, gap).alias("win"), entity)
+        .agg(F.count("*").alias("n"))
+        .select(entity, F.col("win.start").cast("timestamp_ntz").alias("session_start"), "n")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """F3 streaming twin: stateful dedup bounded by the watermark (state
+    for a key is dropped once the watermark passes it — bounded memory at
+    unbounded input)."""
+    return stream.dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain everything currently available into an in-memory table
+    ``name`` and stop — the batch-equivalent replay used by the tests."""
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

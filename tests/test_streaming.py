@@ -1,0 +1,73 @@
+"""Streaming/batch parity (SURVEY.md §2.9): each streaming twin must produce
+exactly the batch operator's result when replayed over the same rows."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from profet_spark import streaming as st
+from profet_spark.operators import temporal
+from profet_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def ev_dir(spark, sf_dir, tmp_path_factory):
+    """events sf0.001 re-written to a local dir as the stream source."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ev_schema(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").schema
+
+
+def _pdf(df):
+    return df.toPandas().sort_values(df.columns).reset_index(drop=True)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, ev_dir, ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    st.run_available_now(st.tumbling_counts(stream, "1 hour"), "t_tumbling")
+    got = spark.table("t_tumbling")
+    ev = load_table(spark, sf_dir, "events")
+    want = temporal.tumbling_window(
+        ev, "1 hour",
+        [F.count("*").alias("n"),
+         F.sum(F.col("value").cast("decimal(18,2)")).alias("sv")],
+        entity="user_id", ts="ts",
+    ).select("user_id", "win_start", "n", "sv")
+    assert _pdf(got).equals(_pdf(want.select(*got.columns)))
+
+
+def test_stream_session_equals_batch(spark, sf_dir, ev_dir, ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    st.run_available_now(st.session_agg(stream, 3600), "t_sessions")
+    got = spark.table("t_sessions")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = temporal.sessionize(ev, gap_seconds=3600, entity="user_id", ts="ts",
+                               tiebreak=["event_id"])
+    want = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n")
+    ).select("user_id", "session_start", "n")
+    assert _pdf(got).equals(_pdf(want.select(*got.columns)))
+
+
+def test_stream_dedup_within_watermark(spark, ev_dir, ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    deduped = st.dedup_within_watermark(stream.select("event_id", "ts"), ["event_id"])
+    st.run_available_now(deduped, "t_dedup", output_mode="append")
+    n_distinct = spark.read.parquet(ev_dir).select("event_id").distinct().count()
+    assert spark.table("t_dedup").count() == n_distinct
+
+
+def test_stream_sliding_counts(spark, sf_dir, ev_dir, ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    st.run_available_now(st.sliding_counts(stream, "2 hours", "1 hour"), "t_sliding")
+    got = spark.table("t_sliding")
+    # every event lands in exactly 2 overlapping windows
+    total_events = spark.read.parquet(ev_dir).count()
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * total_events
