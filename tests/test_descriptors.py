@@ -69,3 +69,36 @@ def test_udf_on_documents(spark, sf_dir):
     assert len(pdf) == docs.count()
     assert (pdf["length"] >= 0).all()
     assert pdf["entropy"].between(0, np.log2(26)).all()
+
+
+def test_packed_path_equals_struct_path(spark):
+    """add_caption_features_packed (mapInArrow, one array<double>) must be
+    bitwise identical to the struct pandas_udf path, including edge cases
+    (nulls, empties, non-A-Z, unicode)."""
+    rows = [(f"i{k}", c) for k, c in enumerate(CASES)]
+    pdf = pd.DataFrame({"image_id": [r[0] for r in rows],
+                        "caption": [r[1] or "" for r in rows]})
+    df = spark.createDataFrame(pdf)
+    a = td.add_caption_features(df, flatten=True).orderBy("image_id").toPandas()
+    b = td.add_caption_features_packed(df).orderBy("image_id").toPandas()
+    mat_a = a[td.FEATURE_NAMES].to_numpy()
+    mat_b = np.vstack(b["features"].to_numpy())
+    assert np.array_equal(mat_a, mat_b)
+    assert "caption" not in b.columns  # drop_caption default
+
+
+def test_packed_unicode_batch(spark):
+    """Non-ASCII captions route through the fallback normalizer with the
+    same [^A-Z]-removal semantics."""
+    pdf = pd.DataFrame({"image_id": ["u1", "u2"],
+                        "caption": ["héllo wörld ABC", "straße groß XYZ"]})
+    df = spark.createDataFrame(pdf)
+    a = td.add_caption_features(df, flatten=True).orderBy("image_id").toPandas()
+    b = td.add_caption_features_packed(df).orderBy("image_id").toPandas()
+    assert np.array_equal(a[td.FEATURE_NAMES].to_numpy(),
+                          np.vstack(b["features"].to_numpy()))
+    from profet_spark import oracle_numpy as oracle
+    want = oracle.all_features("héllo wörld ABC")  # ß row checks upper()-expansion parity via path equality above
+    got = dict(zip(td.FEATURE_NAMES, np.vstack(b["features"].to_numpy())[0]))
+    for name, wv in want.items():
+        assert np.isclose(got[name], wv, rtol=1e-9, atol=1e-12), name
