@@ -103,7 +103,8 @@ def main():
     def curation_ops(spark, sf_dir):
         """Dedup + quality + fingerprint sweep over documents (task-mandate
         training-data ops at the benchmark scale)."""
-        docs = load_table(spark, sf_dir, "documents")
+        # testdata parquet is single-split; spread the map side
+        docs = load_table(spark, sf_dir, "documents").repartition(n_parts)
         pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
         quality = textstats.add_fingerprint(
             textstats.add_quality_features(docs)).drop("text")

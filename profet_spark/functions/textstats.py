@@ -95,13 +95,22 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def add_fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+def add_fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
+                    id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: min over the rolling word-k-gram windows of the
     portable 32-bit shingle hash (a 1-permutation MinHash / winnowing-style
     selector), plus the distinct-window count. Identical content -> identical
-    fingerprint regardless of row order or partitioning."""
-    hashes = H.shingle_hashes(text_col, k)
+    fingerprint regardless of row order or partitioning.
+
+    Physical shape: codegen explode + hash aggregate + join-back on the key
+    (interpreted HOF array folds measured ~40x slower — see
+    operators/dedup.exploded_shingle_hashes)."""
+    from profet_spark.operators.dedup import exploded_shingle_hashes
+
+    agg = exploded_shingle_hashes(df, id_col, text_col, k).groupBy("id").agg(
+        F.min("h").alias("fp_minhash"), F.count("*").alias("fp_windows"))
+    out = df.join(agg.withColumnRenamed("id", id_col), id_col, "left")
     return (
-        df.withColumn("fp_minhash", F.coalesce(F.array_min(hashes), F.lit(-1)))
-        .withColumn("fp_windows", F.size(hashes))
+        out.withColumn("fp_minhash", F.coalesce("fp_minhash", F.lit(-1).cast("bigint")))
+        .withColumn("fp_windows", F.coalesce("fp_windows", F.lit(0).cast("bigint")))
     )

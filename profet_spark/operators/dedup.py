@@ -70,6 +70,26 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     ).withColumn("n", F.size("shingles")).where(F.col("n") > 0)
 
 
+def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                            k: int) -> DataFrame:
+    """(id, h): DISTINCT word-k-gram h32 hashes, one row per shingle.
+
+    Codegen explode form: Spark interprets higher-order-function lambdas
+    per element, so building the shingle array with ``transform`` costs
+    ~40x more CPU than this explode + whole-stage-codegen projection.
+    The transient duplication of the words array per exploded row is
+    projected away before any exchange."""
+    w = H.words(text_col)
+    d = (
+        df.select(F.col(id_col).alias("id"), w.alias("w"))
+        .where(F.size("w") >= k)
+        .select("id", "w",
+                F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("i"))
+    )
+    sh = F.concat_ws(" ", *[F.element_at("w", F.col("i") + j) for j in range(k)])
+    return d.select("id", H.h32(sh).alias("h")).dropDuplicates(["id", "h"])
+
+
 def _verify_jaccard(cand: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard on candidate pairs carrying both shingle arrays.
 
@@ -93,8 +113,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     intersection count -> jaccard from set sizes. The join key is an int64
     hash; ``max_bucket`` drops stop-shingles (appearing in more docs than
     the cap) exactly like production near-dup pipelines do."""
-    s = _shingle_sets(df, id_col, text_col, k)
-    ex = s.select("id", "n", F.explode("shingles").alias("h"))
+    ex = exploded_shingle_hashes(df, id_col, text_col, k)
+    cnt = ex.groupBy("id").agg(F.count("*").alias("n"))
     if max_bucket is not None:
         wcnt = Window.partitionBy("h")
         ex = ex.withColumn("_bn", F.count("*").over(wcnt)).where(
@@ -104,9 +124,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     pairs = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"),
-             F.first(F.col("a.n")).alias("na"),
-             F.first(F.col("b.n")).alias("nb"))
+        .agg(F.count("*").alias("inter"))
+        .join(cnt.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(cnt.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
     )
@@ -125,10 +145,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     than this whole-stage-codegen aggregate; the shuffle moves only
     (id, h) int pairs, so the agg form wins at every scale."""
     p = H.MINHASH_P
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(H.shingle_hashes(text_col, k)).alias("h"),
-    )
+    ex = exploded_shingle_hashes(df, id_col, text_col, k)
     aggs = [
         F.min((F.lit(a) * (F.col("h") % p) + F.lit(b)) % p).alias(f"m{i}")
         for i, (a, b) in enumerate(H.MINHASH_PERMS)
@@ -180,10 +197,7 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Same physical choice as minhash_signatures: explode + one codegen'd
     aggregate (32 conditional-sum bit votes) instead of interpreted
     per-row HOF folds (hashing.simhash32 is the per-row reference form)."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(H.shingle_hashes(text_col, k)).alias("h"),
-    )
+    ex = exploded_shingle_hashes(df, id_col, text_col, k)
     votes = [
         F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
