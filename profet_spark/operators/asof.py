@@ -36,6 +36,15 @@ implemented at the DataFrame level (no custom Catalyst rule — SURVEY.md
     ``mapInPandas``, so the salting is explicit (SURVEY.md §4.2).
     Results are bit-identical to the unsalted path (tests/test_asof.py).
 
+``window``
+    Pure JVM: union the tagged sides, then ONE partitioned window
+    ``last(payload struct, ignorenulls=True)`` carries the latest right
+    payload onto every left row (right rows order before left at equal ts
+    for ``<=``, after for strict ``<``; tolerance post-filters on the
+    carried right-ts). Exchange + Sort + WindowExec, no Python boundary —
+    fastest path when the payload fits a struct; bit-identical to
+    sort_merge (tests/test_asof.py matrix).
+
 ``auto`` picks broadcast when the build side is provably small, else
 sort-merge, upgrading to salted when a hot-key scan finds entities above
 the skew threshold.
@@ -177,6 +186,8 @@ def asof_join(
         return _asof_sort_merge(
             left, right, entity, ts, pairs, schema, tolerance_s, allow_exact_matches, num_partitions
         )
+    if strategy == "window":
+        return _asof_window(left, right, entity, ts, pairs, tolerance_s, allow_exact_matches)
     raise ValueError(f"unknown asof strategy: {strategy}")
 
 
@@ -214,6 +225,59 @@ def _asof_sort_merge(left, right, entity, ts, pairs, schema, tolerance_s, allow_
     u = u.repartition(n, entity).sortWithinPartitions(ts, _SIDE)
     kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, [entity])
     return u.mapInPandas(kernel, schema=schema)
+
+
+def _asof_window(left, right, entity, ts, pairs, tolerance_s, allow_exact):
+    """Pure-JVM strategy: union the tagged sides, then one partitioned
+    window ``last(payload, ignorenulls=True)`` carries the most recent
+    right payload forward onto every left row. Whole plan is Exchange +
+    Sort + WindowExec — no Python boundary at all, so it wins whenever the
+    payload fits a struct column and the entity isn't pathologically hot
+    (window partitions, like mapInPandas groups, are invisible to AQE skew
+    splitting — use 'salted' for hot keys).
+
+    Ordering rule: right rows sort BEFORE left rows at equal ts when
+    allow_exact (so the <=-bound sees them), AFTER when strict. If right
+    has several rows at one (entity, ts), pre-aggregate it — same
+    requirement pd.merge_asof imposes on the other strategies."""
+    from pyspark.sql.window import Window
+
+    pay_t = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(src).alias(dst) for src, dst in pairs]
+    )
+    r = right.select(
+        F.col(entity), F.col(ts), pay_t.alias("__pay"),
+        F.lit(0 if allow_exact else 1).alias(_SIDE),
+    )
+    lkeep = [c for c in left.columns if c not in (entity, ts)]
+    l = left.select(
+        F.col(entity), F.col(ts),
+        F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
+        F.lit(1 if allow_exact else 0).alias(_SIDE),
+        *[F.col(c) for c in lkeep],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(entity).orderBy(ts, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("__pay", ignorenulls=True).over(w)
+    if tolerance_s is not None:
+        # NTZ timestamps can't cast straight to numeric in Spark 4 — hop
+        # through TIMESTAMP (session TZ is pinned UTC, so it's the identity)
+        sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+        in_tol = (sec(F.col(ts)) - sec(matched["__rts"])) <= tolerance_s
+        matched = F.when(in_tol, matched)
+    left_side = 1 if allow_exact else 0
+    out = (
+        u.withColumn("__m", matched)
+        .where(F.col(_SIDE) == left_side)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("__m")[dst].alias(dst) for _, dst in pairs],
+        )
+    )
+    return out
 
 
 def _asof_broadcast(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact):

@@ -55,7 +55,7 @@ def fixture_dfs(spark):
     return spark.createDataFrame(lp), spark.createDataFrame(rp), lp, rp
 
 
-@pytest.mark.parametrize("strategy", ["sort_merge", "broadcast", "salted"])
+@pytest.mark.parametrize("strategy", ["sort_merge", "broadcast", "salted", "window"])
 def test_asof_matches_oracle(spark, fixture_dfs, strategy):
     ldf, rdf, lp, rp = fixture_dfs
     kw = {}
@@ -102,3 +102,16 @@ def test_asof_salted_equals_unsalted(spark, fixture_dfs):
     a = _norm(asof_join(ldf, rdf, strategy="sort_merge").toPandas())
     b = _norm(asof_join(ldf, rdf, strategy="salted", hot_keys=["e0000"], salt=4).toPandas())
     pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+@pytest.mark.parametrize("tol", [None, 3600.0])
+def test_window_strategy_equals_sort_merge(spark, fixture_dfs, allow_exact, tol):
+    """The pure-JVM window strategy must reproduce the pandas merge kernel
+    exactly across the exact/strict x tolerance matrix."""
+    ldf, rdf = fixture_dfs[0], fixture_dfs[1]
+    a = _norm(asof_join(ldf, rdf, strategy="sort_merge",
+                        tolerance_s=tol, allow_exact_matches=allow_exact).toPandas())
+    b = _norm(asof_join(ldf, rdf, strategy="window",
+                        tolerance_s=tol, allow_exact_matches=allow_exact).toPandas())
+    pd.testing.assert_frame_equal(a, b)
