@@ -139,6 +139,19 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "event_id", "value", "purch_val")
 
 
+def _q_asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 via the pure-JVM window strategy — same oracle as j3_asof_join
+    (strategies are bit-identical by contract)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purch_val"))
+    )
+    out = asof.asof_join(ev, purchases, entity="user_id", ts="ts", strategy="window")
+    return out.select("user_id", "ts", "event_id", "value", "purch_val")
+
+
 def _q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -475,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_tumbling": _q_tumbling,
         "w6_topk_latest": _q_topk,
         "j3_asof_join": _q_asof,
+        "j3_asof_window": _q_asof_window,
         "a9_pricing_summary": _q_pricing,
         "j2_broadcast_join": _q_bcast_join,
         "j5_anti_join": _q_anti_join,
@@ -589,6 +603,18 @@ def _duck_lid_sql() -> str:
         FROM s"""
 
 
+_ASOF_ORACLE = """
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS purch_val
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.value, p.purch_val
+    FROM events e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "w3_lag_lead": """
@@ -640,16 +666,8 @@ def oracle_sql() -> dict[str, str]:
                        AS snapshot_rank
               FROM events) t WHERE snapshot_rank <= 3
         """,
-        "j3_asof_join": """
-            WITH purchases AS (
-              SELECT user_id, ts, max(value) AS purch_val
-              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-            )
-            SELECT e.user_id, e.ts, e.event_id, e.value, p.purch_val
-            FROM events e
-            ASOF LEFT JOIN purchases p
-              ON e.user_id = p.user_id AND e.ts >= p.ts
-        """,
+        "j3_asof_join": _ASOF_ORACLE,
+        "j3_asof_window": _ASOF_ORACLE,
         "a9_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS count_order,
