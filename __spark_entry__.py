@@ -24,7 +24,12 @@ from profet_spark.functions import hashing as H
 from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
 from profet_spark.functions import textstats as ts
-from profet_spark.functions.alphabets import CTD_CLASS_MAPS, translate_pair
+from profet_spark.functions.alphabets import (
+    ALPHABET,
+    CTD_CLASS_MAPS,
+    HYDRO_SCALE,
+    translate_pair,
+)
 from profet_spark.operators import asof, dedup, similarity, temporal
 from profet_spark.sources import load_table
 
@@ -479,6 +484,251 @@ def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("user_id", "n", corr.alias("autocorr_lag1"))
 
 
+# --------------------------------------- descriptor long-tail (SQL-oracle)
+# Exact-integer derivations throughout: every double in these outputs is a
+# single division/multiplication of exact integers, so Spark and DuckDB
+# produce bitwise-identical values (no float accumulation order games).
+
+# Kyte-Doolittle hydropathy x10 — exact int per letter, A..Z order.
+_KD10 = [int(round(HYDRO_SCALE[c] * 10)) for c in ALPHABET]
+_KD10_DUCK = "[" + ", ".join(str(x) for x in _KD10) + "]"
+
+
+def _kd10_arr() -> F.Column:
+    # built lazily — F.lit needs an active SparkContext
+    return F.array(*[F.lit(x) for x in _KD10])
+_AROMATIC, _POSITIVE, _NEGATIVE, _POLAR = "FWYH", "KRH", "DE", "RKEDQN"
+
+
+def _norm_col() -> F.Column:
+    return F.regexp_replace(F.upper("text"), "[^A-Z]", "")
+
+
+def _explode_positions(d: DataFrame, col: str = "s") -> DataFrame:
+    """(doc_id, n, i, v): per-position KD10 value of the normalized text —
+    the codegen explode form (HOF lambdas are interpreted per element)."""
+    e = d.select(
+        "doc_id", F.length(col).alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length(col))).alias("i"), F.col(col),
+    )
+    ch = F.substring(F.col(col), F.col("i").cast("int"), 1)
+    return e.select("doc_id", "n", "i",
+                    F.element_at(_kd10_arr(), F.ascii(ch) - 64).alias("v"))
+
+
+def _q_trigram_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 3-gram spectrum over the hydrophobicity-reduced alphabet
+    ([R] AAComposition.py ≈L140-200 GetSpectrumDict; SURVEY.md §2.4 A3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.translate(_norm_col(), _HYD_SRC, _HYD_DST)
+    d = docs.select("doc_id", t.alias("t")).where(F.length("t") > 2)
+    return (
+        d.select(
+            "doc_id", (F.length("t") - 2).alias("nk"),
+            F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
+            F.col("t"),
+        )
+        .select("doc_id", "nk", F.substring(F.col("t"), F.col("i").cast("int"), 3).alias("kmer"))
+        .groupBy("doc_id", "kmer")
+        .agg(F.count("*").alias("cnt"), (F.count("*") / F.first("nk")).alias("freq"))
+    )
+
+
+def _q_ctd_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 CTD-Distribution (hydrophobicity property), propy rank
+    convention ([R] CTD.py ≈L170-230): for each class, the position (as %
+    of length) of the 1st / floor(m*q)-th / last occurrence, rank clamped
+    to >= 1. Long form (doc_id, cls, d001..d100)."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.translate(_norm_col(), _HYD_SRC, _HYD_DST)
+    d = docs.select("doc_id", t.alias("t")).where(F.length("t") > 0)
+    e = d.select(
+        "doc_id", F.length("t").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"), F.col("t"),
+    ).select("doc_id", "n", "i",
+             F.substring(F.col("t"), F.col("i").cast("int"), 1).alias("cls"))
+    r = (
+        e.withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id", "cls").orderBy("i")))
+        .withColumn("m", F.count("*").over(Window.partitionBy("doc_id", "cls")))
+    )
+    ranks = {
+        "d001": F.lit(1),
+        "d025": F.greatest(F.lit(1), F.floor(F.col("m") * 1 / 4)),
+        "d050": F.greatest(F.lit(1), F.floor(F.col("m") * 2 / 4)),
+        "d075": F.greatest(F.lit(1), F.floor(F.col("m") * 3 / 4)),
+        "d100": F.col("m"),
+    }
+    g = r.groupBy("doc_id", "cls").agg(
+        F.first("n").alias("n"),
+        *[F.max(F.when(F.col("rn") == rk, F.col("i"))).alias(f"p_{tag}")
+          for tag, rk in ranks.items()],
+    )
+    pct = lambda tag: ((F.col(f"p_{tag}").cast("double") / F.col("n").cast("double"))
+                       * F.lit(100.0)).alias(tag)
+    return g.select("doc_id", "cls", *[pct(tag) for tag in ranks])
+
+
+def _q_scalar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 scalar aggregates (GRAVY / aromaticity / net charge / polar
+    fraction analogs, [R] FeatureGen.py ≈L100-320) as pure codegen
+    expressions: per-letter counts via length-minus-replace, weighted by
+    exact x10 integer scales — shuffle-free, scan-to-result."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _norm_col().alias("s")).where(F.length("s") > 0)
+    n = F.length("s")
+    cnt_l = lambda L: n - F.length(F.regexp_replace("s", L, ""))
+    cnt_set = lambda cs: n - F.length(F.translate("s", cs, ""))
+    s10 = None
+    for idx, L in enumerate(ALPHABET):
+        if _KD10[idx] == 0:
+            continue
+        term = cnt_l(L) * F.lit(_KD10[idx])
+        s10 = term if s10 is None else s10 + term
+    dbl = lambda c: c.cast("double")
+    return d.select(
+        "doc_id",
+        (dbl(s10) / (F.lit(10.0) * n)).alias("gravy"),
+        (dbl(cnt_set(_AROMATIC)) / dbl(n)).alias("aromaticity"),
+        (dbl(cnt_set(_POSITIVE) - cnt_set(_NEGATIVE)) / dbl(n)).alias("net_charge"),
+        (dbl(cnt_set(_POLAR)) / dbl(n)).alias("frac_polar"),
+    )
+
+
+def _q_pseaac_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 PseAAC-analog sequence-order correlation
+    ([R] PseudoAAC.py ≈L90-260): theta_d = mean((x[t]-x[t+d])^2) for
+    d=1..3 over the KD hydropathy stream — lead() windows, exact-int sums."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _norm_col().alias("s")).where(F.length("s") > 3)
+    e = _explode_positions(d)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    lags = [1, 2, 3]
+    ld = e.select("doc_id", "n", "v",
+                  *[F.lead("v", k).over(w).alias(f"v{k}") for k in lags])
+    g = ld.groupBy("doc_id").agg(
+        F.first("n").alias("n"),
+        *[F.sum((F.col("v") - F.col(f"v{k}")) * (F.col("v") - F.col(f"v{k}"))).alias(f"s{k}")
+          for k in lags],
+    )
+    return g.select(
+        "doc_id",
+        *[(F.col(f"s{k}").cast("double") / (F.lit(100.0) * (F.col("n") - k))).alias(f"pse_corr_{k}")
+          for k in lags],
+    )
+
+
+def _q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 sliding-window property profile summary ([R] FeatureGen.py
+    ≈L320-440 via ProtParam.protein_scale): window-5 moving mean of the KD
+    stream, then max/min/mean + first-argmax position — all from exact
+    integer window sums."""
+    from pyspark.sql.window import Window
+    W = 5
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _norm_col().alias("s")).where(F.length("s") >= W)
+    e = _explode_positions(d)
+    wwin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(W - 1), 0)
+    p = e.withColumn("ws", F.sum("v").over(wwin)).where(F.col("i") >= W)
+    g = p.groupBy("doc_id").agg(
+        F.max("ws").alias("mx"), F.min("ws").alias("mn"),
+        F.sum("ws").alias("sm"), F.count("*").alias("np"),
+    )
+    am = (
+        p.withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("ws"), F.asc("i"))))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("i").alias("am_i"))
+    )
+    den = F.lit(float(10 * W))
+    return g.join(am, "doc_id").select(
+        "doc_id",
+        (F.col("mx").cast("double") / den).alias("prof_max"),
+        (F.col("mn").cast("double") / den).alias("prof_min"),
+        (F.col("sm").cast("double") / (den * F.col("np"))).alias("prof_mean"),
+        ((F.col("am_i") - W).cast("double") / F.col("np")).alias("argmax_rel"),
+    )
+
+
+def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 bit operators on a 32-bit content hash (the phash-analog over
+    documents): nibble extraction, popcount, Hamming distance to the
+    previous row. The single global window is oracle-scale only — the
+    engine's scale form partitions by entity (imgd.phash_hamming_to_prev)."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", H.h32(dedup.normalized("text")).alias("h"))
+    w = Window.orderBy("doc_id")
+    return d.select(
+        "doc_id", "h",
+        F.shiftright("h", 28).bitwiseAND(F.lit(15)).cast("int").alias("nib_hi"),
+        F.col("h").bitwiseAND(F.lit(15)).cast("int").alias("nib_lo"),
+        F.bit_count("h").cast("int").alias("popcnt"),
+        F.bit_count(F.col("h").bitwiseXOR(F.lag("h").over(w))).cast("int").alias("hamming_prev"),
+    )
+
+
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 sliding variant: 1-hour windows every 15 minutes — each row lands
+    in 4 overlapping buckets."""
+    ev = _events(spark, sf_dir)
+    out = temporal.sliding_time_window(
+        ev, "1 hour", "15 minutes",
+        [F.count("*").alias("n"),
+         F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("sv")],
+        entity="user_id", ts="ts",
+    )
+    return out.select("user_id", "win_start", "n", "sv")
+
+
+def _q_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 backward-fill (train-only; reads the future by contract)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    return temporal.bfill(ev, ["pv"], entity="user_id", ts="ts", tiebreak=["event_id"]).select(
+        "user_id", "ts", "event_id", "pv", "pv_bfill"
+    )
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purch_val"))
+    )
+    return ev, purchases
+
+
+def _q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3a broadcast-asof strategy — same oracle as j3_asof_join."""
+    ev, purchases = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join(ev, purchases, entity="user_id", ts="ts", strategy="broadcast")
+    return out.select("user_id", "ts", "event_id", "value", "purch_val")
+
+
+def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3c salted-asof skew strategy (hot keys split across salt buckets,
+    build side replicated) — same oracle as j3_asof_join."""
+    ev, purchases = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join(ev, purchases, entity="user_id", ts="ts",
+                         strategy="salted", skew_frac=0.01)
+    return out.select("user_id", "ts", "event_id", "value", "purch_val")
+
+
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with a 2-hour tolerance: matches older than the bound are nulled
+    (merge_asof tolerance semantics, inclusive)."""
+    ev, purchases = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join(ev, purchases, entity="user_id", ts="ts",
+                         strategy="sort_merge", tolerance_s=7200.0)
+    return out.select("user_id", "ts", "event_id", "value", "purch_val")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -517,6 +767,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_distinct_counts": _q_distinct,
         "a11_rollup": _q_rollup,
         "a13_autocorr": _q_autocorr,
+        "a3_trigram_composition": _q_trigram_comp,
+        "a6_ctd_distribution": _q_ctd_dist,
+        "a8_scalar_features": _q_scalar_features,
+        "a12_pseaac_corr": _q_pseaac_corr,
+        "w1_profile_summary": _q_profile_summary,
+        "c8_bit_ops": _q_bit_ops,
+        "w7_sliding": _q_sliding_window,
+        "w4_bfill": _q_bfill,
+        "j3_asof_broadcast": _q_asof_broadcast,
+        "j3_asof_salted": _q_asof_salted,
+        "j3_asof_tolerance": _q_asof_tolerance,
     }
 
 
@@ -882,6 +1143,154 @@ def oracle_sql() -> dict[str, str]:
                    GROUPING(o_orderstatus) AS g_status,
                    GROUPING(o_orderpriority) AS g_prio
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "a3_trigram_composition": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     translate({_NORM.format(c='text')}, '{_HYD_SRC}', '{_HYD_DST}') AS t
+              FROM documents),
+            e AS (SELECT doc_id, length(t) - 2 AS nk,
+                         substr(t, i, 3) AS kmer
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+                        FROM d WHERE length(t) > 2))
+            SELECT doc_id, kmer, count(*) AS cnt, count(*) / any_value(nk) AS freq
+            FROM e GROUP BY doc_id, kmer
+        """,
+        "a6_ctd_distribution": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     translate({_NORM.format(c='text')}, '{_HYD_SRC}', '{_HYD_DST}') AS t
+              FROM documents),
+            e AS (SELECT doc_id, length(t) AS n, i, substr(t, i, 1) AS cls
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i
+                        FROM d WHERE length(t) > 0)),
+            r AS (SELECT doc_id, n, cls, i,
+                         row_number() OVER (PARTITION BY doc_id, cls ORDER BY i) AS rn,
+                         count(*) OVER (PARTITION BY doc_id, cls) AS m
+                  FROM e)
+            SELECT doc_id, cls,
+                   (CAST(max(CASE WHEN rn = 1 THEN i END) AS DOUBLE)
+                    / CAST(any_value(n) AS DOUBLE)) * 100.0 AS d001,
+                   (CAST(max(CASE WHEN rn = greatest(1, floor(m * 1 / 4)) THEN i END) AS DOUBLE)
+                    / CAST(any_value(n) AS DOUBLE)) * 100.0 AS d025,
+                   (CAST(max(CASE WHEN rn = greatest(1, floor(m * 2 / 4)) THEN i END) AS DOUBLE)
+                    / CAST(any_value(n) AS DOUBLE)) * 100.0 AS d050,
+                   (CAST(max(CASE WHEN rn = greatest(1, floor(m * 3 / 4)) THEN i END) AS DOUBLE)
+                    / CAST(any_value(n) AS DOUBLE)) * 100.0 AS d075,
+                   (CAST(max(CASE WHEN rn = m THEN i END) AS DOUBLE)
+                    / CAST(any_value(n) AS DOUBLE)) * 100.0 AS d100
+            FROM r GROUP BY doc_id, cls
+        """,
+        "a8_scalar_features": f"""
+            WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            c AS (SELECT doc_id, length(s) AS n,
+                         {' + '.join(
+                             f"(length(s) - length(replace(s, '{L}', ''))) * ({_KD10[i]})"
+                             for i, L in enumerate(ALPHABET) if _KD10[i] != 0)} AS s10,
+                         length(s) - length(translate(s, '{_AROMATIC}', '')) AS arom,
+                         length(s) - length(translate(s, '{_POSITIVE}', '')) AS pos,
+                         length(s) - length(translate(s, '{_NEGATIVE}', '')) AS neg,
+                         length(s) - length(translate(s, '{_POLAR}', '')) AS pol
+                  FROM d WHERE length(s) > 0)
+            SELECT doc_id,
+                   CAST(s10 AS DOUBLE) / (CAST(10.0 AS DOUBLE) * n) AS gravy,
+                   CAST(arom AS DOUBLE) / CAST(n AS DOUBLE) AS aromaticity,
+                   CAST(pos - neg AS DOUBLE) / CAST(n AS DOUBLE) AS net_charge,
+                   CAST(pol AS DOUBLE) / CAST(n AS DOUBLE) AS frac_polar
+            FROM c
+        """,
+        "a12_pseaac_corr": f"""
+            WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            e AS (SELECT doc_id, length(s) AS n, i,
+                         {_KD10_DUCK}[ascii(substr(s, i, 1)) - 64] AS v
+                  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+                        FROM d WHERE length(s) > 3)),
+            l AS (SELECT doc_id, n, v,
+                         lead(v, 1) OVER w AS v1,
+                         lead(v, 2) OVER w AS v2,
+                         lead(v, 3) OVER w AS v3
+                  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            g AS (SELECT doc_id, any_value(n) AS n,
+                         sum((v - v1) * (v - v1)) AS s1,
+                         sum((v - v2) * (v - v2)) AS s2,
+                         sum((v - v3) * (v - v3)) AS s3
+                  FROM l GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(s1 AS DOUBLE) / (CAST(100.0 AS DOUBLE) * (n - 1)) AS pse_corr_1,
+                   CAST(s2 AS DOUBLE) / (CAST(100.0 AS DOUBLE) * (n - 2)) AS pse_corr_2,
+                   CAST(s3 AS DOUBLE) / (CAST(100.0 AS DOUBLE) * (n - 3)) AS pse_corr_3
+            FROM g
+        """,
+        "w1_profile_summary": f"""
+            WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            e AS (SELECT doc_id, length(s) AS n, i,
+                         {_KD10_DUCK}[ascii(substr(s, i, 1)) - 64] AS v
+                  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+                        FROM d WHERE length(s) >= 5)),
+            p AS (SELECT doc_id, i,
+                         sum(v) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ws
+                  FROM e QUALIFY i >= 5),
+            g AS (SELECT doc_id, max(ws) AS mx, min(ws) AS mn,
+                         sum(ws) AS sm, count(*) AS np
+                  FROM p GROUP BY doc_id),
+            am AS (SELECT doc_id, i AS am_i FROM p
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY ws DESC, i ASC) = 1)
+            SELECT g.doc_id,
+                   CAST(mx AS DOUBLE) / CAST(50.0 AS DOUBLE) AS prof_max,
+                   CAST(mn AS DOUBLE) / CAST(50.0 AS DOUBLE) AS prof_min,
+                   CAST(sm AS DOUBLE) / (CAST(50.0 AS DOUBLE) * np) AS prof_mean,
+                   CAST(am_i - 5 AS DOUBLE) / np AS argmax_rel
+            FROM g JOIN am ON am.doc_id = g.doc_id
+        """,
+        "c8_bit_ops": f"""
+            WITH d AS (SELECT doc_id,
+                              {H.h32_sql_duckdb(_DUCK_NORM_TXT.format(c='text'))} AS h
+                       FROM documents)
+            SELECT doc_id, h,
+                   CAST((h >> 28) & 15 AS INT) AS nib_hi,
+                   CAST(h & 15 AS INT) AS nib_lo,
+                   CAST(bit_count(h) AS INT) AS popcnt,
+                   CAST(bit_count(xor(h, lag(h) OVER (ORDER BY doc_id))) AS INT)
+                     AS hamming_prev
+            FROM d
+        """,
+        "w7_sliding": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes'
+                     AS win_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sv
+            FROM (SELECT user_id, ts, value, unnest(generate_series(0, 3)) AS i
+                  FROM events)
+            GROUP BY 1, 2
+        """,
+        "w4_bfill": """
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN value END AS pv,
+                   first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pv_bfill
+            FROM events
+        """,
+        "j3_asof_broadcast": _ASOF_ORACLE,
+        "j3_asof_salted": _ASOF_ORACLE,
+        "j3_asof_tolerance": """
+            WITH purchases AS (
+              SELECT user_id, ts, max(value) AS purch_val
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ),
+            j AS (
+              SELECT e.user_id, e.ts, e.event_id, e.value, p.purch_val, p.ts AS pts
+              FROM events e
+              ASOF LEFT JOIN purchases p
+                ON e.user_id = p.user_id AND e.ts >= p.ts
+            )
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - pts <= INTERVAL '7200' SECOND THEN purch_val END
+                     AS purch_val
+            FROM j
         """,
         "a13_autocorr": """
             WITH o AS (
