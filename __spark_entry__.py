@@ -27,6 +27,7 @@ from profet_spark.functions import textstats as ts
 from profet_spark.functions.alphabets import (
     ALPHABET,
     CTD_CLASS_MAPS,
+    FLEX_SCALE,
     HYDRO_SCALE,
     translate_pair,
 )
@@ -670,6 +671,59 @@ def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLEX1000 = [int(round(FLEX_SCALE[c] * 1000)) for c in ALPHABET]
+_FLEX1000_DUCK = "[" + ", ".join(str(x) for x in _FLEX1000) + "]"
+
+
+def _q_qso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 quasi-sequence-order analog ([R] QuasiSequenceOrder.py
+    ≈L60-300): sequence-order coupling numbers tau_d = sum_t dist^2 over a
+    two-property physicochemical distance (hydropathy + flexibility — the
+    documented stand-in for the Schneider-Wrede matrix), plus the
+    tau-normalized QSO weights. Exact integer sums; the engine's scale
+    path for per-row descriptors is the fused Arrow kernel
+    (profet_caption_features); this form is the engine-neutral oracle."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _norm_col().alias("s")).where(F.length("s") > 3)
+    e = d.select(
+        "doc_id", F.length("s").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"), F.col("s"),
+    )
+    ch = F.substring(F.col("s"), F.col("i").cast("int"), 1)
+    flex_arr = F.array(*[F.lit(x) for x in _FLEX1000])
+    e = e.select(
+        "doc_id", "n", "i",
+        F.element_at(_kd10_arr(), F.ascii(ch) - 64).alias("v"),
+        F.element_at(flex_arr, F.ascii(ch) - 64).alias("fv"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    lags = [1, 2, 3]
+    ld = e.select(
+        "doc_id", "v", "fv",
+        *[F.lead("v", k).over(w).alias(f"v{k}") for k in lags],
+        *[F.lead("fv", k).over(w).alias(f"fv{k}") for k in lags],
+    )
+    dist2 = lambda k: ((F.col("v") - F.col(f"v{k}")) * (F.col("v") - F.col(f"v{k}"))
+                       + (F.col("fv") - F.col(f"fv{k}")) * (F.col("fv") - F.col(f"fv{k}")))
+    g = ld.groupBy("doc_id").agg(
+        *[F.sum(dist2(k)).alias(f"tau_{k}") for k in lags])
+    total = F.lit(1).cast("bigint") + sum(F.col(f"tau_{k}") for k in lags)
+    return g.select(
+        "doc_id", *[F.col(f"tau_{k}") for k in lags],
+        *[(F.col(f"tau_{k}").cast("double") / total.cast("double")).alias(f"qso_{k}")
+          for k in lags],
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 pair join: pigeonhole byte-block equi-join — exact recall for
+    hamming<=3 without a cross join (oracle verifies via brute force)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, k=2, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 sliding variant: 1-hour windows every 15 minutes — each row lands
     in 4 overlapping buckets."""
@@ -778,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_asof_broadcast": _q_asof_broadcast,
         "j3_asof_salted": _q_asof_salted,
         "j3_asof_tolerance": _q_asof_tolerance,
+        "a14_qso": _q_qso,
+        "d4_simhash_pairs": _q_simhash_pairs,
     }
 
 
@@ -1291,6 +1347,43 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ts - pts <= INTERVAL '7200' SECOND THEN purch_val END
                      AS purch_val
             FROM j
+        """,
+        "a14_qso": f"""
+            WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            e AS (SELECT doc_id, i,
+                         {_KD10_DUCK}[ascii(substr(s, i, 1)) - 64] AS v,
+                         {_FLEX1000_DUCK}[ascii(substr(s, i, 1)) - 64] AS fv
+                  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+                        FROM d WHERE length(s) > 3)),
+            l AS (SELECT doc_id, v, fv,
+                         lead(v, 1) OVER w AS v1, lead(fv, 1) OVER w AS fv1,
+                         lead(v, 2) OVER w AS v2, lead(fv, 2) OVER w AS fv2,
+                         lead(v, 3) OVER w AS v3, lead(fv, 3) OVER w AS fv3
+                  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            g AS (SELECT doc_id,
+                         CAST(sum((v - v1) * (v - v1) + (fv - fv1) * (fv - fv1)) AS BIGINT) AS tau_1,
+                         CAST(sum((v - v2) * (v - v2) + (fv - fv2) * (fv - fv2)) AS BIGINT) AS tau_2,
+                         CAST(sum((v - v3) * (v - v3) + (fv - fv3) * (fv - fv3)) AS BIGINT) AS tau_3
+                  FROM l GROUP BY doc_id)
+            SELECT doc_id, tau_1, tau_2, tau_3,
+                   CAST(tau_1 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_1,
+                   CAST(tau_2 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_2,
+                   CAST(tau_3 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_3
+            FROM g
+        """,
+        "d4_simhash_pairs": f"""
+            WITH {_duck_shingle_cte(2)},
+            bits AS (SELECT id, j,
+                            sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                     FROM (SELECT id, h, unnest(generate_series(0, 31)) AS j FROM hs)
+                     GROUP BY id, j),
+            sh AS (SELECT id,
+                          sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+                   FROM bits GROUP BY id)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "a13_autocorr": """
             WITH o AS (
