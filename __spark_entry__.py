@@ -783,6 +783,75 @@ def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "event_id", "value", "purch_val")
 
 
+# --------------------------------------------- remaining §2 long tail
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 cube variant: all grouping-set combinations with indicators."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total"),
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 exceptAll: customers that placed orders minus those with an
+    open ('O') order — multiset semantics preserved."""
+    orders = load_table(spark, sf_dir, "orders")
+    placed = orders.select("o_custkey")
+    open_ = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return placed.exceptAll(open_).groupBy("o_custkey").agg(F.count("*").alias("n"))
+
+
+def _q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O5 global sort + limit: top-25 orders by price (deterministic
+    tiebreak on key). TakeOrderedAndProject — no full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey",
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price"))
+    )
+
+
+def _q_date_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 date/time scalars: truncation, field extraction, interval
+    arithmetic — all codegen'd built-ins."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").alias("hr"),
+            F.dayofweek("ts").alias("dow"),
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_shift"),
+        )
+        .groupBy("day", "hr", "dow")
+        .agg(F.count("*").alias("n"), F.max("ts_shift").alias("max_shift"))
+    )
+
+
+def _q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 array scalars over embeddings: slice / element_at / size plus
+    exact integer folds over the quantized vector (aggregate/zip_with are
+    the HOF forms; the exact-int derivation keeps the oracle bitwise)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", H.quantize_vec("embedding").alias("q"))
+    head = F.slice("q", 1, 8)
+    return q.select(
+        "vec_id",
+        F.size("q").alias("dim"),
+        F.element_at("q", 1).alias("first_q"),
+        F.element_at("q", -1).alias("last_q"),
+        F.aggregate(head, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("head_sum"),
+        F.aggregate("q", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.abs(x)).alias("l1_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -834,6 +903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_asof_tolerance": _q_asof_tolerance,
         "a14_qso": _q_qso,
         "d4_simhash_pairs": _q_simhash_pairs,
+        "a11_cube": _q_cube,
+        "o4_set_ops": _q_set_ops,
+        "o5_global_topk": _q_global_topk,
+        "c5_date_scalars": _q_date_scalars,
+        "c6_array_ops": _q_array_ops,
     }
 
 
@@ -1384,6 +1458,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM sh a JOIN sh b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "a11_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total,
+                   GROUPING(o_orderstatus) AS g_status,
+                   GROUPING(o_orderpriority) AS g_prio
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "o4_set_ops": """
+            WITH placed AS (SELECT o_custkey FROM orders),
+            open_ AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+            diff AS (SELECT o_custkey FROM placed EXCEPT ALL SELECT o_custkey FROM open_)
+            SELECT o_custkey, count(*) AS n FROM diff GROUP BY o_custkey
+        """,
+        "o5_global_topk": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 25
+        """,
+        "c5_date_scalars": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(hour(ts) AS INT) AS hr,
+                   CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                   count(*) AS n,
+                   max(ts + INTERVAL '90' MINUTE) AS max_shift
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "c6_array_ops": f"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)
+                                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+              FROM embeddings)
+            SELECT vec_id,
+                   CAST(len(q) AS INT) AS dim,
+                   q[1] AS first_q,
+                   q[-1] AS last_q,
+                   CAST(list_sum(q[1:8]) AS BIGINT) AS head_sum,
+                   CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q
+            FROM q
         """,
         "a13_autocorr": """
             WITH o AS (
