@@ -34,27 +34,31 @@ ANN_BANDS = 4    # 4 bands x 4 bits
 ANN_BAND_BITS = 4
 
 
-def _plane_coef(p: int, d: int) -> float:
-    """Deterministic pseudo-random coefficient in [-1, 1): derived from the
-    portable h32 hash of "plane:p:dim:d" — reproducible on any engine or
-    restart without shipping RNG state."""
+def _plane_coef(p: int, d: int) -> int:
+    """Deterministic pseudo-random INTEGER coefficient in [-2^31, 2^31):
+    derived from the portable md5-based hash of "plane:p:dim:d" —
+    reproducible on any engine or restart without shipping RNG state.
+    Integer coefficients make every plane projection an exact int64 sum
+    (|q|<=~1e6+, |coef|<2^31, dim<=~1e3 stays far under 2^63), so the sign
+    bit is order-insensitive: the JVM fold and a numpy matmul agree
+    bitwise."""
     import hashlib
     h = int(hashlib.md5(f"plane:{p}:dim:{d}".encode()).hexdigest()[:8], 16)
-    return h / 2147483648.0 - 1.0
+    return h - 2147483648
 
 
-def _signature_bits(vec_col: F.Column, dim: int) -> F.Column:
+def _signature_bits(qvec_col: F.Column, dim: int) -> F.Column:
     """ANN_PLANES sign bits packed into a bigint: bit p = 1 iff
-    dot(plane_p, v) > 0. Each plane is ONE flat literal array folded with
-    zip_with+aggregate — keeps the expression tree (and generated code)
-    small; an n-term arithmetic chain here would blow codegen/driver heap
-    when many queries share one JVM."""
+    dot(plane_p, q) > 0 over the QUANTIZED int64 vector. Each plane is ONE
+    flat literal array folded with zip_with+aggregate — keeps the
+    expression tree (and generated code) small; an n-term arithmetic chain
+    here would blow codegen/driver heap when many queries share one JVM."""
     sig = F.lit(0).cast("bigint")
     for p in range(ANN_PLANES):
-        plane = F.array(*[F.lit(_plane_coef(p, d)) for d in range(dim)])
+        plane = F.array(*[F.lit(_plane_coef(p, d)).cast("bigint") for d in range(dim)])
         dot = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x,
+            F.zip_with(qvec_col, plane, lambda x, y: x * y),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x,
         )
         sig = sig + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return sig
@@ -79,26 +83,88 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                strategy: str = "arrow") -> DataFrame:
     """N1: exact top-k neighbors per query row by cosine similarity.
 
     Returns (query_id, neighbor_id, cosine, rank). Deterministic total
     order: (cosine desc, neighbor_id asc) — ties cannot reorder across
-    engines because cosines are bitwise-reproducible."""
-    c = _quantized(corpus, id_col, vec_col).alias("c")
-    qr = _quantized(queries, id_col, vec_col).alias("qr")
-    dot = H.int_dot(F.col("qr.q"), F.col("c.q"))
-    cos = H.cosine_from_quantized(dot, F.col("qr.nrm"), F.col("c.nrm"))
-    pairs = (
-        c.join(F.broadcast(qr), F.col("qr.id") != F.col("c.id"))
-        .select(F.col("qr.id").alias("query_id"), F.col("c.id").alias("neighbor_id"),
-                cos.alias("cosine"))
-    )
+    engines because cosines are bitwise-reproducible.
+
+    Strategies (bit-identical results, tested):
+    - ``arrow`` (default): the query side (small by contract) is collected
+      once and shipped as an int64 numpy matrix; a mapInPandas kernel runs
+      one exact int64 matmul per Arrow batch (dot stays a true integer:
+      |q|~1e6, dim<=~1e3 => |dot| < 2^53, so the float64 conversion is
+      exact), keeps the per-batch top-k per query, and a final tiny
+      window re-ranks batch winners. Corpus scanned once, map-side; the
+      only shuffle is O(batches x queries x k) rows.
+    - ``jvm``: pure-plan broadcast nested-loop + HOF integer folds — the
+      engine-neutral reference form (Spark interprets HOF lambdas per
+      element, so this is the slow path; kept as the oracle twin).
+    """
+    if strategy == "jvm":
+        c = _quantized(corpus, id_col, vec_col).alias("c")
+        qr = _quantized(queries, id_col, vec_col).alias("qr")
+        dot = H.int_dot(F.col("qr.q"), F.col("c.q"))
+        cos = H.cosine_from_quantized(dot, F.col("qr.nrm"), F.col("c.nrm"))
+        pairs = (
+            c.join(F.broadcast(qr), F.col("qr.id") != F.col("c.id"))
+            .select(F.col("qr.id").alias("query_id"), F.col("c.id").alias("neighbor_id"),
+                    cos.alias("cosine"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+    if strategy != "arrow":
+        raise ValueError(f"unknown cosine_topk strategy: {strategy}")
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(corpus.dtypes)[id_col]
+    q_rows = (_quantized(queries, id_col, vec_col)
+              .select("id", "q", "nrm").collect())
+    if not q_rows:
+        empty_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        return corpus.sparkSession.createDataFrame([], empty_schema).withColumn(
+            "rank", F.lit(1).cast("int"))
+    qids = [r["id"] for r in q_rows]
+    Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
+    qnrm = np.asarray([r["nrm"] for r in q_rows], dtype=np.float64)
+
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            ids = pdf["id"].to_numpy()
+            nc = pdf["nrm"].to_numpy(dtype=np.float64)
+            dots = C @ Qm.T                      # exact int64, < 2^53
+            cos = dots.astype(np.float64) / np.sqrt(nc[:, None] * qnrm[None, :])
+            kk = min(k, len(ids))
+            res = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for j, qid in enumerate(qids):
+                col = cos[:, j].copy()
+                col[ids == qid] = -np.inf        # exclude self
+                # top-kk by (cosine desc, id asc); lexsort is stable,
+                # last key dominates
+                order = np.lexsort((ids, -col))[:kk]
+                for i in order:
+                    if np.isneginf(col[i]):
+                        continue
+                    res["query_id"].append(qid)
+                    res["neighbor_id"].append(ids[i])
+                    res["cosine"].append(col[i])
+            yield pd.DataFrame(res)
+
+    local = _quantized(corpus, id_col, vec_col).mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -112,7 +178,7 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     buckets are sparse)."""
     def with_bands(df: DataFrame) -> DataFrame:
         qd = _quantized(df, id_col, vec_col)
-        sig = _signature_bits(F.col("v"), dim)
+        sig = _signature_bits(F.col("q"), dim)
         return qd.select(
             "id", "q", "nrm", F.explode(_band_cols(sig)).alias("bd")
         ).select("id", "q", "nrm", F.col("bd.band").alias("band"),

@@ -66,3 +66,17 @@ def test_lsh_ann_subset_of_exact_ordering(emb):
     for qi, grp in ann.groupby("query_id"):
         ranked = grp.sort_values("rank").cosine.to_numpy()
         assert (np.diff(ranked) <= 1e-15).all()
+
+
+def test_cosine_topk_strategies_bit_identical(emb):
+    """The arrow matmul path and the JVM HOF-fold path are the same
+    operator: identical rows, bitwise-identical cosines."""
+    df, _ = emb
+    q = df.where(df.vec_id < 10)
+    a = (similarity.cosine_topk(df, q, k=5, strategy="arrow")
+         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (similarity.cosine_topk(df, q, k=5, strategy="jvm")
+         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert a.query_id.tolist() == b.query_id.tolist()
+    assert a.neighbor_id.tolist() == b.neighbor_id.tolist()
+    assert (a.cosine.to_numpy() == b.cosine.to_numpy()).all()  # bitwise
