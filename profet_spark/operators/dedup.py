@@ -71,14 +71,19 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
 
 
 def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
-                            k: int) -> DataFrame:
-    """(id, h): DISTINCT word-k-gram h32 hashes, one row per shingle.
+                            k: int, distinct: bool = True) -> DataFrame:
+    """(id, h): word-k-gram h32 hashes, one row per shingle — DISTINCT per
+    doc by default (the set semantics Jaccard needs).
 
     Codegen explode form: Spark interprets higher-order-function lambdas
     per element, so building the shingle array with ``transform`` costs
     ~40x more CPU than this explode + whole-stage-codegen projection.
     The transient duplication of the words array per exploded row is
-    projected away before any exchange."""
+    projected away before any exchange.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is duplicate-insensitive (e.g. per-doc ``min`` aggregates:
+    MinHash minima are unchanged by repeated hashes)."""
     w = H.words(text_col)
     d = (
         df.select(F.col(id_col).alias("id"), w.alias("w"))
@@ -87,7 +92,8 @@ def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
                 F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("i"))
     )
     sh = F.concat_ws(" ", *[F.element_at("w", F.col("i") + j) for j in range(k)])
-    return d.select("id", H.h32(sh).alias("h")).dropDuplicates(["id", "h"])
+    out = d.select("id", H.h32(sh).alias("h"))
+    return out.dropDuplicates(["id", "h"]) if distinct else out
 
 
 def _verify_jaccard(cand: DataFrame, threshold: float) -> DataFrame:
@@ -170,23 +176,48 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
     Scale: signature+bands are narrow per-row arrays; the only wide ops are
     the band-digest self-join and the distinct on candidate ids."""
-    sigs = minhash_signatures(df, id_col, text_col, k)
-    banded = sigs.select(
-        "id", "n", "shingles",
-        F.explode(H.band_hashes(F.col("sig"))).alias("bh"),
-    )
+    # Stage 1 — light signatures: explode + ONE codegen'd hash aggregate of
+    # the 16 permutation minima. No shingle arrays are built or shuffled,
+    # and no dedup shuffle either: min() is duplicate-insensitive, so the
+    # only exchange is the map-side-combined groupBy(id).
+    ex = exploded_shingle_hashes(df, id_col, text_col, k, distinct=False)
+    p = H.MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * (F.col("h") % p) + F.lit(b)) % p).alias(f"m{i}")
+        for i, (a, b) in enumerate(H.MINHASH_PERMS)
+    ]
+    sig = ex.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig"))
+    # Stage 2 — narrow band join: shuffles ONLY (id, band_digest).
+    banded = sig.select("id", F.explode(H.band_hashes(F.col("sig"))).alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sa"), F.col("b.shingles").alias("sb"),
-            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_jaccard(cand, threshold)
+    # Stage 3 — exact verify on CANDIDATES ONLY: shingle sets are collected
+    # just for docs that survived banding (at production dup rates a tiny
+    # fraction of the corpus), so the wide collect_set aggregate and the
+    # array shuffle scale with the candidate count, not the corpus. The
+    # shingle explode recomputes for that slice; a 100 TB deployment
+    # materializes the signature/shingle table once (S7 checkpoint sink)
+    # and shares it across both stages.
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col))))
+    cand_docs = df.join(cand_ids, id_col, "left_semi")  # semi-join dedupes
+    sets = (
+        exploded_shingle_hashes(cand_docs, id_col, text_col, k)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("h")).alias("shingles"),
+             F.count("*").alias("n"))
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"),
+                     F.col("n").alias("na"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"),
+                     F.col("n").alias("nb"))
+    return _verify_jaccard(cand.join(sa, "id_a").join(sb, "id_b"), threshold)
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
