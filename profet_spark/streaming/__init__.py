@@ -9,5 +9,6 @@ from profet_spark.streaming.temporal_stream import (  # noqa: F401
     run_available_now,
     session_agg,
     sliding_counts,
+    stateful_asof_attach,
     tumbling_counts,
 )

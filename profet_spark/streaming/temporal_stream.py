@@ -88,3 +88,70 @@ def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_asof_attach(stream: DataFrame, entity: str = "user_id",
+                         ts: str = "ts", right_col: str = "pv") -> DataFrame:
+    """J3 streaming twin — a CUSTOM STATEFUL operator via
+    ``applyInPandasWithState`` (the pattern Spark's built-in stream joins
+    cannot express: attach the latest build-side row at-or-before each
+    event's timestamp, with per-entity state carried across micro-batches).
+
+    Contract: rows where ``right_col`` is non-null are build-side rows
+    (pre-aggregated upstream like the batch flagship); every row is
+    emitted with ``{right_col}_asof`` = the max build value among rows of
+    equal latest ts at-or-before its own ts — identical to
+    ``operators.asof.asof_join(..., allow_exact_matches=True)`` on the
+    same rows (tests prove equality, including multi-batch replays).
+
+    State per entity: ``(last_right_ts_us, last_right_val)`` — O(1), no
+    row buffering. Ordering contract (documented, matching the watermark
+    model): micro-batches must arrive per-entity time-monotonic (true for
+    append-log replays and availableNow); a production deployment buffers
+    out-of-order rows until the watermark passes, exactly as the built-in
+    session/dedup state stores do.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType as ST,
+    )
+
+    out_field = f"{right_col}_asof"
+    out_schema = ST(list(stream.schema.fields)
+                    + [StructField(out_field, DoubleType())])
+    state_schema = ST([StructField("last_ts_us", LongType()),
+                       StructField("last_val", DoubleType())])
+    in_cols = stream.columns
+
+    def attach(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        is_right = pdf[right_col].notna()
+        # rights first within equal ts => ffill implements allow_exact=True;
+        # per-ts max first so equal-ts build rows behave like the batch
+        # groupBy(entity, ts).agg(max) build side
+        pdf["_r"] = is_right
+        mx = pdf.loc[is_right].groupby(ts)[right_col].transform("max")
+        pdf.loc[is_right, right_col] = mx
+        pdf = pdf.sort_values([ts, "_r"], ascending=[True, False],
+                              kind="mergesort").reset_index(drop=True)
+        ff = pdf[right_col].ffill()
+        if state.exists:
+            last_ts_us, last_val = state.get
+            ff = ff.fillna(last_val)
+        rights = pdf.loc[pdf["_r"]]
+        if not rights.empty:
+            last_row = rights.iloc[-1]
+            state.update((int(pd.Timestamp(last_row[ts]).value // 1000),
+                          float(last_row[right_col])))
+        pdf[out_field] = ff
+        yield pdf[in_cols + [out_field]]
+
+    return (
+        stream.groupBy(entity)
+        .applyInPandasWithState(attach, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )

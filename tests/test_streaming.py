@@ -71,3 +71,48 @@ def test_stream_sliding_counts(spark, sf_dir, ev_dir, ev_schema):
     # every event lands in exactly 2 overlapping windows
     total_events = spark.read.parquet(ev_dir).count()
     assert got.agg(F.sum("n")).collect()[0][0] == 2 * total_events
+
+
+def _batch_asof_want(spark, sf_dir):
+    from profet_spark.operators import asof
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts").agg(F.max("value").alias("pv")))
+    out = asof.asof_join(ev, purchases, entity="user_id", ts="ts",
+                         strategy="window")
+    return out.select("event_id", "user_id", "value", F.col("pv").alias("pv_asof"))
+
+
+def test_stateful_asof_equals_batch_single_batch(spark, sf_dir, ev_dir, ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    tagged = stream.withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value")))
+    st.run_available_now(st.stateful_asof_attach(tagged), "t_asof1",
+                         output_mode="append")
+    got = spark.table("t_asof1").select("event_id", "user_id", "value", "pv_asof")
+    assert _pdf(got).equals(_pdf(_batch_asof_want(spark, sf_dir)))
+
+
+def test_stateful_asof_equals_batch_multi_batch(spark, sf_dir, ev_schema,
+                                                tmp_path_factory):
+    """State must carry the as-of value across micro-batches: replay the
+    same events split into two time-ordered files, one file per trigger."""
+    out = str(tmp_path_factory.mktemp("events_2batch"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    ev.where(us <= med).coalesce(1).write.mode("overwrite").parquet(out)
+    import time as _t
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    ev.where(us > med).coalesce(1).write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    tagged = stream.withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value")))
+    st.run_available_now(st.stateful_asof_attach(tagged), "t_asof2",
+                         output_mode="append")
+    got = spark.table("t_asof2").select("event_id", "user_id", "value", "pv_asof")
+    assert _pdf(got).equals(_pdf(_batch_asof_want(spark, sf_dir)))
