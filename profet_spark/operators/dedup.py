@@ -165,7 +165,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      k: int = 3, threshold: float = 0.5) -> DataFrame:
+                      k: int = 3, threshold: float = 0.5,
+                      max_bucket: int | None = None) -> DataFrame:
     """D3: MinHash+LSH candidate generation, exact-Jaccard verified.
 
     Banding: MINHASH_K=16 split into 8 bands x 2 rows -> a pair with true
@@ -189,7 +190,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     sig = ex.groupBy("id").agg(*aggs).select(
         "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig"))
     # Stage 2 — narrow band join: shuffles ONLY (id, band_digest).
+    # ``max_bucket`` drops degenerate buckets (a band digest shared by more
+    # docs than the cap — boilerplate clusters) the way production near-dup
+    # pipelines drop stop-shingles: recall loss only inside pathological
+    # clusters, and the O(bucket^2) candidate blow-up is bounded. AQE's
+    # skew-join split handles moderate skew below the cap.
     banded = sig.select("id", F.explode(H.band_hashes(F.col("sig"))).alias("bh"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("bh")
+        banded = (banded.withColumn("_bn", F.count("*").over(wb))
+                  .where(F.col("_bn") <= max_bucket).drop("_bn"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

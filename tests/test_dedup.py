@@ -117,3 +117,15 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
         F.approx_count_distinct("doc_id", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= 0.1 * row.exact
+
+
+def test_minhash_lsh_max_bucket_noop_when_loose(spark, sf_dir):
+    """A cap far above any real bucket size must not change the output."""
+    from profet_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    base = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).toPandas()
+    capped = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5,
+                                     max_bucket=10**6).toPandas()
+    cols = ["id_a", "id_b"]
+    assert sorted(map(tuple, base[cols].values.tolist())) == \
+        sorted(map(tuple, capped[cols].values.tolist()))
