@@ -48,8 +48,11 @@ def run_level(cores: int, zpath: str, runs: int) -> dict:
     ]
     print("+", " ".join(cmd), file=sys.stderr)
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    rec = json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"level local[{cores}] failed rc={out.returncode}")
+    rec = json.loads(lines[-1])
     rec["cmd"] = " ".join(cmd)
     return rec
 
