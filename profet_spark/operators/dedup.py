@@ -216,7 +216,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # and shares it across both stages.
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .union(cand.select(F.col("id_b").alias(id_col))))
-    cand_docs = df.join(cand_ids, id_col, "left_semi")  # semi-join dedupes
+    # broadcast the candidate ids: without the hint the semi join statically
+    # plans as SMJ and would shuffle the full corpus (text included) on id;
+    # the candidate set is bounded by the banding threshold, so build-side
+    # size is safe by construction
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     sets = (
         exploded_shingle_hashes(cand_docs, id_col, text_col, k)
         .groupBy("id")
