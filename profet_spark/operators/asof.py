@@ -7,7 +7,7 @@ NEVER be attached — the zero-leakage invariant of BASELINE.json's
 north_rule. ProFET has no join at all (SURVEY.md §2.3); this operator is
 new, mandated by the north rule.
 
-Spark has no native ASOF join, so three physical strategies are
+Spark has no native ASOF join, so four physical strategies are
 implemented at the DataFrame level (no custom Catalyst rule — SURVEY.md
 §4.2):
 
