@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from profet_spark import fixtures
 from profet_spark.operators import asof
+from profet_spark.plans import formatted_plan as _plan
 from profet_spark.sources import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -26,11 +27,6 @@ def _load_entry():
 
 
 ENTRY = _load_entry()
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
 
 
 def test_filter_pushdown_reaches_scan(spark):
