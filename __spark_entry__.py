@@ -638,10 +638,17 @@ def _q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws").alias("sm"), F.count("*").alias("np"),
     )
     am = (
-        p.withColumn("rn", F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.desc("ws"), F.asc("i"))))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("i").alias("am_i"))
+        p.select(
+            "doc_id", "i", "ws",
+            F.row_number().over(Window.partitionBy("doc_id")
+                                .orderBy(F.desc("ws"), F.asc("i"))).alias("rx"),
+            F.row_number().over(Window.partitionBy("doc_id")
+                                .orderBy(F.asc("ws"), F.asc("i"))).alias("rm"),
+        )
+        .where((F.col("rx") == 1) | (F.col("rm") == 1))
+        .groupBy("doc_id")
+        .agg(F.max(F.when(F.col("rx") == 1, F.col("i"))).alias("am_i"),
+             F.max(F.when(F.col("rm") == 1, F.col("i"))).alias("an_i"))
     )
     den = F.lit(float(10 * W))
     return g.join(am, "doc_id").select(
@@ -650,6 +657,7 @@ def _q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mn").cast("double") / den).alias("prof_min"),
         (F.col("sm").cast("double") / (den * F.col("np"))).alias("prof_mean"),
         ((F.col("am_i") - W).cast("double") / F.col("np")).alias("argmax_rel"),
+        ((F.col("an_i") - W).cast("double") / F.col("np")).alias("argmin_rel"),
     )
 
 
@@ -771,6 +779,16 @@ def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev, purchases = _asof_inputs(spark, sf_dir)
     out = asof.asof_join(ev, purchases, entity="user_id", ts="ts",
                          strategy="salted", skew_frac=0.01)
+    return out.select("user_id", "ts", "event_id", "value", "purch_val")
+
+
+def _q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with a strict bound (right.ts < left.ts): rows at the exact same
+    timestamp are NOT visible — the serving-time convention when right-side
+    data lands at the same instant as the request."""
+    ev, purchases = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join(ev, purchases, entity="user_id", ts="ts",
+                         strategy="window", allow_exact_matches=False)
     return out.select("user_id", "ts", "event_id", "value", "purch_val")
 
 
@@ -901,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_asof_broadcast": _q_asof_broadcast,
         "j3_asof_salted": _q_asof_salted,
         "j3_asof_tolerance": _q_asof_tolerance,
+        "j3_asof_strict": _q_asof_strict,
         "a14_qso": _q_qso,
         "d4_simhash_pairs": _q_simhash_pairs,
         "a11_cube": _q_cube,
@@ -1364,14 +1383,20 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT doc_id, max(ws) AS mx, min(ws) AS mn,
                          sum(ws) AS sm, count(*) AS np
                   FROM p GROUP BY doc_id),
-            am AS (SELECT doc_id, i AS am_i FROM p
-                   QUALIFY row_number() OVER (PARTITION BY doc_id
-                                              ORDER BY ws DESC, i ASC) = 1)
+            r AS (SELECT doc_id, i,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY ws DESC, i ASC) AS rx,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY ws ASC, i ASC) AS rm
+                  FROM p),
+            am AS (SELECT doc_id,
+                          max(CASE WHEN rx = 1 THEN i END) AS am_i,
+                          max(CASE WHEN rm = 1 THEN i END) AS an_i
+                   FROM r WHERE rx = 1 OR rm = 1 GROUP BY doc_id)
             SELECT g.doc_id,
                    CAST(mx AS DOUBLE) / CAST(50.0 AS DOUBLE) AS prof_max,
                    CAST(mn AS DOUBLE) / CAST(50.0 AS DOUBLE) AS prof_min,
                    CAST(sm AS DOUBLE) / (CAST(50.0 AS DOUBLE) * np) AS prof_mean,
-                   CAST(am_i - 5 AS DOUBLE) / np AS argmax_rel
+                   CAST(am_i - 5 AS DOUBLE) / np AS argmax_rel,
+                   CAST(an_i - 5 AS DOUBLE) / np AS argmin_rel
             FROM g JOIN am ON am.doc_id = g.doc_id
         """,
         "c8_bit_ops": f"""
@@ -1406,6 +1431,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j3_asof_broadcast": _ASOF_ORACLE,
         "j3_asof_salted": _ASOF_ORACLE,
+        "j3_asof_strict": """
+            WITH purchases AS (
+              SELECT user_id, ts, max(value) AS purch_val
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT e.user_id, e.ts, e.event_id, e.value, p.purch_val
+            FROM events e
+            ASOF LEFT JOIN purchases p
+              ON e.user_id = p.user_id AND e.ts > p.ts
+        """,
         "j3_asof_tolerance": """
             WITH purchases AS (
               SELECT user_id, ts, max(value) AS purch_val
