@@ -102,3 +102,28 @@ def test_packed_unicode_batch(spark):
     got = dict(zip(td.FEATURE_NAMES, np.vstack(b["features"].to_numpy())[0]))
     for name, wv in want.items():
         assert np.isclose(got[name], wv, rtol=1e-9, atol=1e-12), name
+
+
+def test_fuzz_random_strings_match_oracle():
+    """Seeded fuzz: 300 adversarial strings (unicode, emoji, control chars,
+    long class runs, high-codepoint letters) through the batch kernel must
+    match the numpy oracle bit-for-bit within tolerance."""
+    rng = np.random.default_rng(20260817)
+    pools = [
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ 0123456789"),
+        list("äöüßéèñçøåÆŒ 汉字 かな 한글 🙂🚀 \t\n\x00\x1b"),
+        list("zzzzzzkkkkkkqqqqqq "),
+        list("ACDEFGHIKLMNPQRSTVWY"),
+    ]
+    cases = []
+    for i in range(300):
+        pool = pools[i % len(pools)]
+        n = int(rng.integers(0, 200))
+        cases.append("".join(rng.choice(pool) for _ in range(n)))
+    got = td.compute_features_batch(pd.Series(cases))
+    for i, cap in enumerate(cases):
+        want = oracle.all_features(cap)
+        for name, wv in want.items():
+            gv = got.iloc[i][name]
+            assert np.isclose(gv, wv, rtol=1e-9, atol=1e-12), (
+                f"fuzz row {i} ({cap!r:.40}) feature {name}: {gv} vs {wv}")
