@@ -1,4 +1,4 @@
-"""As-of join: all three physical strategies must agree with a pandas
+"""As-of join: all four physical strategies must agree with a pandas
 merge_asof oracle and with each other, including under skew (SURVEY.md
 §5.2-6) and with zero leakage (no right row after left ts is attached)."""
 
@@ -115,3 +115,40 @@ def test_window_strategy_equals_sort_merge(spark, fixture_dfs, allow_exact, tol)
     b = _norm(asof_join(ldf, rdf, strategy="window",
                         tolerance_s=tol, allow_exact_matches=allow_exact).toPandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_auto_strategy_selection(spark, sf_dir):
+    """auto must (a) pick the broadcast path for a provably small build
+    side — observable as a shuffle-free plan (left is never exchanged,
+    the build side is collected at plan-build time) — and (b) produce the
+    same rows as the window strategy either way."""
+    from profet_spark import plans
+    from profet_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    right = (ev.groupBy("user_id")
+             .agg(F.min("ts").alias("ts"))
+             .withColumn("rv", F.lit(1.0)))
+    auto = asof_join(ev, right, entity="user_id", ts="ts", strategy="auto")
+    assert plans.is_shuffle_free(auto)
+    want = (asof_join(ev, right, entity="user_id", ts="ts", strategy="window")
+            .toPandas().sort_values("event_id").reset_index(drop=True))
+    got = auto.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+
+
+def test_asof_auto_upgrades_to_salted_on_hot_keys(spark, sf_dir):
+    """auto + hot_keys (and a large-ish build side) must take the salted
+    path — observable by the salt projection in the plan."""
+    from profet_spark import plans
+    from profet_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    right = ev.groupBy("user_id", "ts").agg(F.max("value").alias("rv"))
+    out = asof_join(ev, right, entity="user_id", ts="ts", strategy="auto",
+                         hot_keys=[1, 2], broadcast_threshold=10)
+    assert "__asof_salt" in plans.formatted_plan(out)
+    want = (asof_join(ev, right, entity="user_id", ts="ts", strategy="window")
+            .toPandas().sort_values("event_id").reset_index(drop=True))
+    got = out.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
