@@ -461,28 +461,47 @@ def _q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AC_LAGS = (1, 2, 3)
+
+
 def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13 temporal autocorrelation (lag-1 Pearson) per entity, from exact
-    DECIMAL sums -> one IEEE-deterministic double expression."""
+    """A13 temporal autocorrelation family (Pearson at lags 1..3 — the
+    Moreau-Broto/Moran lag-series analog, [R] Autocorrelation.py ≈L60-300)
+    per entity, from exact DECIMAL sums -> IEEE-deterministic doubles.
+    Per-lag conditional sums: each lag excludes its own leading rows."""
     from pyspark.sql.window import Window
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     o = _events(spark, sf_dir).select(
         "user_id", "ts", "event_id",
         F.col("value").cast("decimal(18,2)").alias("y"),
-    ).withColumn("x", F.lag("y").over(w)).where(F.col("x").isNotNull())
-    s = o.groupBy("user_id").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    ).where(F.col("n") >= 2)
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    vx = d("n") * d("sxx") - d("sx") * d("sx")
-    vy = d("n") * d("syy") - d("sy") * d("sy")
-    corr = F.when(vx * vy > 0,
-                  (d("n") * d("sxy") - d("sx") * d("sy")) / (F.sqrt(vx) * F.sqrt(vy)))
-    return s.select("user_id", "n", corr.alias("autocorr_lag1"))
+    ).select(
+        "user_id", "y",
+        *[F.lag("y", k).over(w).alias(f"x{k}") for k in _AC_LAGS],
+    )
+    aggs = []
+    for k in _AC_LAGS:
+        ok = F.col(f"x{k}").isNotNull()
+        cond = lambda c: F.sum(F.when(ok, c))  # noqa: B023
+        aggs += [
+            F.sum(ok.cast("bigint")).alias(f"n{k}"),
+            cond(F.col(f"x{k}")).alias(f"sx{k}"),
+            cond(F.col("y")).alias(f"sy{k}"),
+            cond(F.col(f"x{k}") * F.col("y")).alias(f"sxy{k}"),
+            cond(F.col(f"x{k}") * F.col(f"x{k}")).alias(f"sxx{k}"),
+            cond(F.col("y") * F.col("y")).alias(f"syy{k}"),
+        ]
+    s = o.groupBy("user_id").agg(*aggs).where(F.col("n1") >= 2)
+    cols = [F.col("user_id"), F.col("n1").alias("n")]
+    for k in _AC_LAGS:
+        d = lambda c: F.col(c).cast("double")  # noqa: E731,B023
+        vx = d(f"n{k}") * d(f"sxx{k}") - d(f"sx{k}") * d(f"sx{k}")
+        vy = d(f"n{k}") * d(f"syy{k}") - d(f"sy{k}") * d(f"sy{k}")
+        corr = F.when(
+            (F.col(f"n{k}") >= 2) & (vx * vy > 0),
+            (d(f"n{k}") * d(f"sxy{k}") - d(f"sx{k}") * d(f"sy{k}"))
+            / (F.sqrt(vx) * F.sqrt(vy)))
+        cols.append(corr.alias(f"autocorr_lag{k}"))
+    return s.select(*cols)
 
 
 # --------------------------------------- descriptor long-tail (SQL-oracle)
@@ -1013,6 +1032,42 @@ def _duck_lid_sql() -> str:
         FROM s"""
 
 
+def _duck_autocorr_sql() -> str:
+    """DuckDB twin of _q_autocorr, generated from the same lag list so the
+    per-lag conditional-sum structure cannot drift between engines."""
+    lag_cols = ",\n                     ".join(
+        f"lag(CAST(value AS DECIMAL(18,2)), {k}) "
+        f"OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x{k}"
+        for k in _AC_LAGS)
+    aggs = []
+    for k in _AC_LAGS:
+        c = lambda expr: f"sum(CASE WHEN x{k} IS NOT NULL THEN {expr} END)"  # noqa: B023
+        aggs += [
+            f"CAST(sum(CASE WHEN x{k} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n{k}",
+            f"{c(f'x{k}')} AS sx{k}", f"{c('y')} AS sy{k}",
+            f"{c(f'x{k} * y')} AS sxy{k}", f"{c(f'x{k} * x{k}')} AS sxx{k}",
+            f"{c('y * y')} AS syy{k}",
+        ]
+    outs = []
+    for k in _AC_LAGS:
+        d = lambda c_: f"CAST({c_}{k} AS DOUBLE)"  # noqa: B023
+        vx = f"({d('n')} * {d('sxx')} - {d('sx')} * {d('sx')})"
+        vy = f"({d('n')} * {d('syy')} - {d('sy')} * {d('sy')})"
+        outs.append(
+            f"CASE WHEN n{k} >= 2 AND {vx} * {vy} > 0 THEN "
+            f"({d('n')} * {d('sxy')} - {d('sx')} * {d('sy')}) "
+            f"/ (sqrt({vx}) * sqrt({vy})) END AS autocorr_lag{k}")
+    return f"""
+        WITH o AS (
+          SELECT user_id, CAST(value AS DECIMAL(18,2)) AS y,
+                 {lag_cols}
+          FROM events),
+        s AS (SELECT user_id, {', '.join(aggs)} FROM o GROUP BY user_id)
+        SELECT user_id, n1 AS n, {', '.join(outs)}
+        FROM s WHERE n1 >= 2
+    """
+
+
 _ASOF_ORACLE = """
     WITH purchases AS (
       SELECT user_id, ts, max(value) AS purch_val
@@ -1538,27 +1593,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q
             FROM q
         """,
-        "a13_autocorr": """
-            WITH o AS (
-              SELECT user_id, CAST(value AS DECIMAL(18,2)) AS y,
-                     lag(CAST(value AS DECIMAL(18,2)))
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
-              FROM events),
-            s AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-                         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-                  FROM o WHERE x IS NOT NULL GROUP BY user_id)
-            SELECT user_id, n,
-                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-                        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                   END AS autocorr_lag1
-            FROM s WHERE n >= 2
-        """,
+        "a13_autocorr": _duck_autocorr_sql(),
     }
