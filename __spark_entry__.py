@@ -299,6 +299,22 @@ def _q_profet_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.add_caption_features(docs, flatten=True).drop("caption")
 
 
+def _q_profet_sql_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A bitwise-safe SQL-oracle slice THROUGH the full 340-feature Arrow
+    kernel: the selected features (letter compositions, length, CTD
+    composition) are single divisions of exact integers, so the kernel's
+    numpy values and the DuckDB SQL twin agree bit for bit — the driver
+    itself verifies the production kernel, not just pytest. (Accumulation
+    features — entropy, gravy, profiles — are golden-tested instead:
+    float sum order isn't portable.)"""
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed("text", "caption")
+    out = td.add_caption_features(docs, flatten=True)
+    return out.select(
+        "doc_id", "length", "comp_A", "comp_E", "comp_T",
+        "ctd_hydrophobicity_c1", "ctd_hydrophobicity_c2", "ctd_hydrophobicity_c3",
+    )
+
+
 def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native image+caption snapshot pipeline (BASELINE.json input_hint):
     deterministic fixture → mapInPandas pixel decode + stats → phash
@@ -911,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_doc_filter": _q_doc_filter,
         "c9_json_props": _q_json_props,
         "profet_caption_features": _q_profet_features,
+        "profet_features_sql_slice": _q_profet_sql_slice,
         "image_snapshot_pipeline": _q_image_pipeline,
         "t1_language_id": _q_lang_id,
         "t2_quality_score": _q_quality,
@@ -1240,6 +1257,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM d WHERE length(s) > 0)
             SELECT doc_id, ch, count(*) AS cnt, count(*) / any_value(slen) AS freq
             FROM e GROUP BY doc_id, ch
+        """,
+        "profet_features_sql_slice": f"""
+            WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            c AS (SELECT doc_id, length(s) AS n,
+                         length(s) - length(replace(s, 'A', '')) AS ca,
+                         length(s) - length(replace(s, 'E', '')) AS ce,
+                         length(s) - length(replace(s, 'T', '')) AS ct,
+                         length(translate(s, '{_HYD_SRC}', '{_HYD_DST}')) AS nt,
+                         length(replace(translate(s, '{_HYD_SRC}', '{_HYD_DST}'), '1', ''))
+                           AS nt_no1,
+                         length(replace(translate(s, '{_HYD_SRC}', '{_HYD_DST}'), '2', ''))
+                           AS nt_no2,
+                         length(replace(translate(s, '{_HYD_SRC}', '{_HYD_DST}'), '3', ''))
+                           AS nt_no3
+                  FROM d)
+            SELECT doc_id, CAST(n AS DOUBLE) AS length,
+                   CASE WHEN n > 0 THEN ca / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS comp_A,
+                   CASE WHEN n > 0 THEN ce / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS comp_E,
+                   CASE WHEN n > 0 THEN ct / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS comp_T,
+                   CASE WHEN n > 0 THEN (nt - nt_no1) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     AS ctd_hydrophobicity_c1,
+                   CASE WHEN n > 0 THEN (nt - nt_no2) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     AS ctd_hydrophobicity_c2,
+                   CASE WHEN n > 0 THEN (nt - nt_no3) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     AS ctd_hydrophobicity_c3
+            FROM c
         """,
         "t1_language_id": _duck_lid_sql(),
         "t2_quality_score": f"""
