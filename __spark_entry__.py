@@ -29,6 +29,7 @@ from profet_spark.functions.alphabets import (
     CTD_CLASS_MAPS,
     FLEX_SCALE,
     HYDRO_SCALE,
+    R8_MAP,
     translate_pair,
 )
 from profet_spark.operators import asof, dedup, similarity, temporal
@@ -203,6 +204,7 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NB: DuckDB regexp_replace needs the 'g' flag (Spark's is global by default)
 _NORM = "regexp_replace(upper({c}), '[^A-Z]', '', 'g')"
 _HYD_SRC, _HYD_DST = translate_pair(CTD_CLASS_MAPS["hydrophobicity"])
+_R8_SRC, _R8_DST = translate_pair(R8_MAP)
 
 
 def _q_char_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +314,9 @@ def _q_profet_sql_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "length", "comp_A", "comp_E", "comp_T",
         "ctd_hydrophobicity_c1", "ctd_hydrophobicity_c2", "ctd_hydrophobicity_c3",
+        # k2_12: distinct-digit bigram, so occurrences cannot self-overlap
+        # and the oracle's replace-count is exact
+        "k2_12", "term_n_1", "term_c_1",
     )
 
 
@@ -1260,7 +1265,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "profet_features_sql_slice": f"""
             WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
+            r8 AS (SELECT doc_id, s,
+                          translate(s, '{_R8_SRC}', '{_R8_DST}') AS t8,
+                          translate(substr(s, 1, 15), '{_R8_SRC}', '{_R8_DST}') AS tn,
+                          translate(right(s, 15), '{_R8_SRC}', '{_R8_DST}') AS tc
+                   FROM d),
             c AS (SELECT doc_id, length(s) AS n,
+                         length(t8) - 1 AS nk2,
+                         (length(t8) - length(replace(t8, '12', ''))) / 2 AS k12,
+                         length(tn) AS mn_,
+                         length(tn) - length(replace(tn, '1', '')) AS cn1,
+                         length(tc) AS mc_,
+                         length(tc) - length(replace(tc, '1', '')) AS cc1,
                          length(s) - length(replace(s, 'A', '')) AS ca,
                          length(s) - length(replace(s, 'E', '')) AS ce,
                          length(s) - length(replace(s, 'T', '')) AS ct,
@@ -1271,7 +1287,7 @@ def oracle_sql() -> dict[str, str]:
                            AS nt_no2,
                          length(replace(translate(s, '{_HYD_SRC}', '{_HYD_DST}'), '3', ''))
                            AS nt_no3
-                  FROM d)
+                  FROM r8)
             SELECT doc_id, CAST(n AS DOUBLE) AS length,
                    CASE WHEN n > 0 THEN ca / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS comp_A,
                    CASE WHEN n > 0 THEN ce / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS comp_E,
@@ -1281,7 +1297,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n > 0 THEN (nt - nt_no2) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
                      AS ctd_hydrophobicity_c2,
                    CASE WHEN n > 0 THEN (nt - nt_no3) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-                     AS ctd_hydrophobicity_c3
+                     AS ctd_hydrophobicity_c3,
+                   CASE WHEN nk2 > 0 THEN k12 / CAST(nk2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     AS k2_12,
+                   CASE WHEN mn_ > 0 THEN cn1 / CAST(mn_ AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     AS term_n_1,
+                   CASE WHEN mc_ > 0 THEN cc1 / CAST(mc_ AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     AS term_c_1
             FROM c
         """,
         "t1_language_id": _duck_lid_sql(),
