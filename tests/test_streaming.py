@@ -116,3 +116,51 @@ def test_stateful_asof_equals_batch_multi_batch(spark, sf_dir, ev_schema,
                          output_mode="append")
     got = spark.table("t_asof2").select("event_id", "user_id", "value", "pv_asof")
     assert _pdf(got).equals(_pdf(_batch_asof_want(spark, sf_dir)))
+
+
+def test_late_data_dropped_by_watermark(spark, sf_dir, ev_schema, tmp_path_factory):
+    """§2.9 late-data contract: rows behind the watermark are excluded
+    from stateful aggregation — the streaming stand-in for the batch
+    zero-leakage rule. Spark's two-watermark design (late-event filtering
+    uses the PREVIOUS batch's committed watermark, state eviction the
+    current one) means a row only counts as late once the watermark of
+    two batches ago has passed it — hence three micro-batches here, with
+    the late rows far behind every watermark."""
+    import time as _t
+
+    import pandas as pd
+    out = str(tmp_path_factory.mktemp("events_late"))
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.limit(200).toPandas().sort_values("ts").reset_index(drop=True)
+    lo = base["ts"].min()
+    late = base.iloc[:5].copy()
+    late["ts"] = lo - pd.Timedelta(days=30)
+    late["event_id"] = late["event_id"] + 10_000_000
+    spark.createDataFrame(base.iloc[:100], schema=ev.schema).coalesce(1) \
+        .write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)
+    spark.createDataFrame(base.iloc[100:], schema=ev.schema).coalesce(1) \
+        .write.mode("append").parquet(out)
+    _t.sleep(1.1)
+    spark.createDataFrame(late, schema=ev.schema).coalesce(1) \
+        .write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    agg = st.tumbling_counts(stream, "1 hour")
+    q = (agg.writeStream.format("memory").queryName("t_late")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    progress = {p["batchId"]: p for p in q.recentProgress}
+    assert len(progress) == 3, "expected one micro-batch per file"
+    last = progress[max(progress)]
+    dropped = last["stateOperators"][0]["numRowsDroppedByWatermark"]
+    assert dropped > 0, "late rows must be dropped at the state operator"
+    # and no late window leaked into the output (late windows floor to
+    # hours 30 days before the base data; base windows floor to >= lo-1h)
+    late_hi = late["ts"].max().floor("h")
+    n_late_windows = (spark.table("t_late")
+                      .where(F.col("win_start") <= F.lit(late_hi).cast("timestamp_ntz"))
+                      .count())
+    assert n_late_windows == 0
