@@ -434,6 +434,15 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann(emb, emb.where(F.col("vec_id") < 20), k=5, dim=64)
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 IVF-partitioned ANN (bucket-pruned scale path) — approximate by
+    design, so rows-only to the driver; recall vs N1 and exact-cosine
+    ranking are asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(emb, emb.where(F.col("vec_id") < 20), k=5,
+                              n_centroids=16, n_probe=3)
+
+
 # ------------------------------------------------------- misc operators
 
 
@@ -945,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_dup": _q_embedding_dup,
         "n1_cosine_topk": _q_cosine_topk,
         "n2_lsh_ann": _q_lsh_ann,
+        "n3_ivf_ann": _q_ivf_ann,
         "j4_range_join": _q_range_join,
         "a10_distinct_counts": _q_distinct,
         "a11_rollup": _q_rollup,

@@ -1,6 +1,7 @@
 """Approximate/exact nearest-neighbor search over embedding columns.
 
-Two tiers (task mandate: similarity search as a first-class component):
+Three tiers (task mandate: similarity search as a first-class component;
+N3 ivf_ann is the partition-pruned scale path defined further below):
 
 N1  cosine_topk — brute-force exact top-k: broadcast the (small) query set
     against the corpus, cosine per (query, corpus) pair, window top-k.
@@ -198,3 +199,106 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            n_centroids: int = 16, n_probe: int = 2) -> DataFrame:
+    """N3: IVF-partitioned approximate top-k — the bucket-pruned scale path.
+
+    Inverted-file design: every corpus vector is assigned to its nearest
+    coarse centroid (exact int64 cosine, deterministic first-max
+    tiebreak); a query probes only its ``n_probe`` nearest centroid
+    buckets, so the exact re-rank touches ~n_probe/n_centroids of the
+    corpus. At warehouse scale the feature table is written PARTITIONED BY
+    the centroid id, turning the probe into partition pruning at the scan
+    (only the probed buckets are read at all); in-query, the broadcast
+    probe join prunes rows before any cosine is computed.
+
+    Centroid selection is the deterministic stub a sandbox allows — the
+    ``n_centroids`` lowest-id vectors (a production deployment plugs in
+    k-means/k-means|| centroids here; the assignment, probing, and
+    re-rank machinery is unchanged). Cosines are the exact quantized-int
+    scheme of cosine_topk, so ranking among candidates is bit-identical
+    to the brute-force baseline; recall vs N1 is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(corpus.dtypes)[id_col]
+    spark = corpus.sparkSession
+
+    cent_rows = (_quantized(corpus, id_col, vec_col).orderBy("id")
+                 .limit(n_centroids).select("q", "nrm").collect())
+    if not cent_rows:
+        empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
+    Cm = np.asarray([r["q"] for r in cent_rows], dtype=np.int64)
+    cnrm = np.asarray([r["nrm"] for r in cent_rows], dtype=np.float64)
+
+    def _cos_to_centroids(Q, qnrm):
+        dots = Q @ Cm.T
+        return dots.astype(np.float64) / np.sqrt(qnrm[:, None] * cnrm[None, :])
+
+    assign_schema = f"id {id_type}, q array<bigint>, nrm bigint, cid int"
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            cos = _cos_to_centroids(Q, nrm)
+            # np.argmax returns the FIRST max — lowest centroid id on ties
+            pdf = pdf[["id", "q", "nrm"]].copy()
+            pdf["cid"] = np.argmax(cos, axis=1).astype("int32")
+            yield pdf
+
+    assigned = _quantized(corpus, id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    q_rows = (_quantized(queries, id_col, vec_col)
+              .select("id", "q", "nrm").collect())
+    if not q_rows:
+        empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
+    qids = [r["id"] for r in q_rows]
+    Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
+    qnrm = np.asarray([r["nrm"] for r in q_rows], dtype=np.float64)
+    qidx = {qid: i for i, qid in enumerate(qids)}
+    qcos = _cos_to_centroids(Qm, qnrm)
+    probes = []
+    for i, qid in enumerate(qids):
+        order = np.argsort(-qcos[i], kind="stable")[:n_probe]
+        probes += [(qid, int(c)) for c in order]
+    probe_df = spark.createDataFrame(probes, f"qid {id_type}, cid int")
+
+    cand = assigned.join(F.broadcast(probe_df), "cid").select(
+        F.col("qid"), F.col("id"), F.col("q"), F.col("nrm"))
+
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def rank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            res = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for qid, grp in pdf.groupby("qid", sort=False):
+                C = np.asarray([np.asarray(v, dtype=np.int64) for v in grp["q"]])
+                ids = grp["id"].to_numpy()
+                nrm = grp["nrm"].to_numpy(dtype=np.float64)
+                j = qidx[qid]
+                dots = C @ Qm[j]
+                cos = dots.astype(np.float64) / np.sqrt(nrm * qnrm[j])
+                cos[ids == qid] = -np.inf
+                kk = min(k, len(ids))
+                for i in np.lexsort((ids, -cos))[:kk]:
+                    if np.isneginf(cos[i]):
+                        continue
+                    res["query_id"].append(qid)
+                    res["neighbor_id"].append(ids[i])
+                    res["cosine"].append(cos[i])
+            yield pd.DataFrame(res)
+
+    local = cand.mapInPandas(rank, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

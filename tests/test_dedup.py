@@ -129,3 +129,14 @@ def test_minhash_lsh_max_bucket_noop_when_loose(spark, sf_dir):
     cols = ["id_a", "id_b"]
     assert sorted(map(tuple, base[cols].values.tolist())) == \
         sorted(map(tuple, capped[cols].values.tolist()))
+
+
+def test_ngram_jaccard_max_bucket_noop_when_loose(spark, sf_dir):
+    from profet_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    base = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).toPandas()
+    capped = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                       max_bucket=10**6).toPandas()
+    cols = ["id_a", "id_b"]
+    assert sorted(map(tuple, base[cols].values.tolist())) == \
+        sorted(map(tuple, capped[cols].values.tolist()))
