@@ -43,6 +43,12 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
+# queries allowed to fall back to allclose instead of the driver-strict
+# bitwise comparison — currently NONE (every oracle'd query derives its
+# doubles from exact integers / single IEEE expressions)
+NON_BITWISE: set[str] = set()
+
+
 @pytest.mark.parametrize("name", sorted(ENTRY.queries().keys()))
 def test_query_vs_oracle(spark, duck, name):
     q = ENTRY.queries()[name]
@@ -58,10 +64,19 @@ def test_query_vs_oracle(spark, duck, name):
     for c in got.columns:
         a, b = got[c], want[c]
         if a.dtype.kind in "fc" or b.dtype.kind in "fc":
-            np.testing.assert_allclose(
-                a.astype(float).to_numpy(), b.astype(float).to_numpy(),
-                rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=f"{name}.{c}",
-            )
+            av = a.astype(float).to_numpy()
+            bv = b.astype(float).to_numpy()
+            if name in NON_BITWISE:
+                np.testing.assert_allclose(
+                    av, bv, rtol=1e-9, atol=1e-12, equal_nan=True,
+                    err_msg=f"{name}.{c}")
+            else:
+                # the driver compares by VALUE HASH — floats must match
+                # bit for bit, which the exact-integer derivations
+                # guarantee (sweep verified 2026-08-17: all 53 queries)
+                assert np.array_equal(av.view("int64"), bv.view("int64")), (
+                    f"{name}.{c}: {int((av.view('int64') != bv.view('int64')).sum())}"
+                    " float values differ bitwise")
         else:
             assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name}.{c}"
 
