@@ -868,6 +868,33 @@ def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- remaining §2 long tail
 
 
+def _q_star_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 star-schema dimension chain: supplier ⋈ nation ⋈ region with
+    both dims broadcast — zero shuffles on the fact side."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"),
+             F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("string").alias("total_bal"))
+    )
+
+
+def _q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 variant over part: per-brand counts + exact DECIMAL price sums."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"),
+             F.min("p_size").alias("min_size"),
+             F.max("p_size").alias("max_size"),
+             F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("string").alias("total_price"))
+    )
+
+
 def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 cube variant: all grouping-set combinations with indicators."""
     orders = load_table(spark, sf_dir, "orders")
@@ -990,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_qso": _q_qso,
         "d4_simhash_pairs": _q_simhash_pairs,
         "a11_cube": _q_cube,
+        "j2_star_dims": _q_star_dims,
+        "a9_part_stats": _q_part_stats,
         "o4_set_ops": _q_set_ops,
         "o5_global_topk": _q_global_topk,
         "c5_date_scalars": _q_date_scalars,
@@ -1639,6 +1668,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM sh a JOIN sh b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "j2_star_dims": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS total_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "a9_part_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   min(p_size) AS min_size, max(p_size) AS max_size,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price
+            FROM part GROUP BY p_brand
         """,
         "a11_cube": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
