@@ -1176,10 +1176,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w5_sessionize": """
             SELECT user_id, ts, event_id,
-                   sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '3600' SECOND
+                   CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '3600' SECOND
                             THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                     AS BIGINT) AS session_id
             FROM (SELECT user_id, ts, event_id,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                   FROM events)
@@ -1285,7 +1286,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d WHERE length(t) > 1
         """,
         "f1_doc_filter": f"""
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
             WHERE n_chars BETWEEN 50 AND 2000
               AND length({_NORM.format(c='text')}) >= 20
@@ -1293,7 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c9_json_props": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -1418,7 +1419,8 @@ def oracle_sql() -> dict[str, str]:
                             sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
                      FROM (SELECT id, h, unnest(generate_series(0, 31)) AS j FROM hs)
                      GROUP BY id, j)
-            SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+            SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                            AS BIGINT) AS simhash
             FROM bits GROUP BY id
         """,
         "d5_embedding_dup": f"""
@@ -1662,7 +1664,8 @@ def oracle_sql() -> dict[str, str]:
                      FROM (SELECT id, h, unnest(generate_series(0, 31)) AS j FROM hs)
                      GROUP BY id, j),
             sh AS (SELECT id,
-                          sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+                          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                               AS BIGINT) AS simhash
                    FROM bits GROUP BY id)
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

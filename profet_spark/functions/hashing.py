@@ -66,6 +66,22 @@ def h32_sql_duckdb(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def h32_hi(col: Column | str) -> Column:
+    """Second portable 32-bit hash from the SAME md5: int(md5(s)[8:16], 16).
+
+    Together with :func:`h32` this yields 64 independent uniform bits per
+    input at the cost of one md5 — used by the 64-bit SimHash (the 32-bit
+    form's 4x256 block-join key space degenerates to O(n^2/1024) candidate
+    pairs at 10^9+ docs; 64 bits with 16-bit blocks gives 4x65536 keys)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("bigint")
+
+
+def h32_hi_sql_duckdb(expr: str) -> str:
+    """The DuckDB-side expression computing the same value as :func:`h32_hi`."""
+    return f"CAST(('0x' || substr(md5({expr}), 9, 8)) AS BIGINT)"
+
+
 def minhash_perm_sql(h_expr: str, a: int, b: int, p: int = MINHASH_P) -> str:
     """Engine-neutral SQL text for one MinHash permutation of a hash value."""
     return f"(({a} * (({h_expr}) % {p}) + {b}) % {p})"

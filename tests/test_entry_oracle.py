@@ -63,6 +63,13 @@ def test_query_vs_oracle(spark, duck, name):
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     for c in got.columns:
         a, b = got[c], want[c]
+        # driver-strict: the driver hashes raw values, so an int64 Spark
+        # column vs a DECIMAL128/HUGEINT-derived oracle column hash-mismatches
+        # even when numerically equal (round-1 failure class: uncast DuckDB
+        # sum() over integers). Require same dtype *kind* before comparing.
+        assert a.dtype.kind == b.dtype.kind, (
+            f"{name}.{c}: dtype kind mismatch spark={a.dtype} vs "
+            f"oracle={b.dtype} — cast the oracle (e.g. CAST(sum(..) AS BIGINT))")
         if a.dtype.kind in "fc" or b.dtype.kind in "fc":
             av = a.astype(float).to_numpy()
             bv = b.astype(float).to_numpy()
