@@ -1036,15 +1036,23 @@ _DUCK_NORM_TXT = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
 
 
 def _duck_shingle_cte(k: int, table: str = "documents", id_col: str = "doc_id",
-                      text_col: str = "text") -> str:
-    """CTEs d/g/hs/cnt: distinct word-k-gram h32 hashes per doc."""
+                      text_col: str = "text", wide: bool = False) -> str:
+    """CTEs d/g/hs/cnt: distinct word-k-gram h32 hashes per doc.
+
+    ``wide=True`` adds ``h2`` (second 32 bits of the same md5 — the oracle
+    twin of dedup.exploded_shingle_hashes(wide=True), used by the 64-bit
+    SimHash); distinct is then over (id, h, h2) on both engines."""
     parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    hs = (f"hs AS (SELECT DISTINCT id, {H.h32_sql_duckdb('s')} AS h, "
+          f"{H.h32_hi_sql_duckdb('s')} AS h2 FROM g)"
+          if wide else
+          f"hs AS (SELECT DISTINCT id, {H.h32_sql_duckdb('s')} AS h FROM g)")
     return f"""
         d AS (SELECT {id_col} AS id, {_DUCK_WORDS.format(c=text_col)} AS w FROM {table}),
         g AS (SELECT id, {parts} AS s
               FROM (SELECT id, w, unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS i
                     FROM d)),
-        hs AS (SELECT DISTINCT id, {H.h32_sql_duckdb('s')} AS h FROM g),
+        {hs},
         cnt AS (SELECT id, count(*) AS n FROM hs GROUP BY id)"""
 
 
@@ -1414,13 +1422,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d3_minhash_lsh": _duck_minhash_lsh_sql(0.5),
         "d4_simhash": f"""
-            WITH {_duck_shingle_cte(2)},
+            WITH {_duck_shingle_cte(2, wide=True)},
             bits AS (SELECT id, j,
-                            sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
-                     FROM (SELECT id, h, unnest(generate_series(0, 31)) AS j FROM hs)
+                            sum(CASE WHEN (((CASE WHEN j < 32 THEN h ELSE h2 END)
+                                            >> (j % 32)) & 1) = 1
+                                     THEN 1 ELSE -1 END) AS v
+                     FROM (SELECT id, h, h2, unnest(generate_series(0, 63)) AS j FROM hs)
                      GROUP BY id, j)
-            SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-                            AS BIGINT) AS simhash
+            SELECT id, CAST(sum(CASE WHEN v > 0 THEN
+                                  (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                        ELSE (CAST(1 AS BIGINT) << j) END)
+                                ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY id
         """,
         "d5_embedding_dup": f"""
@@ -1658,14 +1670,18 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "d4_simhash_pairs": f"""
-            WITH {_duck_shingle_cte(2)},
+            WITH {_duck_shingle_cte(2, wide=True)},
             bits AS (SELECT id, j,
-                            sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
-                     FROM (SELECT id, h, unnest(generate_series(0, 31)) AS j FROM hs)
+                            sum(CASE WHEN (((CASE WHEN j < 32 THEN h ELSE h2 END)
+                                            >> (j % 32)) & 1) = 1
+                                     THEN 1 ELSE -1 END) AS v
+                     FROM (SELECT id, h, h2, unnest(generate_series(0, 63)) AS j FROM hs)
                      GROUP BY id, j),
             sh AS (SELECT id,
-                          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-                               AS BIGINT) AS simhash
+                          CAST(sum(CASE WHEN v > 0 THEN
+                                     (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                           ELSE (CAST(1 AS BIGINT) << j) END)
+                                   ELSE 0 END) AS BIGINT) AS simhash
                    FROM bits GROUP BY id)
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

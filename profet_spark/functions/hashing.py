@@ -148,7 +148,11 @@ def band_hashes(signature: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS)
 def simhash32(hashes: Column) -> Column:
     """32-bit SimHash over an array of (already hashed) features: bit j of
     the result is 1 iff sum over features of (+1 if bit j of h32 set else -1)
-    is positive. Pure integer arithmetic — engine-portable, shuffle-free."""
+    is positive. Pure integer arithmetic — engine-portable, shuffle-free.
+
+    Per-row HOF reference form only (interpreted lambdas, ~40x slower than
+    codegen); the engine's production path is the 64-bit explode+aggregate
+    in operators/dedup.simhash_table (wider block-join key space)."""
     def bit(j: int) -> Column:
         vote = F.aggregate(
             hashes,

