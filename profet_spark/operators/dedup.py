@@ -132,13 +132,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     Plan: shingle-hash explode -> self equi-join on the hash -> per-pair
     intersection count -> jaccard from set sizes. The join key is an int64
     hash; ``max_bucket`` drops stop-shingles (appearing in more docs than
-    the cap) exactly like production near-dup pipelines do."""
+    the cap) exactly like production near-dup pipelines do. With a cap set,
+    jaccard is exact over the RETAINED shingle universe (set sizes are
+    computed after the cap, consistently with the intersection); without a
+    cap it is plain exact jaccard."""
     ex = exploded_shingle_hashes(df, id_col, text_col, k)
-    cnt = ex.groupBy("id").agg(F.count("*").alias("n"))
     if max_bucket is not None:
         wcnt = Window.partitionBy("h")
         ex = ex.withColumn("_bn", F.count("*").over(wcnt)).where(
             F.col("_bn") <= max_bucket).drop("_bn")
+    # set sizes AFTER the stop-shingle cap: jaccard is then exact over the
+    # retained shingle universe (counting dropped shingles in na/nb but not
+    # in the intersection would bias jaccard downward for every doc that
+    # touches a capped shingle)
+    cnt = ex.groupBy("id").agg(F.count("*").alias("n"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -229,11 +236,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # materializes the signature/shingle table once (S7 checkpoint sink)
     # and shares it across both stages.
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
-                .union(cand.select(F.col("id_b").alias(id_col))))
-    # broadcast the candidate ids: without the hint the semi join statically
-    # plans as SMJ and would shuffle the full corpus (text included) on id;
-    # the candidate set is bounded by the banding threshold, so build-side
-    # size is safe by construction
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    # broadcast the candidate ids — DISTINCT first, so the build side is
+    # bounded by distinct candidate docs, not candidate pairs (an m-doc
+    # near-dup cluster yields O(m^2) pair-sides but only m distinct ids;
+    # without the dedup a boilerplate-heavy corpus could OOM the build).
+    # Without the broadcast hint the semi join statically plans as SMJ and
+    # would shuffle the full corpus (text included) on id.
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     sets = (
         exploded_shingle_hashes(cand_docs, id_col, text_col, k)

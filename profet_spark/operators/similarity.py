@@ -9,18 +9,20 @@ N1  cosine_topk — brute-force exact top-k: broadcast the (small) query set
     scheme from functions/hashing.py so values are bitwise-deterministic
     and oracle-portable.
 
-N2  lsh_ann — random-hyperplane (sign) LSH: per-row signature bits from
-    deterministic pseudo-random planes (h32-derived — no RNG state to ship),
-    banded into buckets; candidates = corpus rows sharing >=1 band with the
-    query; exact cosine + top-k within candidates. Recall measured against
-    N1 in tests.
+N2  lsh_ann — random-hyperplane (sign) LSH: 64 signature bits from
+    deterministic pseudo-random planes (h32-derived — no RNG state to
+    ship), banded 8 x 8-bit; candidates = corpus rows sharing >=1 band
+    digest with the query; exact Arrow-matmul cosine + top-k within
+    candidates. Recall measured against N1 in tests.
 
 Scale notes (100 TB corpus):
 - N1 broadcasts ONLY the query side (queries are small by construction);
   the corpus is scanned once, map-side, no shuffle before the final
   per-query top-k (which AQE handles as a tiny aggregate).
-- N2's bucket join shuffles (band_id, band_digest) keys, never raw vectors
-  beyond the candidate set; plane projections are narrow per-row folds.
+- N2 broadcasts the query band digests, so candidate generation is
+  map-side (zero shuffle); signatures and re-rank cosines are one int64
+  matmul per Arrow batch, and only (query_id, neighbor_id, cosine) winners
+  ever cross an exchange.
 """
 
 from __future__ import annotations
@@ -30,9 +32,9 @@ from pyspark.sql.window import Window
 
 from profet_spark.functions import hashing as H
 
-ANN_PLANES = 16  # hyperplane count (signature bits)
-ANN_BANDS = 4    # 4 bands x 4 bits
-ANN_BAND_BITS = 4
+ANN_PLANES = 64  # hyperplane count (signature bits)
+ANN_BANDS = 8    # 8 bands x 8 bits
+ANN_BAND_BITS = 8
 
 
 def _plane_coef(p: int, d: int) -> int:
@@ -48,12 +50,37 @@ def _plane_coef(p: int, d: int) -> int:
     return h - 2147483648
 
 
+def _planes_matrix(dim: int):
+    """(ANN_PLANES, dim) int64 numpy matrix of the deterministic plane
+    coefficients — the Arrow-kernel twin of :func:`_signature_bits`."""
+    import numpy as np
+    return np.asarray(
+        [[_plane_coef(p, d) for d in range(dim)] for p in range(ANN_PLANES)],
+        dtype=np.int64)
+
+
+def _pack_signatures(dots_positive):
+    """Pack an (n, ANN_PLANES) boolean sign matrix into signed int64
+    signatures (two's complement — bit 63 set means negative, matching the
+    JVM bigint form bit for bit)."""
+    import numpy as np
+    shifts = np.arange(ANN_PLANES, dtype=np.uint64)
+    u = (dots_positive.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    return u.view(np.int64)
+
+
 def _signature_bits(qvec_col: F.Column, dim: int) -> F.Column:
     """ANN_PLANES sign bits packed into a bigint: bit p = 1 iff
     dot(plane_p, q) > 0 over the QUANTIZED int64 vector. Each plane is ONE
     flat literal array folded with zip_with+aggregate — keeps the
-    expression tree (and generated code) small; an n-term arithmetic chain
-    here would blow codegen/driver heap when many queries share one JVM."""
+    expression tree (and generated code) small.
+
+    Per-row HOF *reference form* only (Spark interprets HOF lambdas per
+    element — the engine's measured ~40x slow path): the production path
+    computes the identical value with one int64 matmul in the Arrow
+    signature kernel inside :func:`lsh_ann`; tests assert the two agree
+    bitwise. Java long and numpy int64 arithmetic both wrap two's
+    complement, so even a (pathological) overflow cannot diverge."""
     sig = F.lit(0).cast("bigint")
     for p in range(ANN_PLANES):
         plane = F.array(*[F.lit(_plane_coef(p, d)).cast("bigint") for d in range(dim)])
@@ -61,19 +88,9 @@ def _signature_bits(qvec_col: F.Column, dim: int) -> F.Column:
             F.zip_with(qvec_col, plane, lambda x, y: x * y),
             F.lit(0).cast("bigint"), lambda acc, x: acc + x,
         )
-        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bit = F.lit(-(2 ** 63) if p == 63 else (1 << p)).cast("bigint")
+        sig = sig + F.when(dot > 0, bit).otherwise(F.lit(0).cast("bigint"))
     return sig
-
-
-def _band_cols(sig: F.Column) -> F.Column:
-    mask = (1 << ANN_BAND_BITS) - 1
-    return F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(sig, b * ANN_BAND_BITS).bitwiseAND(F.lit(mask)).alias("digest"),
-        )
-        for b in range(ANN_BANDS)
-    ])
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -170,35 +187,118 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            dim: int = 64) -> DataFrame:
+            dim: int | None = None) -> DataFrame:
     """N2: LSH-bucketed approximate top-k (the 100 TB path).
 
-    Candidates: corpus rows sharing >=1 of the 4 signature bands with the
-    query; exact cosine + top-k among candidates. Returns the same schema
-    as :func:`cosine_topk` (rank may hold fewer than k rows per query when
-    buckets are sparse)."""
-    def with_bands(df: DataFrame) -> DataFrame:
-        qd = _quantized(df, id_col, vec_col)
-        sig = _signature_bits(F.col("q"), dim)
-        return qd.select(
-            "id", "q", "nrm", F.explode(_band_cols(sig)).alias("bd")
-        ).select("id", "q", "nrm", F.col("bd.band").alias("band"),
-                 F.col("bd.digest").alias("digest"))
+    Candidates: corpus rows sharing >=1 of the ANN_BANDS signature bands
+    with the query; exact cosine + top-k among candidates. Returns the same
+    schema as :func:`cosine_topk` (rank may hold fewer than k rows per
+    query when buckets are sparse).
 
-    c = with_bands(corpus).alias("c")
-    qr = with_bands(queries).alias("qr")
-    dot = H.int_dot(F.col("qr.q"), F.col("c.q"))
-    cos = H.cosine_from_quantized(dot, F.col("qr.nrm"), F.col("c.nrm"))
-    cand = (
-        c.join(qr, (F.col("qr.band") == F.col("c.band"))
-               & (F.col("qr.digest") == F.col("c.digest"))
-               & (F.col("qr.id") != F.col("c.id")))
-        .select(F.col("qr.id").alias("query_id"), F.col("c.id").alias("neighbor_id"),
-                cos.alias("cosine"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    Scale shape (64 planes, 8 bands x 8-bit digests):
+    - Corpus signatures: ONE Arrow mapInPandas kernel doing an int64 matmul
+      against the broadcast (64 x dim) plane matrix — no interpreted HOF
+      folds in the per-row path.
+    - Band probe: the query band digests (small by contract) are broadcast;
+      the band equi-join is map-side, zero shuffle — an expected ~1/256 of
+      the corpus collides per band on unclustered data (vs 1/16 with the
+      old 4-bit digests, which degenerated to a near cross join).
+    - Re-rank: candidates are exact-cosine'd per Arrow batch with the SAME
+      int64 matmul kernel as cosine_topk (batch-local top-k), then a tiny
+      (query_id, neighbor_id, cosine) dedup + window pick the global top-k.
+
+    ``dim`` defaults to the query vectors' length; every corpus vector is
+    asserted to match (a silent mismatch would null out projections and
+    collapse all rows into one bucket — fail loudly instead)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(corpus.dtypes)[id_col]
+    spark = corpus.sparkSession
+
+    q_rows = (_quantized(queries, id_col, vec_col)
+              .select("id", "q", "nrm").collect())
+    if not q_rows:
+        empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
+    qids = [r["id"] for r in q_rows]
+    Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
+    qnrm = np.asarray([r["nrm"] for r in q_rows], dtype=np.float64)
+    if dim is None:
+        dim = Qm.shape[1]
+    if Qm.shape[1] != dim:
+        raise ValueError(
+            f"lsh_ann: query vectors have dim {Qm.shape[1]}, expected {dim}")
+    qidx = {qid: i for i, qid in enumerate(qids)}
+
+    P = _planes_matrix(dim)
+    qsig = _pack_signatures((Qm @ P.T) > 0).view(np.uint64)
+    mask = (1 << ANN_BAND_BITS) - 1
+    probes = [(b, int((int(qsig[i]) >> (ANN_BAND_BITS * b)) & mask), qid)
+              for i, qid in enumerate(qids) for b in range(ANN_BANDS)]
+    probe_df = spark.createDataFrame(
+        probes, f"band int, digest bigint, qid {id_type}")
+
+    sig_schema = f"id {id_type}, q array<bigint>, nrm bigint, sig bigint"
+
+    def sign_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            if C.shape[1] != dim:
+                raise ValueError(
+                    f"lsh_ann: corpus vector dim {C.shape[1]} != query dim {dim}")
+            out = pdf[["id", "q", "nrm"]].copy()
+            out["sig"] = _pack_signatures((C @ P.T) > 0)
+            yield out
+
+    signed = _quantized(corpus, id_col, vec_col).mapInPandas(sign_kernel, sig_schema)
+    banded = signed.select(
+        "id", "q", "nrm",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     F.shiftright("sig", ANN_BAND_BITS * b)
+                     .bitwiseAND(F.lit(mask)).alias("digest"))
+            for b in range(ANN_BANDS)
+        ])).alias("bd"),
+    ).select("id", "q", "nrm", F.col("bd.band").alias("band"),
+             F.col("bd.digest").alias("digest"))
+
+    cand = (banded.join(F.broadcast(probe_df), ["band", "digest"])
+            .where(F.col("qid") != F.col("id"))
+            .select("qid", "id", "q", "nrm"))
+
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def rank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # a corpus row's <=ANN_BANDS band matches land in the same batch
+            # (no shuffle since the explode) — dedup is batch-local cheap
+            pdf = pdf.drop_duplicates(subset=["qid", "id"])
+            res = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for qid, grp in pdf.groupby("qid", sort=False):
+                C = np.asarray([np.asarray(v, dtype=np.int64) for v in grp["q"]])
+                ids = grp["id"].to_numpy()
+                nrm = grp["nrm"].to_numpy(dtype=np.float64)
+                j = qidx[qid]
+                dots = C @ Qm[j]                 # exact int64, < 2^53
+                cos = dots.astype(np.float64) / np.sqrt(nrm * qnrm[j])
+                kk = min(k, len(ids))
+                for i in np.lexsort((ids, -cos))[:kk]:
+                    res["query_id"].append(qid)
+                    res["neighbor_id"].append(ids[i])
+                    res["cosine"].append(cos[i])
+            yield pd.DataFrame(res)
+
+    local = cand.mapInPandas(rank, out_schema)
+    # cross-batch duplicates (one corpus row split across batches) carry
+    # bitwise-identical cosines — dropDuplicates is a tiny narrow shuffle
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return (local.dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k))
 
 
 def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -82,6 +82,54 @@ def test_cosine_topk_strategies_bit_identical(emb):
     assert (a.cosine.to_numpy() == b.cosine.to_numpy()).all()  # bitwise
 
 
+def test_lsh_signature_jvm_arrow_parity(spark, emb):
+    """The Arrow matmul signature kernel and the JVM HOF fold reference
+    form compute the SAME 64-bit signature, bit for bit (incl. bit 63 /
+    two's complement)."""
+    from pyspark.sql import functions as F
+    df, vecs = emb
+    qd = similarity._quantized(df.limit(30), "vec_id", "embedding")
+    jvm = (qd.select("id", similarity._signature_bits(F.col("q"), DIM).alias("sig"))
+           .toPandas().set_index("id").sig)
+    q = np.floor(vecs[:30].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    arrow = similarity._pack_signatures((q @ similarity._planes_matrix(DIM).T) > 0)
+    for i in jvm.index:
+        assert int(jvm[i]) == int(arrow[i]), f"sig mismatch at {i}"
+
+
+def test_lsh_candidate_fraction_small():
+    """Scale contract: on unclustered data the 8x8-bit banding must touch
+    ~8/256 of the corpus per query, NOT the ~1/4 the old 4-bit digests
+    gave. 10k random vectors, candidate fraction asserted << corpus/4."""
+    rng = np.random.default_rng(3)
+    n = 10_000
+    vecs = rng.normal(size=(n, DIM))
+    q = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+    sig = similarity._pack_signatures(
+        (q @ similarity._planes_matrix(DIM).T) > 0).view(np.uint64)
+    bb = similarity.ANN_BAND_BITS
+    mask = np.uint64((1 << bb) - 1)
+    digests = np.stack([(sig >> np.uint64(bb * b)) & mask
+                        for b in range(similarity.ANN_BANDS)], axis=1)
+    fractions = []
+    for qi in range(20):
+        cand = np.zeros(n, dtype=bool)
+        for b in range(similarity.ANN_BANDS):
+            cand |= digests[:, b] == digests[qi, b]
+        cand[qi] = False
+        fractions.append(cand.sum() / n)
+    mean_frac = float(np.mean(fractions))
+    # random data: ~8/256 = 3.1% expected; the old 4-bit scheme gave ~25%
+    assert mean_frac < 0.25 / 4, f"candidate fraction {mean_frac:.3f} too high"
+
+
+def test_lsh_ann_dim_mismatch_fails_loudly(emb):
+    """A wrong dim must raise, not silently bucket-collapse (ADVICE)."""
+    df, _ = emb
+    with pytest.raises(ValueError, match="dim"):
+        similarity.lsh_ann(df, df.where(df.vec_id < 3), k=3, dim=DIM + 7)
+
+
 def test_ivf_ann_recall(emb):
     """IVF bucket probing must recover most true neighbors on clustered
     data; within returned candidates, ranking matches exact cosine."""
