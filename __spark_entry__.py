@@ -961,6 +961,46 @@ def _q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 map scalars over events props: map_from_arrays / map_filter /
+    map_concat / map_keys exercised in the plan; outputs are projected to
+    plain scalars so the DuckDB oracle can reproduce the values."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.map_from_arrays(F.array(F.lit("k"), F.lit("k2")), F.array(k, k * 2))
+    mf = F.map_filter(m, lambda _, v: v % 2 == 0)
+    mc = F.map_concat(
+        m, F.create_map(F.lit("etype_len"), F.length("event_type").cast("bigint")))
+    return ev.select(
+        "event_id",
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.element_at(m, F.lit("k2")).alias("k2_val"),
+        F.size(mf).alias("n_even"),
+        F.size(mc).alias("n_all"),
+        F.concat_ws(",", F.array_sort(F.map_keys(mc))).alias("keys_sorted"),
+    )
+
+
+def _q_checkpoint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 checkpointed partition sink, driver-graded end to end: write the
+    events projection through the resumable bucketed sink (fresh temp dir),
+    then return the committed manifest (bucket, rows, checksum). The
+    'portable' hash strategy makes bucket assignment and the
+    order-insensitive checksum md5/h32-derived, so the DuckDB oracle
+    recomputes the exact same manifest from the raw table."""
+    import tempfile
+
+    from profet_spark.sources import checkpoint as ckpt
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    out = tempfile.mkdtemp(prefix="s7_manifest_")
+    ckpt.checkpointed_write(ev, out, key_cols=["event_id"], num_buckets=8,
+                            lineage=f"events@{sf_dir}", hash_strategy="portable")
+    entries = ckpt.read_manifest(spark, out)
+    rows = [(int(e["bucket"]), int(e["rows"]), int(e["checksum"])) for e in entries]
+    return spark.createDataFrame(rows, "bucket int, rows bigint, checksum bigint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -1023,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_global_topk": _q_global_topk,
         "c5_date_scalars": _q_date_scalars,
         "c6_array_ops": _q_array_ops,
+        "c7_map_ops": _q_map_ops,
+        "s7_checkpoint_manifest": _q_checkpoint_manifest,
     }
 
 
@@ -1747,4 +1789,30 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "a13_autocorr": _duck_autocorr_sql(),
+        # C7 semantics projected to scalars: k2 = 2k is always even, so
+        # n_even = 1 + (k even); null k -> both map entries' values null ->
+        # map_filter drops them -> n_even = 0 (CASE WHEN null yields ELSE 0
+        # on the oracle side too); n_all counts entries regardless of value
+        "c7_map_ops": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                       FROM events)
+            SELECT event_id, k AS k_val, k * 2 AS k2_val,
+                   CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS n_even,
+                   CAST(3 AS INT) AS n_all,
+                   'etype_len,k,k2' AS keys_sorted
+            FROM e
+        """,
+        "s7_checkpoint_manifest": f"""
+            WITH b AS (
+              SELECT CAST({H.h32_sql_duckdb("CAST(event_id AS VARCHAR)")} % 8 AS INT)
+                       AS bucket,
+                     {H.h32_sql_duckdb(
+                         "concat_ws('|', CAST(event_id AS VARCHAR), event_type,"
+                         " CAST(user_id AS VARCHAR))")} AS rh
+              FROM events)
+            SELECT bucket, count(*) AS rows, CAST(sum(rh) AS BIGINT) AS checksum
+            FROM b GROUP BY bucket
+        """,
     }

@@ -41,10 +41,16 @@ _PROFILE_WINDOW = 5
 
 
 def compute_image_stats(data: bytes, fmt: str) -> dict:
-    """Pixel-stat vector for one image. The oracle path for tests."""
+    """Pixel-stat vector for one image. The oracle path for tests.
+
+    Only the specific codec failure modes a malformed/unsupported payload
+    can produce are mapped to decode_ok=False; a programming bug in the
+    decoder raises instead of silently yielding zero-features."""
+    import struct
+    import zlib
     try:
         arr = decode(bytes(data), fmt)
-    except (NotImplementedError, ValueError, Exception):
+    except (NotImplementedError, ValueError, zlib.error, struct.error):
         return {n: (False if n == "decode_ok" else (0 if n == "phash_check" else 0.0))
                 for n, _ in IMG_FEATURES}
     lum = luminance(arr)

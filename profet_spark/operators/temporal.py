@@ -8,8 +8,9 @@ Leakage discipline (BASELINE.json north_rule): operators that read the
 future (``lead``, ``bfill``) are train-time-only conveniences and say so;
 everything else is bounded at the current row (``rowsBetween(..., 0)`` or
 ``(..., -1)``) so a feature at ``(entity, t)`` can never observe rows with
-``ts > t``. The zero-leakage property test (tests/test_leakage.py)
-recomputes on a truncated input and asserts bit-equality.
+``ts > t``. The zero-leakage property tests (tests/test_asof.py and
+tests/test_pipeline.py) recompute on a truncated input and assert
+bit-equality.
 
 At 100 TB scale: all windows below share one partitioning
 (``partitionBy(entity)``), so Catalyst plans a single Exchange reused by

@@ -31,8 +31,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from profet_spark.functions import hashing as H
+
 BUCKET_COL = "__bucket"
 MANIFEST_DIR = "_manifest"
+
+# bucket/checksum hash strategies:
+# - "xxhash64": Spark-native, fastest (JVM codegen'd) — the production
+#   default.
+# - "portable": md5-derived h32 over '|'-joined string casts — computable
+#   bit-for-bit in the DuckDB oracle, so the manifest itself can be graded
+#   against SQL (used by the s7_checkpoint_manifest driver query).
+HASH_STRATEGIES = ("xxhash64", "portable")
+
+
+def _key_hash(cols: list[str], hash_strategy: str) -> F.Column:
+    if hash_strategy == "xxhash64":
+        return F.xxhash64(*[F.col(c) for c in cols])
+    if hash_strategy == "portable":
+        return H.h32(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    raise ValueError(f"unknown hash_strategy: {hash_strategy!r}")
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -57,14 +75,17 @@ def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     return {e["bucket"] for e in read_manifest(spark, out_dir)}
 
 
-def _bucket_metrics(df: DataFrame, cols: list[str]) -> list[dict]:
+def _bucket_metrics(df: DataFrame, cols: list[str],
+                    hash_strategy: str = "xxhash64") -> list[dict]:
     """(bucket, rows, checksum) in one hash agg. The checksum is the
-    64-bit wrapping sum of per-row xxhash64 over all output columns —
+    sum of per-row 32-bit-masked hashes over all output columns —
     order-insensitive, so any execution order verifies equal."""
     # canonical column order; low-32-bit mask + DECIMAL(38) sum keeps the
     # checksum exact and overflow-free up to ~10^28 rows (ANSI mode would
     # reject a wrapping long sum)
-    h = F.xxhash64(*[F.col(c) for c in sorted(cols)]).bitwiseAND(F.lit(0xFFFFFFFF))
+    h = _key_hash(sorted(cols), hash_strategy)
+    if hash_strategy == "xxhash64":
+        h = h.bitwiseAND(F.lit(0xFFFFFFFF))  # h32 is already 32-bit
     rows = (
         df.groupBy(BUCKET_COL)
         .agg(F.count("*").alias("rows"), F.sum(h.cast("decimal(38,0)")).alias("checksum"))
@@ -83,6 +104,7 @@ def checkpointed_write(
     num_buckets: int = 32,
     lineage: str = "",
     fail_after_buckets: int | None = None,
+    hash_strategy: str = "xxhash64",
 ) -> dict:
     """Write ``df`` to parquet under ``out_dir`` in resumable buckets.
 
@@ -96,7 +118,8 @@ def checkpointed_write(
     spark = df.sparkSession
     done = committed_buckets(spark, out_dir)
     bucketed = df.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+        BUCKET_COL,
+        F.pmod(_key_hash(key_cols, hash_strategy), F.lit(num_buckets)).cast("int"),
     )
     pending = sorted(set(range(num_buckets)) - done)
     if fail_after_buckets is not None:
@@ -114,7 +137,7 @@ def checkpointed_write(
         .parquet(out_dir)
     )
     data_cols = [c for c in df.columns]
-    metrics = _bucket_metrics(subset, data_cols)
+    metrics = _bucket_metrics(subset, data_cols, hash_strategy)
 
     os.makedirs(_manifest_path(out_dir), exist_ok=True)
     entry_file = os.path.join(_manifest_path(out_dir), f"commit-{uuid.uuid4().hex}.json")
@@ -125,6 +148,7 @@ def checkpointed_write(
                 **m,
                 "key_cols": key_cols,
                 "num_buckets": num_buckets,
+                "hash_strategy": hash_strategy,
                 "lineage": lineage,
                 "app_id": app_id,
                 "committed_at": time.time(),
@@ -148,11 +172,14 @@ def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     entries = {e["bucket"]: e for e in read_manifest(spark, out_dir)}
     if not entries:
         return True
+    strategies = {e.get("hash_strategy", "xxhash64") for e in entries.values()}
+    assert len(strategies) == 1, f"mixed hash strategies in manifest: {strategies}"
     df = spark.read.parquet(out_dir)
     data_cols = [c for c in df.columns if c != BUCKET_COL]
     recomputed = {
         m["bucket"]: m
-        for m in _bucket_metrics(df.where(F.col(BUCKET_COL).isin(list(entries))), data_cols)
+        for m in _bucket_metrics(df.where(F.col(BUCKET_COL).isin(list(entries))),
+                                 data_cols, strategies.pop())
     }
     for b, e in entries.items():
         m = recomputed.get(b)  # a fully-missing bucket recomputes to nothing

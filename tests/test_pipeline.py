@@ -48,6 +48,25 @@ def test_image_features_match_oracle(spark, snap):
             assert np.isclose(got[k], want[k], rtol=1e-9), k
 
 
+def test_image_stats_codec_errors_vs_bugs(monkeypatch, snap):
+    """Malformed payloads map to decode_ok=False; an injected PROGRAMMING
+    bug in the decoder must raise, not silently yield zero-features."""
+    _, pdf = snap
+    r = pdf.iloc[0]
+    # corrupt payload -> specific codec error -> decode_ok=False
+    bad = imgd.compute_image_stats(b"\x00\x01garbage", r.fmt)
+    assert bad["decode_ok"] is False and bad["lum_mean"] == 0.0
+    # injected decoder bug -> raises through
+    from profet_spark.functions import image_descriptors as mod
+
+    def buggy_decode(data, fmt):
+        raise TypeError("injected bug")
+
+    monkeypatch.setattr(mod, "decode", buggy_decode)
+    with pytest.raises(TypeError, match="injected bug"):
+        mod.compute_image_stats(r.bytes, r.fmt)
+
+
 def test_caption_byte_equality(spark, snap):
     df, pdf = snap
     back = df.select("image_id", "ts", "caption").toPandas()
