@@ -301,9 +301,60 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k))
 
 
+def _train_centroids_kmeans(qdf: DataFrame, n_centroids: int,
+                            sample_size: int = 4096, n_iter: int = 15):
+    """Spherical k-means (Lloyd) over a deterministic corpus sample.
+
+    - Sample: top ``sample_size`` rows by ``(h32(id), id)`` — seed-free
+      pseudo-random; the plan is TakeOrderedAndProject (per-partition
+      partial top-k, tiny shuffle of winners), NOT a full sort, so the
+      sampling scans the corpus once map-side at any scale.
+    - Init: the first ``n_centroids`` sample rows (already hash-shuffled).
+    - Lloyd: cosine assignment / mean-direction update in float64;
+      an emptied cluster is reseeded to the point worst-covered by the
+      current centroids (deterministic argmin of max-sim).
+
+    Returns (Cm int64 (n_centroids, dim), cnrm float64) re-quantized into
+    the engine's exact int64 cosine scheme. Iteration math is driver-side
+    numpy over <= sample_size rows — bounded regardless of corpus size."""
+    import numpy as np
+
+    rows = (qdf.orderBy(H.h32(F.col("id").cast("string")), F.col("id"))
+            .limit(sample_size).select("q").collect())
+    X = np.asarray([r["q"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0] / norms[norms > 0, None]
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        sims = X @ C.T
+        labels = sims.argmax(axis=1)
+        worst = sims.max(axis=1).argsort(kind="stable")  # ascending coverage
+        w_i = 0
+        newC = np.empty_like(C)
+        for c in range(k):
+            members = X[labels == c]
+            if len(members) == 0:
+                newC[c] = X[worst[w_i]]
+                w_i += 1
+                continue
+            m = members.mean(axis=0)
+            n = np.sqrt((m * m).sum())
+            newC[c] = m / n if n > 0 else X[worst[w_i]]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    Cm = np.floor(C * 1e6 + 0.5).astype(np.int64)
+    cnrm = (Cm.astype(np.float64) ** 2).sum(axis=1)
+    return Cm, cnrm
+
+
 def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            n_centroids: int = 16, n_probe: int = 2) -> DataFrame:
+            n_centroids: int = 16, n_probe: int = 2,
+            centroids: str = "kmeans", sample_size: int = 4096,
+            kmeans_iter: int = 15) -> DataFrame:
     """N3: IVF-partitioned approximate top-k — the bucket-pruned scale path.
 
     Inverted-file design: every corpus vector is assigned to its nearest
@@ -315,12 +366,19 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (only the probed buckets are read at all); in-query, the broadcast
     probe join prunes rows before any cosine is computed.
 
-    Centroid selection is the deterministic stub a sandbox allows — the
-    ``n_centroids`` lowest-id vectors (a production deployment plugs in
-    k-means/k-means|| centroids here; the assignment, probing, and
-    re-rank machinery is unchanged). Cosines are the exact quantized-int
-    scheme of cosine_topk, so ranking among candidates is bit-identical
-    to the brute-force baseline; recall vs N1 is asserted in tests.
+    Centroid training (``centroids``):
+    - ``"kmeans"`` (default): sampled spherical k-means — deterministic
+      hash-ordered sample, Lloyd iterations driver-side over a bounded
+      sample (see _train_centroids_kmeans). The production choice; at
+      warehouse scale set ``n_centroids ~ sqrt(corpus)`` and raise
+      ``sample_size`` accordingly.
+    - ``"lowest_id"``: the n_centroids lowest-id vectors — the trivially
+      deterministic stub, kept for comparison (tests assert kmeans recall
+      beats it on clustered data).
+    Assignment, probing, and re-rank are unchanged either way. Cosines are
+    the exact quantized-int scheme of cosine_topk, so ranking among
+    candidates is bit-identical to the brute-force baseline; recall vs N1
+    is asserted in tests.
     """
     import numpy as np
     import pandas as pd
@@ -328,13 +386,25 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_type = dict(corpus.dtypes)[id_col]
     spark = corpus.sparkSession
 
-    cent_rows = (_quantized(corpus, id_col, vec_col).orderBy("id")
-                 .limit(n_centroids).select("q", "nrm").collect())
-    if not cent_rows:
-        empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
-        return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
-    Cm = np.asarray([r["q"] for r in cent_rows], dtype=np.int64)
-    cnrm = np.asarray([r["nrm"] for r in cent_rows], dtype=np.float64)
+    if centroids == "kmeans":
+        Cm, cnrm = _train_centroids_kmeans(
+            _quantized(corpus, id_col, vec_col), n_centroids,
+            sample_size=sample_size, n_iter=kmeans_iter)
+        if len(Cm) == 0:
+            empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+            return spark.createDataFrame([], empty).withColumn(
+                "rank", F.lit(1).cast("int"))
+    elif centroids == "lowest_id":
+        cent_rows = (_quantized(corpus, id_col, vec_col).orderBy("id")
+                     .limit(n_centroids).select("q", "nrm").collect())
+        if not cent_rows:
+            empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+            return spark.createDataFrame([], empty).withColumn(
+                "rank", F.lit(1).cast("int"))
+        Cm = np.asarray([r["q"] for r in cent_rows], dtype=np.int64)
+        cnrm = np.asarray([r["nrm"] for r in cent_rows], dtype=np.float64)
+    else:
+        raise ValueError(f"unknown centroids strategy: {centroids!r}")
 
     def _cos_to_centroids(Q, qnrm):
         dots = Q @ Cm.T

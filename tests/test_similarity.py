@@ -130,20 +130,27 @@ def test_lsh_ann_dim_mismatch_fails_loudly(emb):
         similarity.lsh_ann(df, df.where(df.vec_id < 3), k=3, dim=DIM + 7)
 
 
+def _ivf_recall(df, vecs, want, centroids):
+    ann = similarity.ivf_ann(df, df.where(df.vec_id < 20), k=5,
+                             n_centroids=12, n_probe=3,
+                             centroids=centroids).toPandas()
+    hits = sum(len(set(ann[ann.query_id == qi].neighbor_id) & set(want[qi]))
+               for qi in range(20))
+    return hits / (20 * 5), ann
+
+
 def test_ivf_ann_recall(emb):
     """IVF bucket probing must recover most true neighbors on clustered
-    data; within returned candidates, ranking matches exact cosine."""
+    data; trained (k-means) centroids must beat the lowest-id stub; within
+    returned candidates, ranking matches exact cosine."""
     df, vecs = emb
     qids = list(range(20))
-    ann = similarity.ivf_ann(df, df.where(df.vec_id < 20), k=5,
-                             n_centroids=12, n_probe=3).toPandas()
     want, cos = _numpy_topk(vecs, qids, 5)
-    hits = total = 0
-    for qi in qids:
-        got = set(ann[ann.query_id == qi].neighbor_id)
-        hits += len(got & set(want[qi]))
-        total += 5
-    assert hits / total >= 0.5, f"IVF recall {hits/total:.2f} too low"
+    km_recall, ann = _ivf_recall(df, vecs, want, "kmeans")
+    stub_recall, _ = _ivf_recall(df, vecs, want, "lowest_id")
+    assert km_recall >= 0.9, f"IVF kmeans recall {km_recall:.2f} too low"
+    assert km_recall >= stub_recall, (
+        f"kmeans recall {km_recall:.2f} < lowest-id stub {stub_recall:.2f}")
     for qi, grp in ann.groupby("query_id"):
         ranked = grp.sort_values("rank").cosine.to_numpy()
         assert (np.diff(ranked) <= 1e-15).all()
