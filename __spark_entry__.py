@@ -1001,6 +1001,34 @@ def _q_checkpoint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket int, rows bigint, checksum bigint")
 
 
+def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 Iceberg-style hidden partitioning, driver-graded end to end:
+    write events through the days(ts) x bucket(8, user_id) partition spec
+    (fresh temp dir), scan back with a ts-range + entity-set predicate that
+    the layer rewrites into PartitionFilters (directory pruning — asserted
+    against the physical plan in tests/test_partitioned.py), and aggregate.
+    The oracle applies the same row-level predicates to the raw table:
+    pruning must never change results."""
+    import datetime
+    import tempfile
+
+    from profet_spark.sources import partitioned as P
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = tempfile.mkdtemp(prefix="s1_part_")
+    P.write_partitioned(ev, out, ts_col="ts", entity_col="user_id", n_buckets=8)
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    hi = lo + datetime.timedelta(days=3)
+    pruned = P.scan_pruned(spark, out, ts_col="ts", entity_col="user_id",
+                           n_buckets=8, ts_between=(lo, hi),
+                           entity_in=list(range(20)))
+    return pruned.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -1065,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_array_ops": _q_array_ops,
         "c7_map_ops": _q_map_ops,
         "s7_checkpoint_manifest": _q_checkpoint_manifest,
+        "s1_partition_pruned_scan": _q_partition_pruned_scan,
     }
 
 
@@ -1803,6 +1832,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS n_all,
                    'etype_len,k,k2' AS keys_sorted
             FROM e
+        """,
+        "s1_partition_pruned_scan": """
+            WITH b AS (SELECT min(ts) AS lo FROM events)
+            SELECT user_id, count(*) AS n,
+                   CAST(min(event_id) AS BIGINT) AS min_eid,
+                   CAST(max(event_id) AS BIGINT) AS max_eid
+            FROM events e, b
+            WHERE e.ts BETWEEN b.lo AND b.lo + INTERVAL 3 DAY
+              AND e.user_id BETWEEN 0 AND 19
+            GROUP BY user_id
         """,
         "s7_checkpoint_manifest": f"""
             WITH b AS (

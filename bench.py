@@ -136,11 +136,17 @@ def main():
     _materialize(temporal.sessionize(ev_small, 3600, entity="user_id", ts="ts"))
     _materialize(td.add_caption_features(snap_text.limit(500)))
 
-    times = {}
-    for name, mk in stages.items():
-        t0 = time.perf_counter()
-        _materialize(mk())
-        times[name] = round(time.perf_counter() - t0, 3)
+    # >=3 warm iterations per stage, report MEDIANS: n=1 numbers proved
+    # untrustworthy round over round (first touch of a table/shuffle shape
+    # pays Python-worker + AQE warm-up that medians absorb)
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in stages}
+    for _ in range(iters):
+        for name, mk in stages.items():
+            t0 = time.perf_counter()
+            _materialize(mk())
+            samples[name].append(time.perf_counter() - t0)
+    times = {name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()}
 
     n_vectors = len(snap_text_pdf) + len(snap_img_pdf)
     total = round(sum(times.values()), 3)
@@ -154,6 +160,8 @@ def main():
         "feature_vectors": n_vectors,
         "feature_vectors_per_sec": round(n_vectors / desc_sec, 1) if desc_sec > 0 else None,
         "cpus": int(cpus),
+        "iters": iters,
+        "stat": "median",
     }))
     spark.stop()
 

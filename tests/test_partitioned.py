@@ -1,0 +1,79 @@
+"""Hidden-partitioning layer (Iceberg-style days(ts) x bucket(N, entity)
+on the parquet fallback): layout, predicate rewrite into PartitionFilters,
+and row-level equivalence with the unpartitioned scan."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from profet_spark import fixtures
+from profet_spark.sources import partitioned as P
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    pdf = fixtures.make_fixture(n_entities=40, with_images=False)
+    df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "caption", "phash")
+    out = str(tmp_path_factory.mktemp("part") / "snapshots")
+    P.write_partitioned(df, out, n_buckets=4)
+    return df, out
+
+
+def test_layout_has_partition_dirs(table):
+    _, out = table
+    days = [d for d in os.listdir(out) if d.startswith(P.DAY_COL + "=")]
+    assert days, "expected _p_day=... directories"
+    buckets = os.listdir(os.path.join(out, days[0]))
+    assert any(b.startswith(P.BUCKET_COL + "=") for b in buckets)
+
+
+def test_roundtrip_rows_equal(spark, table):
+    df, out = table
+    back = P.scan_pruned(spark, out, n_buckets=4)
+    assert P.DAY_COL not in back.columns and P.BUCKET_COL not in back.columns
+    assert sorted(back.columns) == sorted(df.columns)
+    a = df.orderBy("image_id", "ts").toPandas()
+    b = back.orderBy("image_id", "ts").toPandas()[a.columns.tolist()]
+    assert a.equals(b)
+
+
+def _ts_bounds(df):
+    r = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = r.lo + (r.hi - r.lo) / 2
+    return r.lo, mid
+
+
+def test_ts_range_becomes_partition_filter(spark, table):
+    df, out = table
+    lo, mid = _ts_bounds(df)
+    pruned = P.scan_pruned(spark, out, n_buckets=4, ts_between=(lo, mid))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert P.DAY_COL in plan.split("PartitionFilters", 1)[1].split("]")[0], (
+        "day bound must prune at the directory level")
+    want = df.where(F.col("ts").between(F.lit(lo), F.lit(mid)))
+    assert pruned.count() == want.count() > 0
+
+
+def test_entity_set_becomes_bucket_filter(spark, table):
+    df, out = table
+    ids = [r.image_id for r in df.select("image_id").distinct().limit(3).collect()]
+    pruned = P.scan_pruned(spark, out, n_buckets=4, entity_in=ids)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert P.BUCKET_COL in plan.split("PartitionFilters", 1)[1].split("]")[0], (
+        "bucket id set must prune at the directory level")
+    assert pruned.count() == df.where(F.col("image_id").isin(ids)).count() > 0
+
+
+def test_combined_pruning_matches_plain_filter(spark, table):
+    df, out = table
+    lo, mid = _ts_bounds(df)
+    ids = [r.image_id for r in df.select("image_id").distinct().limit(5).collect()]
+    pruned = P.scan_pruned(spark, out, n_buckets=4,
+                           ts_between=(lo, mid), entity_in=ids).toPandas()
+    want = (df.where(F.col("ts").between(F.lit(lo), F.lit(mid)))
+            .where(F.col("image_id").isin(ids))).toPandas()
+    key = ["image_id", "ts"]
+    assert (sorted(map(tuple, pruned[key].values.tolist()))
+            == sorted(map(tuple, want[key].values.tolist())))
