@@ -1029,6 +1029,30 @@ def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming, driver-graded: replay the events table through the
+    Structured Streaming tumbling-count twin (file source -> watermark ->
+    window agg -> availableNow -> memory sink) and return the drained
+    result. The oracle is the SAME SQL as the batch w7_tumbling operator —
+    streaming/batch parity is the graded contract."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="st_events_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, "part-0.parquet"))
+    name = f"st_tumbling_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, d, ev.schema)
+    st.run_available_now(st.tumbling_counts(stream, "1 hour"), name)
+    return spark.table(name).select(
+        "user_id", "win_start", "n", F.col("sv").cast("string").alias("sv"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -1094,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_map_ops": _q_map_ops,
         "s7_checkpoint_manifest": _q_checkpoint_manifest,
         "s1_partition_pruned_scan": _q_partition_pruned_scan,
+        "st_w7_tumbling_stream": _q_stream_tumbling,
     }
 
 
@@ -1832,6 +1857,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS n_all,
                    'etype_len,k,k2' AS keys_sorted
             FROM e
+        """,
+        # streaming twin graded against the SAME SQL as batch w7_tumbling:
+        # the availableNow replay must equal the batch result exactly
+        "st_w7_tumbling_stream": """
+            SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sv
+            FROM events GROUP BY 1, 2
         """,
         "s1_partition_pruned_scan": """
             WITH b AS (SELECT min(ts) AS lo FROM events)
