@@ -136,11 +136,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     jaccard is exact over the RETAINED shingle universe (set sizes are
     computed after the cap, consistently with the intersection); without a
     cap it is plain exact jaccard."""
+    # persist: the exploded shingle table is referenced three times (both
+    # self-join sides + the per-doc counts) and Spark re-executes lazy
+    # subtrees per reference; at 100 TB this table is materialized once via
+    # the S7 sink instead
     ex = exploded_shingle_hashes(df, id_col, text_col, k)
     if max_bucket is not None:
         wcnt = Window.partitionBy("h")
         ex = ex.withColumn("_bn", F.count("*").over(wcnt)).where(
             F.col("_bn") <= max_bucket).drop("_bn")
+    ex = ex.persist()
     # set sizes AFTER the stop-shingle cap: jaccard is then exact over the
     # retained shingle universe (counting dropped shingles in na/nb but not
     # in the intersection would bias jaccard downward for every doc that
@@ -223,33 +228,41 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                   .where(F.col("_bn") <= max_bucket).drop("_bn"))
     a = banded.alias("a")
     b = banded.alias("b")
+    # persist the candidate pairs: the DataFrame below is referenced three
+    # times (id explode + the final pair join), and Spark re-executes a
+    # lazy subtree PER REFERENCE — without the persist the whole
+    # signature+banding pipeline ran up to 8x in one query (measured: the
+    # round-1 curation stage spent >half its time on exactly this).
+    # Candidates are a tiny (id_a, id_b) table bounded by the banding
+    # threshold; MEMORY_AND_DISK spills if a pathological corpus blows the
+    # bound. A 100 TB deployment materializes signatures once via the S7
+    # checkpoint sink instead.
     cand = (
         a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
     # Stage 3 — exact verify on CANDIDATES ONLY: shingle sets are collected
     # just for docs that survived banding (at production dup rates a tiny
     # fraction of the corpus), so the wide collect_set aggregate and the
-    # array shuffle scale with the candidate count, not the corpus. The
-    # shingle explode recomputes for that slice; a 100 TB deployment
-    # materializes the signature/shingle table once (S7 checkpoint sink)
-    # and shares it across both stages.
-    cand_ids = (cand.select(F.col("id_a").alias(id_col))
-                .union(cand.select(F.col("id_b").alias(id_col)))
+    # array shuffle scale with the candidate count, not the corpus.
+    # One explode pass over the pair table (not a 2-branch union, which
+    # would re-execute cand twice) + DISTINCT, so the broadcast build side
+    # is bounded by distinct candidate docs, not candidate pairs (an m-doc
+    # near-dup cluster yields O(m^2) pair-sides but only m distinct ids).
+    cand_ids = (cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
                 .distinct())
-    # broadcast the candidate ids — DISTINCT first, so the build side is
-    # bounded by distinct candidate docs, not candidate pairs (an m-doc
-    # near-dup cluster yields O(m^2) pair-sides but only m distinct ids;
-    # without the dedup a boilerplate-heavy corpus could OOM the build).
-    # Without the broadcast hint the semi join statically plans as SMJ and
-    # would shuffle the full corpus (text included) on id.
+    # broadcast the candidate ids: without the hint the semi join statically
+    # plans as SMJ and would shuffle the full corpus (text included) on id
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # persist the per-candidate shingle sets too — referenced twice (sa/sb)
     sets = (
         exploded_shingle_hashes(cand_docs, id_col, text_col, k)
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("h")).alias("shingles"),
              F.count("*").alias("n"))
+        .persist()
     )
     sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"),
                      F.col("n").alias("na"))
@@ -306,7 +319,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     low 16 bits, identical either way."""
     assert max_hamming <= 3, "pigeonhole argument needs <= 3 for 4 blocks"
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
-    t = simhash_table(df, id_col, text_col, k)
+    # persist: the self-join references the simhash table twice and Spark
+    # would otherwise run the 64-vote aggregate pipeline once per side
+    t = simhash_table(df, id_col, text_col, k).persist()
     blocks = t.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -337,10 +352,13 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "e
     are exact integer folds and the cosine double is bitwise-deterministic.
     Brute-force O(n^2) pair join — the *verifier* tier; the bucketed scale
     path is operators/similarity.lsh_ann (random-hyperplane LSH)."""
+    # persist: both self-join sides reference the quantized projection; the
+    # HOF transform/fold is interpreted per element, so recomputing it per
+    # side doubles the dominant CPU cost
     q = df.select(
         F.col(id_col).alias("id"),
         H.quantize_vec(vec_col).alias("q"),
-    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q")))
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))).persist()
     a = q.alias("a")
     b = q.alias("b")
     dot = H.int_dot(F.col("a.q"), F.col("b.q"))
