@@ -96,40 +96,57 @@ def _merge_kernel(
 ):
     """Build the per-partition pandas merge function. The partition
     arrives co-partitioned on the entity key and sorted by (ts, side) —
-    merge_asof's preconditions — so one vectorized call handles every
-    entity in the partition."""
+    merge_asof's preconditions.
+
+    STREAMING merge: batches are processed as they arrive; the only state
+    carried across batches is the LATEST right row per by-group seen so
+    far (one row per distinct entity in the partition), never the whole
+    partition. Correctness leans on the global (ts, side) sort: every
+    carry row's ts is <= every ts in later batches, so prepending the
+    (ts-sorted) carry to a batch's right rows preserves merge_asof's
+    sorted-on-key precondition, and right-before-left at equal ts means a
+    left row's admissible rights can never land in a LATER batch. Memory
+    is O(arrow_batch + distinct_entities_in_partition) instead of the
+    whole partition — the 100 TB-safe shape."""
     rsrc = [src for src, _ in pairs]
     rename = dict(pairs)
+    dsts = [dst for _, dst in pairs]
     tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+    lkeep = left_cols + [c for c in by_cols if c not in left_cols]
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = list(batches)  # whole partition; bounded by partition sizing
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        lmask = pdf[_SIDE] == 1
-        lkeep = left_cols + [c for c in by_cols if c not in left_cols]
-        lpdf = pdf.loc[lmask, lkeep].reset_index(drop=True)
-        rpdf = pdf.loc[~lmask, by_cols + [ts] + rsrc].reset_index(drop=True)
-        if lpdf.empty:
-            return
-        rpdf = rpdf.rename(columns=rename)
-        if rpdf.empty:
-            out = lpdf.copy()
-            for _, dst in pairs:
-                out[dst] = None
-        else:
-            out = pd.merge_asof(
-                lpdf,
-                rpdf,
-                on=ts,
-                by=by_cols,
-                direction="backward",
-                allow_exact_matches=allow_exact,
-                tolerance=tol,
-                suffixes=("", "__rdup"),
-            )
-        yield out[left_cols + [dst for _, dst in pairs]]
+        carry: pd.DataFrame | None = None  # latest right row per by-group
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lmask = pdf[_SIDE] == 1
+            lpdf = pdf.loc[lmask, lkeep].reset_index(drop=True)
+            rpdf = (pdf.loc[~lmask, by_cols + [ts] + rsrc]
+                    .reset_index(drop=True).rename(columns=rename))
+            rall = rpdf if carry is None else pd.concat([carry, rpdf],
+                                                        ignore_index=True)
+            if not lpdf.empty:
+                if rall.empty:
+                    out = lpdf.copy()
+                    for dst in dsts:
+                        out[dst] = None
+                else:
+                    out = pd.merge_asof(
+                        lpdf,
+                        rall,
+                        on=ts,
+                        by=by_cols,
+                        direction="backward",
+                        allow_exact_matches=allow_exact,
+                        tolerance=tol,
+                        suffixes=("", "__rdup"),
+                    )
+                yield out[left_cols + dsts]
+            if not rall.empty:
+                # rall is ts-sorted (carry ts <= batch ts; both sorted), so
+                # tail(1) per group is each group's latest right row
+                carry = (rall.groupby(by_cols, sort=False, as_index=False)
+                         .tail(1).reset_index(drop=True))
 
     return merge
 

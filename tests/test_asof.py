@@ -117,6 +117,26 @@ def test_window_strategy_equals_sort_merge(spark, fixture_dfs, allow_exact, tol)
     pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_sort_merge_streaming_kernel_multi_batch(spark, fixture_dfs, allow_exact):
+    """The merge kernel streams Arrow batches with only a latest-right-per-
+    entity carry; forcing tiny batches (so one partition spans MANY batches,
+    splitting entities and equal-ts runs across batch boundaries) must not
+    change a single row vs the pure-JVM window strategy."""
+    ldf, rdf = fixture_dfs[0], fixture_dfs[1]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        a = _norm(asof_join(ldf, rdf, strategy="sort_merge",
+                            allow_exact_matches=allow_exact).toPandas())
+    finally:
+        spark.conf.set(key, prev)
+    b = _norm(asof_join(ldf, rdf, strategy="window",
+                        allow_exact_matches=allow_exact).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_asof_auto_strategy_selection(spark, sf_dir):
     """auto must (a) pick the broadcast path for a provably small build
     side — observable as a shuffle-free plan (left is never exchanged,
