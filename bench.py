@@ -143,6 +143,13 @@ def main():
     samples: dict[str, list[float]] = {name: [] for name in stages}
     for _ in range(iters):
         for name, mk in stages.items():
+            # drop operator-internal persists from earlier iterations:
+            # Spark's cacheManager dedups by canonical plan, so without
+            # this, iterations 2+ would re-read cached intermediates and
+            # report cache-scan time instead of full execution
+            spark.catalog.clearCache()
+            snap_text.cache().count()
+            snap_img.cache().count()
             t0 = time.perf_counter()
             _materialize(mk())
             samples[name].append(time.perf_counter() - t0)

@@ -213,8 +213,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.min((F.lit(a) * (F.col("h") % p) + F.lit(b)) % p).alias(f"m{i}")
         for i, (a, b) in enumerate(H.MINHASH_PERMS)
     ]
+    # persist: the band self-join references this subtree on BOTH sides —
+    # without the persist the explode+md5+16-min aggregate pipeline (the
+    # dominant cost) executes twice
     sig = ex.groupBy("id").agg(*aggs).select(
-        "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig"))
+        "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig")).persist()
     # Stage 2 — narrow band join: shuffles ONLY (id, band_digest).
     # ``max_bucket`` drops degenerate buckets (a band digest shared by more
     # docs than the cap — boilerplate clusters) the way production near-dup
