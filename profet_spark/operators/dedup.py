@@ -312,14 +312,21 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  k: int = 2, max_hamming: int = 3) -> DataFrame:
+                  k: int = 2, max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
     """D4: ALL pairs with simhash hamming distance <= max_hamming (<=3).
 
     Pigeonhole: 64 bits in 4 16-bit blocks; <=3 differing bits cannot touch
     all 4 blocks, so every qualifying pair shares >=1 exact block — the
     block equi-join has full recall while shuffling only (block_id, val).
     Arithmetic-vs-logical shift is irrelevant: the & mask keeps only the
-    low 16 bits, identical either way."""
+    low 16 bits, identical either way.
+
+    ``max_bucket`` drops (block, value) buckets holding more docs than the
+    cap — the skew guard for boilerplate-heavy corpora, where m identical
+    documents share every block and the join's own OUTPUT is O(m^2) pairs.
+    Same recall caveat as D2/D3 stop-shingle caps: loss only inside the
+    capped (pathological) clusters."""
     assert max_hamming <= 3, "pigeonhole argument needs <= 3 for 4 blocks"
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     # persist: the self-join references the simhash table twice and Spark
@@ -334,6 +341,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             for i in range(SIMHASH_BLOCKS)
         ])).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    if max_bucket is not None:
+        # narrow agg on (blk, val) + broadcast anti-join: the oversized-
+        # bucket list is tiny by construction, nothing wide is shuffled
+        big = (blocks.groupBy("blk", "val").count()
+               .where(F.col("count") > max_bucket).select("blk", "val"))
+        blocks = blocks.join(F.broadcast(big), ["blk", "val"], "left_anti")
     a = blocks.alias("a")
     b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -187,7 +187,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            dim: int | None = None) -> DataFrame:
+            dim: int | None = None, max_bucket: int | None = None) -> DataFrame:
     """N2: LSH-bucketed approximate top-k (the 100 TB path).
 
     Candidates: corpus rows sharing >=1 of the ANN_BANDS signature bands
@@ -209,7 +209,12 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     ``dim`` defaults to the query vectors' length; every corpus vector is
     asserted to match (a silent mismatch would null out projections and
-    collapse all rows into one bucket — fail loudly instead)."""
+    collapse all rows into one bucket — fail loudly instead).
+
+    ``max_bucket`` drops (band, digest) buckets holding more corpus rows
+    than the cap — the skew guard for duplicate-heavy corpora where one
+    digest would otherwise dominate the candidate volume (narrow count agg
+    + broadcast anti-join; recall loss only inside the capped buckets)."""
     import numpy as np
     import pandas as pd
 
@@ -265,6 +270,10 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ).select("id", "q", "nrm", F.col("bd.band").alias("band"),
              F.col("bd.digest").alias("digest"))
 
+    if max_bucket is not None:
+        big = (banded.groupBy("band", "digest").count()
+               .where(F.col("count") > max_bucket).select("band", "digest"))
+        banded = banded.join(F.broadcast(big), ["band", "digest"], "left_anti")
     cand = (banded.join(F.broadcast(probe_df), ["band", "digest"])
             .where(F.col("qid") != F.col("id"))
             .select("qid", "id", "q", "nrm"))

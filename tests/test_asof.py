@@ -117,8 +117,9 @@ def test_window_strategy_equals_sort_merge(spark, fixture_dfs, allow_exact, tol)
     pd.testing.assert_frame_equal(a, b)
 
 
-@pytest.mark.parametrize("allow_exact", [True, False])
-def test_sort_merge_streaming_kernel_multi_batch(spark, fixture_dfs, allow_exact):
+@pytest.mark.parametrize("allow_exact,tol", [(True, None), (False, None),
+                                             (True, 3600.0), (False, 3600.0)])
+def test_sort_merge_streaming_kernel_multi_batch(spark, fixture_dfs, allow_exact, tol):
     """The merge kernel streams Arrow batches with only a latest-right-per-
     entity carry; forcing tiny batches (so one partition spans MANY batches,
     splitting entities and equal-ts runs across batch boundaries) must not
@@ -128,11 +129,11 @@ def test_sort_merge_streaming_kernel_multi_batch(spark, fixture_dfs, allow_exact
     prev = spark.conf.get(key)
     spark.conf.set(key, "7")
     try:
-        a = _norm(asof_join(ldf, rdf, strategy="sort_merge",
+        a = _norm(asof_join(ldf, rdf, strategy="sort_merge", tolerance_s=tol,
                             allow_exact_matches=allow_exact).toPandas())
     finally:
         spark.conf.set(key, prev)
-    b = _norm(asof_join(ldf, rdf, strategy="window",
+    b = _norm(asof_join(ldf, rdf, strategy="window", tolerance_s=tol,
                         allow_exact_matches=allow_exact).toPandas())
     pd.testing.assert_frame_equal(a, b)
 

@@ -90,6 +90,38 @@ def test_simhash_pairs_equal_bruteforce(spark):
     assert set(map(tuple, got[["id_a", "id_b"]].values)) == brute
 
 
+def test_simhash64_vs_numpy_reference(docs):
+    """Engine simhash equals an independent numpy two's-complement
+    reference built from the same md5-derived 64-bit shingle hashes."""
+    import hashlib
+
+    t = dedup.simhash_table(docs, k=2).toPandas().set_index("id").simhash.to_dict()
+    for doc_id, text in [(0, BASE), (3, NEAR), (4, FAR)]:
+        words = text.lower().split()
+        shingles = {" ".join(words[i:i + 2]) for i in range(len(words) - 1)}
+        hashes = []
+        for s in shingles:
+            d = hashlib.md5(s.encode()).hexdigest()
+            hashes.append((int(d[:8], 16), int(d[8:16], 16)))
+        votes = np.zeros(64)
+        for lo, hi in set(hashes):  # distinct (h, h2), matching the engine
+            for j in range(64):
+                bit = (lo >> j) & 1 if j < 32 else (hi >> (j - 32)) & 1
+                votes[j] += 1 if bit else -1
+        want = sum((1 << j) if votes[j] > 0 else 0 for j in range(64))
+        if want >= 1 << 63:
+            want -= 1 << 64  # two's complement
+        assert int(t[doc_id]) == want, doc_id
+
+
+def test_simhash_pairs_max_bucket_noop_when_loose(docs):
+    base = dedup.simhash_pairs(docs, max_hamming=3).toPandas()
+    capped = dedup.simhash_pairs(docs, max_hamming=3, max_bucket=10**6).toPandas()
+    cols = ["id_a", "id_b"]
+    assert sorted(map(tuple, base[cols].values.tolist())) == \
+        sorted(map(tuple, capped[cols].values.tolist()))
+
+
 def test_embedding_dup_pairs_vs_numpy(spark):
     rng = np.random.default_rng(11)
     vecs = rng.normal(size=(40, 16)).astype(np.float32)

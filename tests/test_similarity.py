@@ -123,6 +123,27 @@ def test_lsh_candidate_fraction_small():
     assert mean_frac < 0.25 / 4, f"candidate fraction {mean_frac:.3f} too high"
 
 
+def test_lsh_ann_max_bucket_noop_when_loose(emb):
+    df, _ = emb
+    q = df.where(df.vec_id < 10)
+    base = similarity.lsh_ann(df, q, k=5, dim=DIM).toPandas()
+    capped = similarity.lsh_ann(df, q, k=5, dim=DIM, max_bucket=10**6).toPandas()
+    cols = ["query_id", "neighbor_id"]
+    assert sorted(map(tuple, base[cols].values.tolist())) == \
+        sorted(map(tuple, capped[cols].values.tolist()))
+
+
+def test_ivf_kmeans_centroids_deterministic(emb):
+    """Two independent trainings on the same corpus must produce identical
+    centroid matrices (seed-free determinism contract)."""
+    import numpy as np
+    df, _ = emb
+    qdf = similarity._quantized(df, "vec_id", "embedding")
+    a, _ = similarity._train_centroids_kmeans(qdf, 8, sample_size=64)
+    b, _ = similarity._train_centroids_kmeans(qdf, 8, sample_size=64)
+    assert np.array_equal(a, b)
+
+
 def test_lsh_ann_dim_mismatch_fails_loudly(emb):
     """A wrong dim must raise, not silently bucket-collapse (ADVICE)."""
     df, _ = emb
