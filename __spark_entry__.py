@@ -1053,6 +1053,15 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "win_start", "n", F.col("sv").cast("string").alias("sv"))
 
 
+def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5-scale: LSH-bucketed embedding near-dup pairs. Fully oracle-graded
+    even though bucketed: the 64-plane sign signatures are deterministic
+    integer dot products, so the DuckDB twin replicates band collision AND
+    the exact int64 cosine bit for bit (_duck_lsh_dup_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs_lsh(emb, threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_checkpoint_manifest": _q_checkpoint_manifest,
         "s1_partition_pruned_scan": _q_partition_pruned_scan,
         "st_w7_tumbling_stream": _q_stream_tumbling,
+        "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
     }
 
 
@@ -1189,6 +1199,41 @@ def _duck_quantized_cte(where: str = "") -> str:
 
 
 _DUCK_COS = ("CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))")
+
+
+def _duck_lsh_dup_sql(threshold: float) -> str:
+    """Oracle twin of dedup.embedding_dup_pairs_lsh: the 64 sign-LSH plane
+    dots are exact integer sums (|qx| ~ 5e6, |coef| < 2^31, dim 64 keeps
+    |dot| < 2^60 — exact in int64 and HUGEINT alike, no wrap), so band
+    digests, the
+    collision condition, and the final exact cosine all reproduce the Spark
+    plan bit for bit."""
+    from profet_spark.operators.similarity import (
+        ANN_BAND_BITS, ANN_PLANES, _plane_coef)
+
+    vals = ",".join(
+        f"({p},{d + 1},{_plane_coef(p, d)})"
+        for p in range(ANN_PLANES) for d in range(64))
+    return f"""
+        WITH {_duck_quantized_cte()},
+        pc(p, i, c) AS (VALUES {vals}),
+        dots AS (SELECT q.vec_id, pc.p, sum(q.qx * pc.c) AS pdot
+                 FROM q JOIN pc ON q.i = pc.i GROUP BY 1, 2),
+        dg AS (SELECT vec_id, p // {ANN_BAND_BITS} AS band,
+                      sum(CASE WHEN pdot > 0
+                               THEN (1 << (p % {ANN_BAND_BITS})) ELSE 0 END) AS digest
+               FROM dots GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+                 FROM dg a JOIN dg b ON a.band = b.band AND a.digest = b.digest
+                                    AND a.vec_id < b.vec_id),
+        pdots AS (SELECT c.ia, c.ib, sum(qa.qx * qb.qx) AS dot
+                  FROM cand c JOIN q qa ON qa.vec_id = c.ia
+                              JOIN q qb ON qb.vec_id = c.ib AND qb.i = qa.i
+                  GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b, {_DUCK_COS} AS cosine
+        FROM pdots JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib
+        WHERE {_DUCK_COS} >= {threshold}
+    """
 
 
 def _duck_lid_sql() -> str:
@@ -1843,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "a13_autocorr": _duck_autocorr_sql(),
+        "d5_embedding_dup_lsh": _duck_lsh_dup_sql(0.3),
         # C7 semantics projected to scalars: k2 = 2k is always even, so
         # n_even = 1 + (k even); null k -> both map entries' values null ->
         # map_filter drops them -> n_even = 0 (CASE WHEN null yields ELSE 0

@@ -360,6 +360,94 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def embedding_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding", threshold: float = 0.3,
+                            max_bucket: int | None = None) -> DataFrame:
+    """D5-scale: embedding near-dup pairs via random-hyperplane LSH
+    bucketing — the 100 TB path the brute-force verifier tier
+    (:func:`embedding_dup_pairs`) is the oracle for.
+
+    Plan shape:
+    - signatures: ONE Arrow mapInPandas int64 matmul per batch against the
+      broadcast 64-plane matrix (operators/similarity machinery);
+    - candidates: narrow (band, digest, id) self-join — vectors are
+      DROPPED before the only wide exchange; 8 bands x 8-bit digests, so
+      an unclustered corpus collides at ~8/256 per pair;
+    - verify: candidate ids broadcast-semi-joined back to the quantized
+      vectors, exact int64 cosine per surviving pair (identical arithmetic
+      to the brute-force tier, so output is a strict SUBSET of its pairs —
+      zero false positives; recall follows the sign-LSH collision curve
+      and is asserted against the exact tier in tests).
+
+    ``max_bucket`` caps degenerate (band, digest) buckets exactly like the
+    D2-D4 stop-shingle convention."""
+    from profet_spark.operators import similarity as S
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}, cosine double")
+    dim = int(first["d"])
+    P = S._planes_matrix(dim)
+
+    import numpy as np
+
+    id_type = dict(df.dtypes)[id_col]
+    qd = df.select(
+        F.col(id_col).alias("id"), H.quantize_vec(vec_col).alias("q"),
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))).persist()
+
+    sig_schema = f"id {id_type}, sig bigint"
+
+    def sign_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            if C.shape[1] != dim:
+                raise ValueError(
+                    f"embedding_dup_pairs_lsh: vector dim {C.shape[1]} != {dim}")
+            out = pdf[["id"]].copy()
+            out["sig"] = S._pack_signatures((C @ P.T) > 0)
+            yield out
+
+    mask = (1 << S.ANN_BAND_BITS) - 1
+    banded = qd.mapInPandas(sign_kernel, sig_schema).select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     F.shiftright("sig", S.ANN_BAND_BITS * b)
+                     .bitwiseAND(F.lit(mask)).alias("digest"))
+            for b in range(S.ANN_BANDS)
+        ])).alias("bd"),
+    ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    if max_bucket is not None:
+        big = (banded.groupBy("band", "digest").count()
+               .where(F.col("count") > max_bucket).select("band", "digest"))
+        banded = banded.join(F.broadcast(big), ["band", "digest"], "left_anti")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.digest") == F.col("b.digest"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    qcand = qd.join(F.broadcast(cand_ids), "id", "left_semi").persist()
+    qa = qcand.select(F.col("id").alias("id_a"), F.col("q").alias("qa"),
+                      F.col("nrm").alias("na"))
+    qb = qcand.select(F.col("id").alias("id_b"), F.col("q").alias("qb"),
+                      F.col("nrm").alias("nb"))
+    dot = H.int_dot(F.col("qa"), F.col("qb"))
+    cos = H.cosine_from_quantized(dot, F.col("na"), F.col("nb"))
+    return (cand.join(qa, "id_a").join(qb, "id_b")
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.3) -> DataFrame:
     """D5: pairs with cosine(embedding_a, embedding_b) >= threshold.

@@ -138,6 +138,26 @@ def test_embedding_dup_pairs_vs_numpy(spark):
         got.cosine.to_numpy(), [cos[3, 7]], rtol=1e-12)
 
 
+def test_embedding_dup_lsh_subset_and_recall(spark):
+    """The LSH scale path must return a strict subset of the exact tier's
+    pairs (zero false positives) and recover planted high-cosine dups."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    vecs[21] = vecs[5] + rng.normal(scale=0.02, size=16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    exact = dedup.embedding_dup_pairs(df, threshold=0.9).toPandas()
+    lsh = dedup.embedding_dup_pairs_lsh(df, threshold=0.9).toPandas()
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values))
+    lsh_pairs = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    assert lsh_pairs <= exact_pairs, "LSH tier produced a false positive"
+    assert {(3, 7), (5, 21)} <= lsh_pairs, "planted near-dups missed"
+    # cosines identical bitwise to the exact tier's arithmetic
+    m = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+    assert (m.cosine_l.to_numpy() == m.cosine_e.to_numpy()).all()
+
+
 def test_dedup_plans_prune_text(docs):
     """Scale invariant: the pair-join exchanges must not carry raw text."""
     plan = dedup.minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()

@@ -144,6 +144,43 @@ def test_ivf_kmeans_centroids_deterministic(emb):
     assert np.array_equal(a, b)
 
 
+def test_ivf_assignment_partition_pruning(spark, emb, tmp_path):
+    """The warehouse-scale IVF story, executed: write the centroid-assigned
+    corpus PARTITIONED BY cid, then scan only the probed buckets — the
+    probe must appear in the scan's PartitionFilters (directory pruning)
+    and return exactly the rows assigned to those centroids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    df, _ = emb
+    qdf = similarity._quantized(df, "vec_id", "embedding")
+    Cm, cnrm = similarity._train_centroids_kmeans(qdf, 8, sample_size=64)
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            cos = (Q @ Cm.T).astype(np.float64) / np.sqrt(nrm[:, None] * cnrm[None, :])
+            out = pdf[["id"]].copy()
+            out["cid"] = np.argmax(cos, axis=1).astype("int32")
+            yield out
+
+    assigned = qdf.mapInPandas(assign, "id bigint, cid int")
+    out = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(out)
+
+    probe = [0, 3]
+    scan = spark.read.parquet(out).where(F.col("cid").isin(probe))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan.split("PartitionFilters", 1)[1].split("]")[0], (
+        "probe must prune at the directory level")
+    want = set(r.id for r in assigned.where(F.col("cid").isin(probe)).collect())
+    got = set(r.id for r in scan.collect())
+    assert got == want and got
+
+
 def test_lsh_ann_dim_mismatch_fails_loudly(emb):
     """A wrong dim must raise, not silently bucket-collapse (ADVICE)."""
     df, _ = emb
