@@ -442,9 +442,10 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N2 approximate ANN — no exact SQL oracle (bucketing is the point);
-    recall vs the exact N1 baseline is asserted in tests/test_similarity.py;
-    driver records rows-only."""
+    """N2 LSH ANN — approximate vs N1 but fully DETERMINISTIC (band
+    collision over integer plane dots, exact cosine, (cosine desc, id)
+    ranking), so it carries a bit-exact SQL oracle (_duck_lsh_ann_sql);
+    recall vs the exact N1 baseline is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann(emb, emb.where(F.col("vec_id") < 20), k=5, dim=64)
 
@@ -1201,6 +1202,45 @@ def _duck_quantized_cte(where: str = "") -> str:
 _DUCK_COS = ("CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))")
 
 
+def _duck_lsh_ann_sql(n_queries: int, k: int) -> str:
+    """Oracle twin of similarity.lsh_ann: band collision, exact cosine, and
+    the (cosine desc, neighbor_id) ranking are all deterministic, so the
+    'approximate' ANN is exactly reproducible in SQL (see _duck_lsh_dup_sql
+    for the integer-exactness argument)."""
+    from profet_spark.operators.similarity import (
+        ANN_BAND_BITS, ANN_PLANES, _plane_coef)
+
+    vals = ",".join(
+        f"({p},{d + 1},{_plane_coef(p, d)})"
+        for p in range(ANN_PLANES) for d in range(64))
+    cos = "CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))"
+    return f"""
+        WITH {_duck_quantized_cte()},
+        pc(p, i, c) AS (VALUES {vals}),
+        dots AS (SELECT q.vec_id, pc.p, sum(q.qx * pc.c) AS pdot
+                 FROM q JOIN pc ON q.i = pc.i GROUP BY 1, 2),
+        dg AS (SELECT vec_id, p // {ANN_BAND_BITS} AS band,
+                      sum(CASE WHEN pdot > 0
+                               THEN (1 << (p % {ANN_BAND_BITS})) ELSE 0 END) AS digest
+               FROM dots GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT qr.vec_id AS qid, c.vec_id AS nid
+                 FROM dg qr JOIN dg c ON qr.band = c.band AND qr.digest = c.digest
+                 WHERE qr.vec_id < {n_queries} AND c.vec_id <> qr.vec_id),
+        pdots AS (SELECT cd.qid, cd.nid, sum(qa.qx * qb.qx) AS dot
+                  FROM cand cd JOIN q qa ON qa.vec_id = cd.qid
+                               JOIN q qb ON qb.vec_id = cd.nid AND qb.i = qa.i
+                  GROUP BY 1, 2),
+        cz AS (SELECT qid, nid, {cos} AS cosine
+               FROM pdots JOIN nrm na ON na.vec_id = qid
+                          JOIN nrm nb ON nb.vec_id = nid)
+        SELECT qid AS query_id, nid AS neighbor_id, cosine, rank
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid) AS INT) AS rank
+              FROM cz)
+        WHERE rank <= {k}
+    """
+
+
 def _duck_lsh_dup_sql(threshold: float) -> str:
     """Oracle twin of dedup.embedding_dup_pairs_lsh: the 64 sign-LSH plane
     dots are exact integer sums (|qx| ~ 5e6, |coef| < 2^31, dim 64 keeps
@@ -1889,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a13_autocorr": _duck_autocorr_sql(),
         "d5_embedding_dup_lsh": _duck_lsh_dup_sql(0.3),
+        "n2_lsh_ann": _duck_lsh_ann_sql(20, 5),
         # C7 semantics projected to scalars: k2 = 2k is always even, so
         # n_even = 1 + (k even); null k -> both map entries' values null ->
         # map_filter drops them -> n_even = 0 (CASE WHEN null yields ELSE 0
