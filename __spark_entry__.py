@@ -451,12 +451,17 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N3 IVF-partitioned ANN (bucket-pruned scale path) — approximate by
-    design, so rows-only to the driver; recall vs N1 and exact-cosine
-    ranking are asserted in tests/test_similarity.py."""
+    """N3 IVF-partitioned ANN (bucket-pruned scale path). The driver row
+    runs the deterministic 'lowest_id' centroid strategy so the ENTIRE
+    machinery — centroid assignment (argmax exact int cosine, first-max
+    tiebreak), n_probe probing, candidate re-rank — is reproduced bit for
+    bit by the SQL oracle (_duck_ivf_ann_sql). The production default is
+    sampled k-means (float Lloyd math, not SQL-expressible); its recall
+    advantage over this stub and its determinism are asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann(emb, emb.where(F.col("vec_id") < 20), k=5,
-                              n_centroids=16, n_probe=3)
+                              n_centroids=16, n_probe=3, centroids="lowest_id")
 
 
 # ------------------------------------------------------- misc operators
@@ -1241,6 +1246,55 @@ def _duck_lsh_ann_sql(n_queries: int, k: int) -> str:
     """
 
 
+def _duck_ivf_ann_sql(n_centroids: int, n_probe: int, n_queries: int, k: int) -> str:
+    """Oracle twin of similarity.ivf_ann(centroids='lowest_id'): centroid
+    set, argmax assignment (ties -> lowest centroid id, matching numpy
+    first-max), probe ranking, and the exact-cosine re-rank are all
+    integer-deterministic, so the bucket-pruned ANN reproduces in SQL."""
+    cos = ("CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE)"
+           " * CAST(nc.nrm AS DOUBLE))")
+    rcos = ("CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)"
+            " * CAST(nb.nrm AS DOUBLE))")
+    return f"""
+        WITH {_duck_quantized_cte()},
+        cids AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id
+                 LIMIT {n_centroids}),
+        cdots AS (SELECT v.vec_id, cq.vec_id AS cid, sum(v.qx * cq.qx) AS dot
+                  FROM q v JOIN q cq ON cq.i = v.i
+                  JOIN cids ON cids.cid = cq.vec_id
+                  GROUP BY 1, 2),
+        ccos AS (SELECT c.vec_id, c.cid, {cos} AS cosine
+                 FROM cdots c JOIN nrm nv ON nv.vec_id = c.vec_id
+                              JOIN nrm nc ON nc.vec_id = c.cid),
+        assign AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, cid) AS rn
+                     FROM ccos) WHERE rn = 1),
+        probe AS (SELECT vec_id AS qid, cid FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cosine DESC, cid) AS rn
+                    FROM ccos WHERE vec_id < {n_queries})
+                  WHERE rn <= {n_probe}),
+        cand AS (SELECT p.qid, a.vec_id AS nid
+                 FROM probe p JOIN assign a ON a.cid = p.cid
+                 WHERE a.vec_id <> p.qid),
+        pdots AS (SELECT cd.qid, cd.nid, sum(qa.qx * qb.qx) AS dot
+                  FROM cand cd JOIN q qa ON qa.vec_id = cd.qid
+                               JOIN q qb ON qb.vec_id = cd.nid AND qb.i = qa.i
+                  GROUP BY 1, 2),
+        cz AS (SELECT qid, nid, {rcos} AS cosine
+               FROM pdots JOIN nrm na ON na.vec_id = qid
+                          JOIN nrm nb ON nb.vec_id = nid)
+        SELECT qid AS query_id, nid AS neighbor_id, cosine, rank
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid) AS INT) AS rank
+              FROM cz)
+        WHERE rank <= {k}
+    """
+
+
 def _duck_lsh_dup_sql(threshold: float) -> str:
     """Oracle twin of dedup.embedding_dup_pairs_lsh: the 64 sign-LSH plane
     dots are exact integer sums (|qx| ~ 5e6, |coef| < 2^31, dim 64 keeps
@@ -1930,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         "a13_autocorr": _duck_autocorr_sql(),
         "d5_embedding_dup_lsh": _duck_lsh_dup_sql(0.3),
         "n2_lsh_ann": _duck_lsh_ann_sql(20, 5),
+        "n3_ivf_ann": _duck_ivf_ann_sql(16, 3, 20, 5),
         # C7 semantics projected to scalars: k2 = 2k is always even, so
         # n_even = 1 + (k even); null k -> both map entries' values null ->
         # map_filter drops them -> n_even = 0 (CASE WHEN null yields ELSE 0
