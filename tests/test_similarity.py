@@ -144,6 +144,19 @@ def test_ivf_kmeans_centroids_deterministic(emb):
     assert np.array_equal(a, b)
 
 
+def test_lsh_ann_exchanges_never_carry_vectors(emb):
+    """Scale invariant: the only exchanges in the ANN plan are the winner
+    dedup/window (query_id, neighbor_id, cosine) and the broadcast of the
+    query band digests — raw vectors must never cross an exchange."""
+    df, _ = emb
+    plan = (similarity.lsh_ann(df, df.where(df.vec_id < 5), k=5, dim=DIM)
+            ._jdf.queryExecution().executedPlan().toString())
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges
+    for ln in exchanges:
+        assert "q#" not in ln and "embedding" not in ln and "nrm" not in ln, ln
+
+
 def test_ivf_assignment_partition_pruning(spark, emb, tmp_path):
     """The warehouse-scale IVF story, executed: write the centroid-assigned
     corpus PARTITIONED BY cid, then scan only the probed buckets — the
