@@ -1068,6 +1068,30 @@ def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs_lsh(emb, threshold=0.3)
 
 
+def _q_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5: feature sink + source round trip, graded end to end. Quality
+    features are WRITTEN to a fresh parquet feature table and READ BACK,
+    then aggregated with order-insensitive stats (count / integer sum /
+    min / max — doubles survive parquet bit-for-bit, and min/max avoid
+    order-dependent double summation). The oracle aggregates the same
+    features computed directly, so any sink/source corruption fails the
+    hash."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = ts.add_quality_features(docs).select(
+        "doc_id", "n_tokens", "quality_score")
+    out = tempfile.mkdtemp(prefix="s4_features_") + "/features"
+    feats.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy((F.col("doc_id") % 10).alias("g")).agg(
+        F.count("*").alias("n"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("quality_score").alias("min_q"),
+        F.max("quality_score").alias("max_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w3_lag_lead": _q_lag_lead,
@@ -1135,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_partition_pruned_scan": _q_partition_pruned_scan,
         "st_w7_tumbling_stream": _q_stream_tumbling,
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
+        "s4_feature_roundtrip": _q_feature_roundtrip,
     }
 
 
@@ -1328,6 +1353,32 @@ def _duck_lsh_dup_sql(threshold: float) -> str:
         FROM pdots JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib
         WHERE {_DUCK_COS} >= {threshold}
     """
+
+
+def _duck_quality_sql() -> str:
+    """T2 quality features (shared by t2_quality_score and the S4
+    feature-sink round-trip oracle)."""
+    return f"""
+            WITH t AS (SELECT doc_id, text, {_DUCK_WORDS.format(c='text')} AS w,
+                              length(text) AS n_chars,
+                              length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+                       FROM documents)
+            SELECT doc_id, len(w) AS n_tokens,
+                   CASE WHEN len(w) > 0 THEN alpha / len(w) ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len,
+                   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+                   CASE WHEN len(w) > 0
+                        THEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) / len(w)
+                        ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
+                   CAST(0.4 AS DOUBLE)
+                     * (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE CAST(0.0 AS DOUBLE) END)
+                   + CAST(0.3 AS DOUBLE) * least(len(w) / CAST(32.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE)
+                     * least((CASE WHEN len(w) > 0
+                              THEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) / len(w)
+                              ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE),
+                             CAST(1.0 AS DOUBLE)) AS quality_score
+            FROM t
+        """
 
 
 def _duck_lid_sql() -> str:
@@ -1606,27 +1657,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "t1_language_id": _duck_lid_sql(),
-        "t2_quality_score": f"""
-            WITH t AS (SELECT doc_id, text, {_DUCK_WORDS.format(c='text')} AS w,
-                              length(text) AS n_chars,
-                              length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
-                       FROM documents)
-            SELECT doc_id, len(w) AS n_tokens,
-                   CASE WHEN len(w) > 0 THEN alpha / len(w) ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len,
-                   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
-                   CASE WHEN len(w) > 0
-                        THEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) / len(w)
-                        ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
-                   CAST(0.4 AS DOUBLE)
-                     * (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE CAST(0.0 AS DOUBLE) END)
-                   + CAST(0.3 AS DOUBLE) * least(len(w) / CAST(32.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-                   + CAST(0.3 AS DOUBLE)
-                     * least((CASE WHEN len(w) > 0
-                              THEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) / len(w)
-                              ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE),
-                             CAST(1.0 AS DOUBLE)) AS quality_score
-            FROM t
-        """,
+        "t2_quality_score": _duck_quality_sql(),
         "t3_token_counts": f"""
             SELECT doc_id, len({_DUCK_WORDS.format(c='text')}) AS ws_tokens,
                    len(regexp_extract_all(lower(text), '{ts.TOKEN_RE}')) AS bpe_tokens
@@ -1985,6 +2016,14 @@ def oracle_sql() -> dict[str, str]:
         "d5_embedding_dup_lsh": _duck_lsh_dup_sql(0.3),
         "n2_lsh_ann": _duck_lsh_ann_sql(20, 5),
         "n3_ivf_ann": _duck_ivf_ann_sql(16, 3, 20, 5),
+        "s4_feature_roundtrip": f"""
+            WITH f AS ({_duck_quality_sql()})
+            SELECT doc_id % 10 AS g, count(*) AS n,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   min(quality_score) AS min_q,
+                   max(quality_score) AS max_q
+            FROM f GROUP BY 1
+        """,
         # C7 semantics projected to scalars: k2 = 2k is always even, so
         # n_even = 1 + (k even); null k -> both map entries' values null ->
         # map_filter drops them -> n_even = 0 (CASE WHEN null yields ELSE 0
