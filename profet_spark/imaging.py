@@ -107,6 +107,8 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         i += 12 + ln
+    if w is None or h is None:
+        raise ValueError("PNG missing IHDR")
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
     ftypes = raw[:, 0]
     lines = raw[:, 1:].astype(np.uint8)

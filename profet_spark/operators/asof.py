@@ -99,15 +99,20 @@ def _merge_kernel(
     merge_asof's preconditions.
 
     STREAMING merge: batches are processed as they arrive; the only state
-    carried across batches is the LATEST right row per by-group seen so
-    far (one row per distinct entity in the partition), never the whole
-    partition. Correctness leans on the global (ts, side) sort: every
-    carry row's ts is <= every ts in later batches, so prepending the
-    (ts-sorted) carry to a batch's right rows preserves merge_asof's
-    sorted-on-key precondition, and right-before-left at equal ts means a
-    left row's admissible rights can never land in a LATER batch. Memory
-    is O(arrow_batch + distinct_entities_in_partition) instead of the
-    whole partition — the 100 TB-safe shape."""
+    carried across batches is, per by-group, the latest right row for each
+    of the last TWO distinct ts values (never the whole partition). Two,
+    not one: with allow_exact_matches=False a left row at ts T must reject
+    an equal-ts right and fall back to the latest right with ts < T, which
+    can sit one distinct-ts step earlier when an Arrow batch boundary
+    splits an equal-ts run. Null by-keys are kept in the carry
+    (dropna=False) — merge_asof matches them like any other group.
+    Correctness leans on the global (ts, side) sort: every carry row's ts
+    is <= every ts in later batches, so prepending the (ts-sorted) carry
+    to a batch's right rows preserves merge_asof's sorted-on-key
+    precondition, and right-before-left at equal ts means a left row's
+    admissible rights can never land in a LATER batch. Memory is
+    O(arrow_batch + distinct_entities_in_partition) instead of the whole
+    partition — the 100 TB-safe shape."""
     rsrc = [src for src, _ in pairs]
     rename = dict(pairs)
     dsts = [dst for _, dst in pairs]
@@ -143,10 +148,15 @@ def _merge_kernel(
                     )
                 yield out[left_cols + dsts]
             if not rall.empty:
-                # rall is ts-sorted (carry ts <= batch ts; both sorted), so
-                # tail(1) per group is each group's latest right row
-                carry = (rall.groupby(by_cols, sort=False, as_index=False)
-                         .tail(1).reset_index(drop=True))
+                # rall is ts-sorted (carry ts <= batch ts; both sorted):
+                # keep, per group, the latest row of each of the last two
+                # DISTINCT ts values (strict-bound fallback), nulls kept
+                last_per_ts = (rall.groupby(by_cols + [ts], sort=False,
+                                            as_index=False, dropna=False)
+                               .tail(1))
+                carry = (last_per_ts.groupby(by_cols, sort=False,
+                                             as_index=False, dropna=False)
+                         .tail(2).reset_index(drop=True))
 
     return merge
 

@@ -28,6 +28,14 @@ D5  embedding_dup_pairs  — cosine near-dup over quantized int64 vectors
 Scale notes:
 - Signatures/fingerprints are narrow projections: Catalyst prunes ``text``
   out of every downstream exchange; only (id, hashes) shuffle.
+- Cache lifetime: the pair operators ``.persist()`` their multiply-
+  referenced intermediates (Spark re-executes a lazy subtree once per
+  reference — measured 8x re-execution without it). The persists are NOT
+  unpersisted inside the operator (the returned DataFrame is lazy and
+  still references them); a long-running driver issuing many dedup calls
+  should ``spark.catalog.clearCache()`` between corpora, or materialize
+  the signature table once via the S7 checkpoint sink — the production
+  shape. MEMORY_AND_DISK storage spills rather than OOMs meanwhile.
 - Pair joins shuffle on short hash keys. Skewed buckets (a shingle shared by
   millions of docs — boilerplate) are handled by AQE skew-join on the equi
   join; `max_bucket` hard-caps degenerate buckets the way production dedup
@@ -99,12 +107,9 @@ def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     )
     sh = F.concat_ws(" ", *[F.element_at("w", F.col("i") + j) for j in range(k)])
     if wide:
-        md5 = F.md5(sh)
-        out = d.select(
-            "id",
-            F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint").alias("h"),
-            F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint").alias("h2"),
-        )
+        # canonical helpers keep the Spark and DuckDB halves defined once;
+        # Catalyst's subexpression elimination computes the shared md5 once
+        out = d.select("id", H.h32(sh).alias("h"), H.h32_hi(sh).alias("h2"))
         return out.dropDuplicates(["id", "h", "h2"]) if distinct else out
     out = d.select("id", H.h32(sh).alias("h"))
     return out.dropDuplicates(["id", "h"]) if distinct else out

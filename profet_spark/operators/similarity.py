@@ -330,9 +330,13 @@ def _train_centroids_kmeans(qdf: DataFrame, n_centroids: int,
 
     rows = (qdf.orderBy(H.h32(F.col("id").cast("string")), F.col("id"))
             .limit(sample_size).select("q").collect())
+    if not rows:
+        return np.empty((0, 0), dtype=np.int64), np.empty(0, dtype=np.float64)
     X = np.asarray([r["q"] for r in rows], dtype=np.float64)
     norms = np.sqrt((X * X).sum(axis=1))
     X = X[norms > 0] / norms[norms > 0, None]
+    if len(X) == 0:
+        return np.empty((0, 0), dtype=np.int64), np.empty(0, dtype=np.float64)
     k = min(n_centroids, len(X))
     C = X[:k].copy()
     for _ in range(n_iter):
@@ -343,13 +347,16 @@ def _train_centroids_kmeans(qdf: DataFrame, n_centroids: int,
         newC = np.empty_like(C)
         for c in range(k):
             members = X[labels == c]
-            if len(members) == 0:
+            m = members.mean(axis=0) if len(members) else None
+            n = float(np.sqrt((m * m).sum())) if m is not None else 0.0
+            if n > 0:
+                newC[c] = m / n
+            else:
+                # empty cluster OR degenerate zero-norm mean: reseed to the
+                # next worst-covered point (w_i must advance in BOTH cases
+                # or two clusters would get the identical reseed)
                 newC[c] = X[worst[w_i]]
                 w_i += 1
-                continue
-            m = members.mean(axis=0)
-            n = np.sqrt((m * m).sum())
-            newC[c] = m / n if n > 0 else X[worst[w_i]]
         if np.allclose(newC, C):
             C = newC
             break

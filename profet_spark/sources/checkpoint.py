@@ -173,7 +173,8 @@ def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
     if not entries:
         return True
     strategies = {e.get("hash_strategy", "xxhash64") for e in entries.values()}
-    assert len(strategies) == 1, f"mixed hash strategies in manifest: {strategies}"
+    if len(strategies) != 1:  # not assert: must hold under python -O too
+        raise ValueError(f"mixed hash strategies in manifest: {strategies}")
     df = spark.read.parquet(out_dir)
     data_cols = [c for c in df.columns if c != BUCKET_COL]
     recomputed = {

@@ -57,12 +57,15 @@ def write_partitioned(df: DataFrame, out_dir: str, ts_col: str = "ts",
      .parquet(out_dir))
 
 
-def _bucket_ids(spark: SparkSession, values: list, n_buckets: int) -> list[int]:
+def _bucket_ids(spark: SparkSession, values: list, n_buckets: int,
+                value_type: str) -> list[int]:
     """Bucket ids for an entity list — computed with the SAME engine
-    function used at write time (xxhash64 is JVM-side; a tiny driver job
-    over the literal list keeps write and probe hashing identical)."""
+    function AND the same column type used at write time (xxhash64 is
+    type-sensitive: hashing 7 as int and as bigint give different values,
+    so the probe column is cast to the table's entity type)."""
     src = spark.createDataFrame([(v,) for v in values], ["v"])
-    rows = (src.select(F.pmod(F.xxhash64("v"), F.lit(n_buckets)).cast("int").alias("b"))
+    rows = (src.select(F.pmod(F.xxhash64(F.col("v").cast(value_type)),
+                              F.lit(n_buckets)).cast("int").alias("b"))
             .distinct().collect())
     return sorted(int(r["b"]) for r in rows)
 
@@ -86,6 +89,8 @@ def scan_pruned(spark: SparkSession, out_dir: str, ts_col: str = "ts",
             F.date_format(lo_c, "yyyy-MM-dd"), F.date_format(hi_c, "yyyy-MM-dd")))
         df = df.where(F.col(ts_col).between(lo_c, hi_c))
     if entity_in is not None:
-        df = df.where(F.col(BUCKET_COL).isin(_bucket_ids(spark, entity_in, n_buckets)))
+        etype = dict(df.dtypes)[entity_col]
+        df = df.where(F.col(BUCKET_COL).isin(
+            _bucket_ids(spark, entity_in, n_buckets, etype)))
         df = df.where(F.col(entity_col).isin(entity_in))
     return df.drop(DAY_COL, BUCKET_COL)

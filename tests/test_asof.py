@@ -138,6 +138,54 @@ def test_sort_merge_streaming_kernel_multi_batch(spark, fixture_dfs, allow_exact
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_streaming_kernel_strict_equal_ts_across_batches(spark):
+    """Regression: with allow_exact_matches=False, a left row must fall
+    back to the latest right with a STRICTLY smaller ts even when the
+    equal-ts right row arrived in an earlier Arrow batch (the carry keeps
+    the last two distinct-ts rows per entity, not just one)."""
+    import datetime
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([("e", t(2), 1)], ["image_id", "ts", "k"])
+    right = spark.createDataFrame(
+        [("e", t(1), 10.0), ("e", t(2), 20.0)], ["image_id", "ts", "v"])
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "1")  # every row its own batch
+    try:
+        got = asof_join(left, right, strategy="sort_merge",
+                        allow_exact_matches=False, num_partitions=1).toPandas()
+    finally:
+        spark.conf.set(key, prev)
+    assert got.v.tolist() == [10.0]
+
+
+def test_streaming_kernel_null_entity_across_batches(spark):
+    """Regression: null entity keys must survive the cross-batch carry
+    (pandas groupby drops NaN groups by default) — multi-batch result must
+    equal the single-batch result."""
+    import datetime
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(None, t(2), 1), ("e", t(3), 2)],
+                                 "image_id string, ts timestamp, k int")
+    right = spark.createDataFrame([(None, t(1), 10.0), ("e", t(1), 30.0)],
+                                  "image_id string, ts timestamp, v double")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+
+    def run():
+        return (asof_join(left, right, strategy="sort_merge",
+                          num_partitions=1).toPandas()
+                .sort_values("k").v.tolist())
+
+    single = run()
+    spark.conf.set(key, "1")
+    try:
+        multi = run()
+    finally:
+        spark.conf.set(key, prev)
+    assert multi == single == [10.0, 30.0]
+
+
 def test_asof_auto_strategy_selection(spark, sf_dir):
     """auto must (a) pick the broadcast path for a provably small build
     side — observable as a shuffle-free plan (left is never exchanged,

@@ -66,6 +66,23 @@ def test_entity_set_becomes_bucket_filter(spark, table):
     assert pruned.count() == df.where(F.col("image_id").isin(ids)).count() > 0
 
 
+def test_bucket_probe_matches_non_bigint_entity_type(spark, tmp_path):
+    """Regression: xxhash64 is type-sensitive, so the probe must hash with
+    the TABLE's entity column type — an int32 entity column must still
+    return rows (the old Python-int probe hashed as bigint and pruned
+    everything away)."""
+    from pyspark.sql import functions as F
+    df = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("image_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+        F.col("id").alias("payload"))
+    out = str(tmp_path / "intkeys")
+    P.write_partitioned(df, out, n_buckets=4)
+    got = P.scan_pruned(spark, out, n_buckets=4, entity_in=[7, 12]).toPandas()
+    assert sorted(got.image_id.tolist()) == [7, 12]
+
+
 def test_combined_pruning_matches_plain_filter(spark, table):
     df, out = table
     lo, mid = _ts_bounds(df)

@@ -56,6 +56,17 @@ def test_image_stats_codec_errors_vs_bugs(monkeypatch, snap):
     # corrupt payload -> specific codec error -> decode_ok=False
     bad = imgd.compute_image_stats(b"\x00\x01garbage", r.fmt)
     assert bad["decode_ok"] is False and bad["lum_mean"] == 0.0
+    # PNG with IDAT but no IHDR: must map to decode_ok=False (ValueError),
+    # not escape as a TypeError from a None width/height
+    import struct
+    import zlib
+    sig = b"\x89PNG\r\n\x1a\n"
+    idat = zlib.compress(b"\x00\x01\x02\x03")
+    chunk = (struct.pack(">I", len(idat)) + b"IDAT" + idat
+             + struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF))
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    headless = imgd.compute_image_stats(sig + chunk + iend, "png")
+    assert headless["decode_ok"] is False
     # injected decoder bug -> raises through
     from profet_spark.functions import image_descriptors as mod
 
