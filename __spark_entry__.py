@@ -1041,19 +1041,13 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     window agg -> availableNow -> memory sink) and return the drained
     result. The oracle is the SAME SQL as the batch w7_tumbling operator —
     streaming/batch parity is the graded contract."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from profet_spark import streaming as st
 
     ev = _events(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="st_events_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(d, "part-0.parquet"))
     name = f"st_tumbling_{uuid.uuid4().hex[:8]}"
-    stream = st.read_parquet_stream(spark, d, ev.schema)
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
     st.run_available_now(st.tumbling_counts(stream, "1 hour"), name)
     return spark.table(name).select(
         "user_id", "win_start", "n", F.col("sv").cast("string").alias("sv"))
@@ -1090,6 +1084,54 @@ def _q_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality_score").alias("min_q"),
         F.max("quality_score").alias("max_q"),
     )
+
+
+def _stream_events_dir(sf_dir: str) -> str:
+    """Copy the events parquet into a fresh dir for a file-source stream."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="st_events_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def _q_stream_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 CUSTOM STATEFUL streaming operator, driver-graded: the
+    applyInPandasWithState as-of join (O(1) per-entity state across
+    micro-batches — the pattern built-in stream joins cannot express)
+    replayed over events with availableNow, graded against DuckDB's native
+    ASOF JOIN. Streaming state semantics vs a SQL oracle is the strongest
+    §2.9 evidence the contract allows."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_asof_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
+    tagged = stream.withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value")))
+    st.run_available_now(st.stateful_asof_attach(tagged), name,
+                         output_mode="append")
+    return spark.table(name).select("event_id", "user_id", "value", "pv_asof")
+
+
+def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 session-window streaming twin, driver-graded: F.session_window
+    gap sessions drained via availableNow must equal the batch sessionize
+    + per-session aggregate SQL."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_sess_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
+    st.run_available_now(st.session_agg(stream, 3600), name)
+    return spark.table(name).select("user_id", "session_start", "n")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1160,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_w7_tumbling_stream": _q_stream_tumbling,
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
         "s4_feature_roundtrip": _q_feature_roundtrip,
+        "st_j3_stateful_asof_stream": _q_stream_stateful_asof,
+        "st_w5_session_stream": _q_stream_session,
     }
 
 
@@ -2016,6 +2060,32 @@ def oracle_sql() -> dict[str, str]:
         "d5_embedding_dup_lsh": _duck_lsh_dup_sql(0.3),
         "n2_lsh_ann": _duck_lsh_ann_sql(20, 5),
         "n3_ivf_ann": _duck_ivf_ann_sql(16, 3, 20, 5),
+        # stateful streaming as-of graded against DuckDB's native ASOF JOIN
+        "st_j3_stateful_asof_stream": """
+            WITH purchases AS (
+              SELECT user_id, ts, max(value) AS pv
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, e.value, p.pv AS pv_asof
+            FROM events e
+            ASOF LEFT JOIN purchases p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "st_w5_session_stream": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CAST(sum(CASE WHEN prev_ts IS NULL
+                                   OR ts - prev_ts > INTERVAL '3600' SECOND
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS BIGINT) AS session_id
+              FROM (SELECT user_id, ts, event_id,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS prev_ts
+                    FROM events))
+            SELECT user_id, min(ts) AS session_start, count(*) AS n
+            FROM s GROUP BY user_id, session_id
+        """,
         "s4_feature_roundtrip": f"""
             WITH f AS ({_duck_quality_sql()})
             SELECT doc_id % 10 AS g, count(*) AS n,
