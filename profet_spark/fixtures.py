@@ -144,7 +144,8 @@ def make_fixture(
     pdf = pd.DataFrame(
         rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "ts"]
     )
-    assert not pdf.duplicated(["image_id", "ts"]).any()
+    if pdf.duplicated(["image_id", "ts"]).any():
+        raise ValueError("fixture generated duplicate (image_id, ts) keys")
     return pdf
 
 

@@ -47,7 +47,8 @@ def _class_map(groups: tuple[str, str, str]) -> dict[str, str]:
     for cls, letters in zip("123", groups):
         for c in letters:
             m[c] = cls
-    assert len(m) == 26, groups
+    if len(m) != 26:
+        raise ValueError(f"alphabet groups do not cover a-z: {groups}")
     return m
 
 
@@ -69,7 +70,8 @@ def reduced_map(groups: dict[str, str]) -> dict[str, str]:
     for digit, letters in groups.items():
         for c in letters:
             m[c] = digit
-    assert len(m) == 26
+    if len(m) != 26:
+        raise ValueError("alphabet groups do not cover a-z")
     return m
 
 

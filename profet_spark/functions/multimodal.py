@@ -90,7 +90,8 @@ def encode_rawvid(frames: list[np.ndarray]) -> bytes:
 
 
 def _decode_rawvid(data: bytes) -> list[bytes]:
-    assert data[:8] == RAWVID_MAGIC, "not a rawvid container"
+    if data[:8] != RAWVID_MAGIC:
+        raise ValueError("not a rawvid container")
     (n,) = struct.unpack_from("<I", data, 8)
     off, out = 12, []
     for _ in range(n):
@@ -159,7 +160,8 @@ def _audio_samples(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
         import io
         import wave
         with wave.open(io.BytesIO(data), "rb") as w:
-            assert w.getsampwidth() == 2 and w.getnchannels() == 1
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError("wav decoder supports 16-bit mono PCM only")
             raw = w.readframes(w.getnframes())
             return np.frombuffer(raw, dtype="<i2").astype(np.float64), w.getframerate()
     raise NotImplementedError(

@@ -30,7 +30,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def encode_ppm(arr: np.ndarray) -> bytes:
     h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm needs uint8 HxWx3")
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
@@ -74,7 +75,8 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 def encode_png(arr: np.ndarray) -> bytes:
     h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png needs uint8 HxWx3")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
     # filter byte 0 per scanline
     raw = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1)

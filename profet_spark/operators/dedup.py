@@ -332,7 +332,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     documents share every block and the join's own OUTPUT is O(m^2) pairs.
     Same recall caveat as D2/D3 stop-shingle caps: loss only inside the
     capped (pathological) clusters."""
-    assert max_hamming <= 3, "pigeonhole argument needs <= 3 for 4 blocks"
+    if max_hamming > 3:  # not assert: silently missing pairs under -O
+        raise ValueError("pigeonhole argument needs max_hamming <= 3 for 4 blocks")
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     # persist: the self-join references the simhash table twice and Spark
     # would otherwise run the 64-vote aggregate pipeline once per side
