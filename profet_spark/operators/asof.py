@@ -128,8 +128,12 @@ def _merge_kernel(
             lpdf = pdf.loc[lmask, lkeep].reset_index(drop=True)
             rpdf = (pdf.loc[~lmask, by_cols + [ts] + rsrc]
                     .reset_index(drop=True).rename(columns=rename))
-            rall = rpdf if carry is None else pd.concat([carry, rpdf],
-                                                        ignore_index=True)
+            if carry is None or carry.empty:
+                rall = rpdf
+            elif rpdf.empty:
+                rall = carry
+            else:
+                rall = pd.concat([carry, rpdf], ignore_index=True)
             if not lpdf.empty:
                 if rall.empty:
                     out = lpdf.copy()
