@@ -184,6 +184,11 @@ def asof_join(
 
     Returns left's columns plus right's value columns (collisions suffixed).
     ``allow_exact_matches=False`` makes the bound strict (< instead of <=).
+
+    Cost note: ``strategy="salted"`` with ``hot_keys=None`` runs
+    :func:`detect_hot_keys` — one full scan of ``left`` (a per-entity hash
+    aggregate). At warehouse scale pass ``hot_keys`` explicitly (from table
+    statistics or an offline skew profile) so the salted plan adds no scan.
     """
     spark = left.sparkSession
     if num_partitions is None:
@@ -222,22 +227,33 @@ def asof_join(
     raise ValueError(f"unknown asof strategy: {strategy}")
 
 
-def detect_hot_keys(df: DataFrame, entity: str, frac: float = 0.05, max_keys: int = 64) -> list[Any]:
-    """Entities holding more than ``frac`` of all rows. One hash agg; at
-    100 TB this runs on a sample or on table statistics, never a full scan
-    per query — callers should cache/materialize the result."""
-    total = df.count()
-    if total == 0:
-        return []
-    rows = (
-        df.groupBy(entity)
-        .count()
-        .where(F.col("count") > total * frac)
-        .orderBy(F.desc("count"))
-        .limit(max_keys)
-        .collect()
-    )
-    return [r[entity] for r in rows]
+def detect_hot_keys(df: DataFrame, entity: str, frac: float = 0.05,
+                    max_keys: int = 64,
+                    total_rows: int | None = None) -> list[Any]:
+    """Entities holding more than ``frac`` of all rows.
+
+    ONE scan of ``df`` (the per-entity hash aggregate): the total row count
+    is re-aggregated from the persisted per-entity counts — never a second
+    full scan — or skipped entirely when the caller passes ``total_rows``
+    from table statistics. At 100 TB prefer an offline skew profile and
+    pass ``hot_keys`` to :func:`asof_join` directly; callers should
+    cache/materialize the result either way."""
+    counts = df.groupBy(entity).count().persist()
+    try:
+        if total_rows is None:
+            row = counts.agg(F.sum("count").alias("t")).first()
+            total_rows = int(row["t"] or 0)
+        if total_rows == 0:
+            return []
+        rows = (
+            counts.where(F.col("count") > total_rows * frac)
+            .orderBy(F.desc("count"))
+            .limit(max_keys)
+            .collect()
+        )
+        return [r[entity] for r in rows]
+    finally:
+        counts.unpersist()
 
 
 def _prep_union(left: DataFrame, right: DataFrame, entity: str, ts: str, pairs):

@@ -33,8 +33,9 @@ Scale notes:
   reference — measured 8x re-execution without it). The persists are NOT
   unpersisted inside the operator (the returned DataFrame is lazy and
   still references them); a long-running driver issuing many dedup calls
-  should ``spark.catalog.clearCache()`` between corpora, or materialize
-  the signature table once via the S7 checkpoint sink — the production
+  should ``spark.catalog.clearCache()`` between corpora, pass
+  ``persist=False`` to manage caching itself, or materialize the
+  signature table once via the S7 checkpoint sink — the production
   shape. MEMORY_AND_DISK storage spills rather than OOMs meanwhile.
 - Pair joins shuffle on short hash keys. Skewed buckets (a shingle shared by
   millions of docs — boilerplate) are handled by AQE skew-join on the equi
@@ -53,6 +54,14 @@ from profet_spark.functions import hashing as H
 def normalized(text_col: str) -> F.Column:
     """Dedup normalization: lowercase, collapse whitespace runs, trim."""
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
+    """Persist multiply-referenced intermediates unless the caller opted
+    out (``persist=False``): a long-running driver issuing many dedup
+    calls over different corpora may prefer to manage cache lifetime
+    itself rather than accumulate blocks until spark.catalog.clearCache()."""
+    return df.persist() if persist else df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -131,7 +140,8 @@ def _verify_jaccard(cand: DataFrame, threshold: float) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        persist: bool = True) -> DataFrame:
     """D2: ALL pairs with word-k-gram Jaccard >= threshold (exact).
 
     Plan: shingle-hash explode -> self equi-join on the hash -> per-pair
@@ -150,7 +160,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         wcnt = Window.partitionBy("h")
         ex = ex.withColumn("_bn", F.count("*").over(wcnt)).where(
             F.col("_bn") <= max_bucket).drop("_bn")
-    ex = ex.persist()
+    ex = _maybe_persist(ex, persist)
     # set sizes AFTER the stop-shingle cap: jaccard is then exact over the
     # retained shingle universe (counting dropped shingles in na/nb but not
     # in the intersection would bias jaccard downward for every doc that
@@ -197,7 +207,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 3, threshold: float = 0.5,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      persist: bool = True) -> DataFrame:
     """D3: MinHash+LSH candidate generation, exact-Jaccard verified.
 
     Banding: MINHASH_K=16 split into 8 bands x 2 rows -> a pair with true
@@ -222,7 +233,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # without the persist the explode+md5+16-min aggregate pipeline (the
     # dominant cost) executes twice
     sig = ex.groupBy("id").agg(*aggs).select(
-        "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig")).persist()
+        "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig"))
+    sig = _maybe_persist(sig, persist)
     # Stage 2 — narrow band join: shuffles ONLY (id, band_digest).
     # ``max_bucket`` drops degenerate buckets (a band digest shared by more
     # docs than the cap — boilerplate clusters) the way production near-dup
@@ -249,8 +261,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .persist()
     )
+    cand = _maybe_persist(cand, persist)
     # Stage 3 — exact verify on CANDIDATES ONLY: shingle sets are collected
     # just for docs that survived banding (at production dup rates a tiny
     # fraction of the corpus), so the wide collect_set aggregate and the
@@ -270,8 +282,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("h")).alias("shingles"),
              F.count("*").alias("n"))
-        .persist()
     )
+    sets = _maybe_persist(sets, persist)
     sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"),
                      F.col("n").alias("na"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"),
@@ -318,7 +330,8 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 2, max_hamming: int = 3,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  persist: bool = True) -> DataFrame:
     """D4: ALL pairs with simhash hamming distance <= max_hamming (<=3).
 
     Pigeonhole: 64 bits in 4 16-bit blocks; <=3 differing bits cannot touch
@@ -337,7 +350,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     # persist: the self-join references the simhash table twice and Spark
     # would otherwise run the 64-vote aggregate pipeline once per side
-    t = simhash_table(df, id_col, text_col, k).persist()
+    t = _maybe_persist(simhash_table(df, id_col, text_col, k), persist)
     blocks = t.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -368,7 +381,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def embedding_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding", threshold: float = 0.3,
-                            max_bucket: int | None = None) -> DataFrame:
+                            max_bucket: int | None = None,
+                            persist: bool = True) -> DataFrame:
     """D5-scale: embedding near-dup pairs via random-hyperplane LSH
     bucketing — the 100 TB path the brute-force verifier tier
     (:func:`embedding_dup_pairs`) is the oracle for.
@@ -399,13 +413,18 @@ def embedding_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
     import numpy as np
 
     id_type = dict(df.dtypes)[id_col]
-    qd = df.select(
+    qd = _maybe_persist(df.select(
         F.col(id_col).alias("id"), H.quantize_vec(vec_col).alias("q"),
-    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))).persist()
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))), persist)
 
     sig_schema = f"id {id_type}, sig bigint"
 
+    # plane matrix rides a broadcast variable (once per executor), not the
+    # task closure (once per task)
+    bP = df.sparkSession.sparkContext.broadcast(P)
+
     def sign_kernel(batches):
+        P = bP.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -439,10 +458,10 @@ def embedding_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .persist()
     )
+    cand = _maybe_persist(cand, persist)
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-    qcand = qd.join(F.broadcast(cand_ids), "id", "left_semi").persist()
+    qcand = _maybe_persist(qd.join(F.broadcast(cand_ids), "id", "left_semi"), persist)
     qa = qcand.select(F.col("id").alias("id_a"), F.col("q").alias("qa"),
                       F.col("nrm").alias("na"))
     qb = qcand.select(F.col("id").alias("id_b"), F.col("q").alias("qb"),
@@ -455,7 +474,7 @@ def embedding_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
 
 
 def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-                        threshold: float = 0.3) -> DataFrame:
+                        threshold: float = 0.3, persist: bool = True) -> DataFrame:
     """D5: pairs with cosine(embedding_a, embedding_b) >= threshold.
 
     Vectors are quantized to int64 (hashing.quantize_vec), so dot and norms
@@ -465,10 +484,10 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "e
     # persist: both self-join sides reference the quantized projection; the
     # HOF transform/fold is interpreted per element, so recomputing it per
     # side doubles the dominant CPU cost
-    q = df.select(
+    q = _maybe_persist(df.select(
         F.col(id_col).alias("id"),
         H.quantize_vec(vec_col).alias("q"),
-    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))).persist()
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))), persist)
     a = q.alias("a")
     b = q.alias("b")
     dot = H.int_dot(F.col("a.q"), F.col("b.q"))

@@ -35,6 +35,25 @@ from profet_spark.functions import hashing as H
 ANN_PLANES = 64  # hyperplane count (signature bits)
 ANN_BANDS = 8    # 8 bands x 8 bits
 ANN_BAND_BITS = 8
+# The ANN operators collect the QUERY side to the driver (queries are small
+# by contract — the corpus stays distributed). Guard against a caller
+# passing a huge query set: fail with a clear error instead of a driver OOM.
+ANN_MAX_QUERIES = 65536
+
+
+def _collect_query_side(qdf: DataFrame, caller: str,
+                        max_queries: int | None = None) -> list:
+    """Bounded collect of the quantized query rows: reads at most
+    ``max_queries + 1`` rows (LIMIT pushes into the scan), so an oversized
+    query side costs one cheap probe, not a driver OOM."""
+    cap = ANN_MAX_QUERIES if max_queries is None else max_queries
+    rows = qdf.select("id", "q", "nrm").limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{caller}: query side exceeds {cap} rows; it is collected to "
+            "the driver by design. Split the query set, raise max_queries "
+            "explicitly, or swap the roles (probe the corpus in batches).")
+    return rows
 
 
 def _plane_coef(p: int, d: int) -> int:
@@ -102,7 +121,8 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                strategy: str = "arrow") -> DataFrame:
+                strategy: str = "arrow",
+                max_queries: int | None = None) -> DataFrame:
     """N1: exact top-k neighbors per query row by cosine similarity.
 
     Returns (query_id, neighbor_id, cosine, rank). Deterministic total
@@ -143,19 +163,25 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     import pandas as pd
 
     id_type = dict(corpus.dtypes)[id_col]
-    q_rows = (_quantized(queries, id_col, vec_col)
-              .select("id", "q", "nrm").collect())
+    q_rows = _collect_query_side(
+        _quantized(queries, id_col, vec_col), "cosine_topk", max_queries)
     if not q_rows:
         empty_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
         return corpus.sparkSession.createDataFrame([], empty_schema).withColumn(
             "rank", F.lit(1).cast("int"))
-    qids = [r["id"] for r in q_rows]
-    Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
-    qnrm = np.asarray([r["nrm"] for r in q_rows], dtype=np.float64)
+    # broadcast, don't closure-capture: a captured matrix is cloudpickled
+    # into EVERY task binary (N tasks x size driver egress); a broadcast
+    # variable ships once per executor (same pattern as asof._asof_broadcast)
+    bq = corpus.sparkSession.sparkContext.broadcast((
+        [r["id"] for r in q_rows],
+        np.asarray([r["q"] for r in q_rows], dtype=np.int64),
+        np.asarray([r["nrm"] for r in q_rows], dtype=np.float64),
+    ))
 
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
 
     def kernel(batches):
+        qids, Qm, qnrm = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -187,7 +213,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            dim: int | None = None, max_bucket: int | None = None) -> DataFrame:
+            dim: int | None = None, max_bucket: int | None = None,
+            max_queries: int | None = None) -> DataFrame:
     """N2: LSH-bucketed approximate top-k (the 100 TB path).
 
     Candidates: corpus rows sharing >=1 of the ANN_BANDS signature bands
@@ -221,8 +248,8 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_type = dict(corpus.dtypes)[id_col]
     spark = corpus.sparkSession
 
-    q_rows = (_quantized(queries, id_col, vec_col)
-              .select("id", "q", "nrm").collect())
+    q_rows = _collect_query_side(
+        _quantized(queries, id_col, vec_col), "lsh_ann", max_queries)
     if not q_rows:
         empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
         return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
@@ -234,7 +261,6 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if Qm.shape[1] != dim:
         raise ValueError(
             f"lsh_ann: query vectors have dim {Qm.shape[1]}, expected {dim}")
-    qidx = {qid: i for i, qid in enumerate(qids)}
 
     P = _planes_matrix(dim)
     qsig = _pack_signatures((Qm @ P.T) > 0).view(np.uint64)
@@ -244,9 +270,15 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probe_df = spark.createDataFrame(
         probes, f"band int, digest bigint, qid {id_type}")
 
+    # ship the plane + query matrices once per executor, not per task
+    bP = spark.sparkContext.broadcast(P)
+    bq = spark.sparkContext.broadcast(
+        (Qm, qnrm, {qid: i for i, qid in enumerate(qids)}))
+
     sig_schema = f"id {id_type}, q array<bigint>, nrm bigint, sig bigint"
 
     def sign_kernel(batches):
+        P = bP.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -281,6 +313,7 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
 
     def rank(batches):
+        Qm, qnrm, qidx = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -368,9 +401,10 @@ def _train_centroids_kmeans(qdf: DataFrame, n_centroids: int,
 
 def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            n_centroids: int = 16, n_probe: int = 2,
+            n_centroids: int | str = 16, n_probe: int = 2,
             centroids: str = "kmeans", sample_size: int = 4096,
-            kmeans_iter: int = 15) -> DataFrame:
+            kmeans_iter: int = 15,
+            max_queries: int | None = None) -> DataFrame:
     """N3: IVF-partitioned approximate top-k — the bucket-pruned scale path.
 
     Inverted-file design: every corpus vector is assigned to its nearest
@@ -395,12 +429,25 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the exact quantized-int scheme of cosine_topk, so ranking among
     candidates is bit-identical to the brute-force baseline; recall vs N1
     is asserted in tests.
+
+    ``n_centroids="auto"`` sets the IVF rule-of-thumb ``~sqrt(corpus)``
+    cells (one count of the corpus — amortized over the index lifetime;
+    at warehouse scale read the row count from table metadata instead) and
+    widens ``sample_size`` to keep >=32 sample points per centroid, so the
+    default cannot under-partition a large corpus.
     """
     import numpy as np
     import pandas as pd
 
     id_type = dict(corpus.dtypes)[id_col]
     spark = corpus.sparkSession
+
+    if n_centroids == "auto":
+        n_corpus = corpus.count()
+        n_centroids = max(1, int(np.sqrt(n_corpus)))
+        sample_size = max(sample_size, 32 * n_centroids)
+    elif not isinstance(n_centroids, int):
+        raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
 
     if centroids == "kmeans":
         Cm, cnrm = _train_centroids_kmeans(
@@ -422,19 +469,24 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     else:
         raise ValueError(f"unknown centroids strategy: {centroids!r}")
 
-    def _cos_to_centroids(Q, qnrm):
+    def _cos_to_centroids(Q, qnrm, Cm=Cm, cnrm=cnrm):
         dots = Q @ Cm.T
         return dots.astype(np.float64) / np.sqrt(qnrm[:, None] * cnrm[None, :])
 
     assign_schema = f"id {id_type}, q array<bigint>, nrm bigint, cid int"
 
+    # centroid matrix: once per executor via broadcast, not per task
+    bc = spark.sparkContext.broadcast((Cm, cnrm))
+
     def assign(batches):
+        Cm, cnrm = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             Q = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
             nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-            cos = _cos_to_centroids(Q, nrm)
+            dots = Q @ Cm.T
+            cos = dots.astype(np.float64) / np.sqrt(nrm[:, None] * cnrm[None, :])
             # np.argmax returns the FIRST max — lowest centroid id on ties
             pdf = pdf[["id", "q", "nrm"]].copy()
             pdf["cid"] = np.argmax(cos, axis=1).astype("int32")
@@ -442,15 +494,14 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     assigned = _quantized(corpus, id_col, vec_col).mapInPandas(assign, assign_schema)
 
-    q_rows = (_quantized(queries, id_col, vec_col)
-              .select("id", "q", "nrm").collect())
+    q_rows = _collect_query_side(
+        _quantized(queries, id_col, vec_col), "ivf_ann", max_queries)
     if not q_rows:
         empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
         return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
     qids = [r["id"] for r in q_rows]
     Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
     qnrm = np.asarray([r["nrm"] for r in q_rows], dtype=np.float64)
-    qidx = {qid: i for i, qid in enumerate(qids)}
     qcos = _cos_to_centroids(Qm, qnrm)
     probes = []
     for i, qid in enumerate(qids):
@@ -463,7 +514,12 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
 
+    # query matrix: once per executor via broadcast, not per task
+    bq = spark.sparkContext.broadcast(
+        (Qm, qnrm, {qid: i for i, qid in enumerate(qids)}))
+
     def rank(batches):
+        Qm, qnrm, qidx = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue

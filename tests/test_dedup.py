@@ -196,3 +196,21 @@ def test_ngram_jaccard_max_bucket_noop_when_loose(spark, sf_dir):
     cols = ["id_a", "id_b"]
     assert sorted(map(tuple, base[cols].values.tolist())) == \
         sorted(map(tuple, capped[cols].values.tolist()))
+
+
+def test_pair_ops_persist_knob_identical(spark, docs):
+    """persist=False (library callers managing cache lifetime themselves)
+    must not change any result (ADVICE r2)."""
+    from profet_spark.operators import dedup as D
+
+    def norm(pdf):
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    for fn, kw in [
+        (D.ngram_jaccard_pairs, dict(k=3, threshold=0.4)),
+        (D.minhash_lsh_pairs, dict(k=3, threshold=0.4)),
+        (D.simhash_pairs, dict(k=2)),
+    ]:
+        a = norm(fn(docs, **kw).toPandas())
+        b = norm(fn(docs, persist=False, **kw).toPandas())
+        pd.testing.assert_frame_equal(a, b)

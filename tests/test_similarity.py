@@ -229,3 +229,32 @@ def test_ivf_ann_recall(emb):
     for _, r in ann.head(10).iterrows():
         np.testing.assert_allclose(r.cosine, cos[int(r.query_id), int(r.neighbor_id)],
                                    rtol=1e-12)
+
+
+def test_ivf_ann_auto_centroids_recall(emb):
+    """n_centroids='auto' (~sqrt(corpus) cells) must keep recall in the
+    same band as the explicit setting — the default can't under-partition
+    (VERDICT r2 #7)."""
+    df, vecs = emb
+    qids = list(range(20))
+    want, _ = _numpy_topk(vecs, qids, 5)
+    ann = similarity.ivf_ann(df, df.where(df.vec_id < 20), k=5,
+                             n_centroids="auto", n_probe=3).toPandas()
+    hits = sum(len(set(ann[ann.query_id == qi].neighbor_id) & set(want[qi]))
+               for qi in qids)
+    assert hits / (20 * 5) >= 0.6, f"auto-IVF recall {hits/100:.2f} too low"
+
+
+def test_ivf_ann_bad_n_centroids_raises(emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="n_centroids"):
+        similarity.ivf_ann(df, df.where(df.vec_id < 3), n_centroids="sqrt")
+
+
+def test_ann_query_side_collect_is_bounded(emb):
+    """An oversized query set must fail with a clear error, not a driver
+    OOM: the guard reads at most max_queries+1 rows (ADVICE r2)."""
+    df, _ = emb
+    for fn in (similarity.cosine_topk, similarity.lsh_ann, similarity.ivf_ann):
+        with pytest.raises(ValueError, match="query side exceeds"):
+            fn(df, df, k=3, max_queries=10)
