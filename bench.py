@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -97,13 +98,19 @@ def main():
     n_parts = 2 * max(8, int(cpus))
     n_text_entities = max(200, int(20000 * (sf if sf > 0 else 0.1) * 10))
     n_img_entities = max(100, int(2000 * (sf if sf > 0 else 0.1) * 10))
+    # stage fixtures through parquet: a parallelized local collection ships
+    # its data inside every task binary and gets re-shipped on each
+    # post-clearCache re-cache (the 7 MB 'task of very large size'
+    # warnings); a parquet scan is also the production input shape
+    fx_dir = tempfile.mkdtemp(prefix="bench_fx_")
     snap_text_pdf = fixtures.make_fixture(n_entities=n_text_entities, with_images=False)
-    snap_text = fixtures.to_spark(
-        spark, snap_text_pdf
+    snap_text = fixtures.stage_parquet(
+        spark, snap_text_pdf, fx_dir + "/snap_text"
     ).select("image_id", "ts", "caption").repartition(n_parts).cache()
     snap_text.count()
     snap_img_pdf = fixtures.make_fixture(n_entities=n_img_entities, img_sizes=(32, 64))
-    snap_img = fixtures.to_spark(spark, snap_img_pdf).repartition(n_parts).cache()
+    snap_img = fixtures.stage_parquet(
+        spark, snap_img_pdf, fx_dir + "/snap_img").repartition(n_parts).cache()
     snap_img.count()
 
     def curation_ops(spark, sf_dir):
@@ -154,6 +161,10 @@ def main():
             _materialize(mk())
             samples[name].append(time.perf_counter() - t0)
     times = {name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()}
+    # per-iteration samples to stderr: variance diagnosis without touching
+    # the stable one-line-JSON stdout contract
+    print(json.dumps({"samples": {n: [round(x, 3) for x in t]
+                                  for n, t in samples.items()}}), file=sys.stderr)
 
     n_vectors = len(snap_text_pdf) + len(snap_img_pdf)
     total = round(sum(times.values()), 3)

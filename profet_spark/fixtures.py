@@ -36,6 +36,33 @@ SNAPSHOT_DDL = (
 def to_spark(spark, pdf: pd.DataFrame):
     return spark.createDataFrame(pdf, schema=SNAPSHOT_DDL)
 
+
+def stage_parquet(spark, pdf: pd.DataFrame, path: str):
+    """Write the fixture to parquet (pyarrow, explicit schema) and read it
+    back — the production-faithful input shape (scan from storage).
+
+    ``createDataFrame(pdf)`` plans a parallelized local collection whose
+    data rides INSIDE every task binary (~MBs per task, re-shipped on every
+    re-computation after a cache drop — the 'task of very large size'
+    warnings); a parquet scan ships only file splits. Column types mirror
+    SNAPSHOT_DDL; ``ts`` is naive, so Spark 4 reads it as TIMESTAMP_NTZ
+    (same as the driver testdata tables)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ])
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+                   os.path.join(path, "part-0.parquet"))
+    return spark.read.parquet(path)
+
 _VOCAB = None
 
 

@@ -205,10 +205,35 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def minhash_signature_table(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3) -> DataFrame:
+    """D3 stage 1 as a standalone product: ``(id, sig array<bigint>)``
+    MinHash signatures — explode + ONE codegen'd hash aggregate of the 16
+    permutation minima. No shingle arrays are built or shuffled, and no
+    dedup shuffle either: min() is duplicate-insensitive, so the only
+    exchange is the map-side-combined groupBy(id).
+
+    Public because the 100 TB shape materializes this table ONCE (via the
+    S7 checkpointed sink or a plain parquet/Iceberg write) and points every
+    downstream dedup/clustering query at it through
+    ``minhash_lsh_pairs(signatures=...)`` — signatures are content-derived
+    and frozen (H.MINHASH_PERMS), so the table is reusable until the
+    corpus changes."""
+    ex = exploded_shingle_hashes(df, id_col, text_col, k, distinct=False)
+    p = H.MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * (F.col("h") % p) + F.lit(b)) % p).alias(f"m{i}")
+        for i, (a, b) in enumerate(H.MINHASH_PERMS)
+    ]
+    return ex.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 3, threshold: float = 0.5,
                       max_bucket: int | None = None,
-                      persist: bool = True) -> DataFrame:
+                      persist: bool = True,
+                      signatures: DataFrame | None = None) -> DataFrame:
     """D3: MinHash+LSH candidate generation, exact-Jaccard verified.
 
     Banding: MINHASH_K=16 split into 8 bands x 2 rows -> a pair with true
@@ -218,23 +243,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     (near-total at the chosen threshold) subset of D2's.
 
     Scale: signature+bands are narrow per-row arrays; the only wide ops are
-    the band-digest self-join and the distinct on candidate ids."""
-    # Stage 1 — light signatures: explode + ONE codegen'd hash aggregate of
-    # the 16 permutation minima. No shingle arrays are built or shuffled,
-    # and no dedup shuffle either: min() is duplicate-insensitive, so the
-    # only exchange is the map-side-combined groupBy(id).
-    ex = exploded_shingle_hashes(df, id_col, text_col, k, distinct=False)
-    p = H.MINHASH_P
-    aggs = [
-        F.min((F.lit(a) * (F.col("h") % p) + F.lit(b)) % p).alias(f"m{i}")
-        for i, (a, b) in enumerate(H.MINHASH_PERMS)
-    ]
-    # persist: the band self-join references this subtree on BOTH sides —
-    # without the persist the explode+md5+16-min aggregate pipeline (the
-    # dominant cost) executes twice
-    sig = ex.groupBy("id").agg(*aggs).select(
-        "id", F.array(*[f"m{i}" for i in range(len(H.MINHASH_PERMS))]).alias("sig"))
-    sig = _maybe_persist(sig, persist)
+    the band-digest self-join and the distinct on candidate ids.
+
+    ``signatures``: a precomputed :func:`minhash_signature_table` result
+    (e.g. read back from the S7 checkpointed sink) — the production shape:
+    signature computation then happens once per corpus instead of once per
+    query, and this call plans no shingle explode at all. Must have been
+    built with the same ``k``; the verify tier still shingles the (few)
+    candidate docs from ``df``."""
+    # Stage 1 — light signatures (skipped entirely when the caller passes a
+    # materialized table).
+    if signatures is None:
+        # persist: the band self-join references this subtree on BOTH
+        # sides — without the persist the explode+md5+16-min aggregate
+        # pipeline (the dominant cost) executes twice
+        sig = _maybe_persist(
+            minhash_signature_table(df, id_col, text_col, k), persist)
+    else:
+        sig = signatures
     # Stage 2 — narrow band join: shuffles ONLY (id, band_digest).
     # ``max_bucket`` drops degenerate buckets (a band digest shared by more
     # docs than the cap — boilerplate clusters) the way production near-dup
