@@ -1202,6 +1202,16 @@ def _q_event_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: connected components over the D3 MinHash-LSH pair edges —
+    (id, cluster_id=min member id). The min-label fixpoint is unique, so
+    the iterative Spark loop grades hash-exact against a DuckDB recursive
+    CTE over the same pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
+    return dedup.dup_clusters(pairs)
+
+
 def _q_setops_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4+O1/O5 merged: exceptAll multiset difference, then global top-25
     by multiplicity (deterministic tiebreak) — TakeOrderedAndProject over
@@ -1310,6 +1320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_cube": _q_cube,
         "j2_star_dims": _q_star_dims,
         "a9_part_stats": _q_part_stats,
+        # D6 canonical-keeper clustering over D3 pair edges (iterative;
+        # graded locally vs a DuckDB recursive CTE)
+        "d6_dup_clusters": _q_dup_clusters,
     }
 
 
@@ -1652,6 +1665,22 @@ def oracle_sql() -> dict[str, str]:
     d["o4o5_setops_topk"] = f"""
         SELECT o_custkey, n FROM ({d['o4_set_ops']})
         ORDER BY n DESC, o_custkey ASC LIMIT 25
+    """
+    # D6: min-label connected components — the recursive CTE enumerates,
+    # for every node, the labels of ALL reachable nodes (transitive
+    # closure over the symmetrized D3 edges); min per node is the unique
+    # fixpoint the Spark propagation loop converges to. Closure size is
+    # bounded by sum(component^2) — fine for graded pair volumes.
+    d["d6_dup_clusters"] = f"""
+        WITH RECURSIVE p AS ({d['d3_minhash_lsh']}),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        r(id, lbl) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b
+        )
+        SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id
     """
     return d
 

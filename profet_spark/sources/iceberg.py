@@ -1,0 +1,94 @@
+"""Iceberg catalog front door with a sandbox-safe parquet fallback.
+
+The north rule targets Iceberg tables with hidden partition specs
+(``days(ts)`` x ``bucket(N, image_id)``). This module is the single entry
+point callers use either way:
+
+- when an Iceberg catalog is on the classpath AND the session has a
+  catalog configured, :func:`write_table` issues the real
+  ``df.writeTo(identifier).partitionedBy(F.days(ts), F.bucket(N, entity))
+  .createOrReplace()`` and :func:`read_table` a plain
+  ``spark.table(identifier)`` + source-column filters (Iceberg rewrites
+  them into partition predicates itself);
+- otherwise (this sandbox ships no Iceberg jars) both route to the
+  hidden-partition parquet layer (:mod:`profet_spark.sources.partitioned`),
+  which materializes the SAME transforms as directory keys and performs
+  the same predicate rewrite — plan-asserted in tests/test_partitioned.py.
+
+The fallback's contract is deliberately identical (same transform
+functions, same pruning semantics), so migrating a deployment is a
+catalog-config change, not a code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from profet_spark.sources import partitioned as P
+
+_ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(_ICEBERG_CATALOG_CLASS)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def _is_catalog_identifier(target: str) -> bool:
+    """Heuristic: catalog identifiers are dotted (`cat.db.tbl`), fallback
+    targets are filesystem paths."""
+    return "." in target and "/" not in target
+
+
+def write_table(df: DataFrame, target: str, ts_col: str = "ts",
+                entity_col: str = "image_id", n_buckets: int = 8) -> str:
+    """Write ``df`` partitioned by days(ts) x bucket(n_buckets, entity).
+
+    ``target`` is an Iceberg identifier (``catalog.db.table``) when a
+    catalog is available, else an output directory for the parquet
+    fallback. Returns which path was taken ("iceberg" | "parquet")."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and _is_catalog_identifier(target):
+        (df.writeTo(target)
+         .partitionedBy(F.days(F.col(ts_col)),
+                        F.bucket(n_buckets, F.col(entity_col)))
+         .createOrReplace())
+        return "iceberg"
+    if _is_catalog_identifier(target):
+        raise ValueError(
+            f"write_table: '{target}' looks like a catalog identifier but "
+            f"no Iceberg runtime ({_ICEBERG_CATALOG_CLASS}) is on the "
+            "classpath — pass an output directory for the parquet fallback "
+            "or add the iceberg-spark-runtime jar + catalog config.")
+    P.write_partitioned(df, target, ts_col=ts_col, entity_col=entity_col,
+                        n_buckets=n_buckets)
+    return "parquet"
+
+
+def read_table(spark: SparkSession, target: str, ts_col: str = "ts",
+               entity_col: str = "image_id", n_buckets: int = 8,
+               ts_between: tuple | None = None,
+               entity_in: list | None = None) -> DataFrame:
+    """Scan a :func:`write_table` table with partition pruning.
+
+    Iceberg path: plain source-column predicates (the catalog rewrites
+    them against the hidden partition spec). Fallback path: the explicit
+    rewrite in :func:`partitioned.scan_pruned` (PartitionFilters pruning,
+    plan-asserted)."""
+    if iceberg_available(spark) and _is_catalog_identifier(target):
+        df = spark.table(target)
+        if ts_between is not None:
+            lo, hi = ts_between
+            df = df.where(F.col(ts_col).between(
+                F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")))
+        if entity_in is not None:
+            df = df.where(F.col(entity_col).isin(entity_in))
+        return df
+    return P.scan_pruned(spark, target, ts_col=ts_col, entity_col=entity_col,
+                         n_buckets=n_buckets, ts_between=ts_between,
+                         entity_in=entity_in)

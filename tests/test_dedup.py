@@ -253,3 +253,18 @@ def test_minhash_signature_table_s7_composition(spark, docs, tmp_path):
     assert "sequence" in sig_plan.lower()  # direct pipeline HAS the shingle explode
     assert "sequence" not in plan.lower()  # materialized path has none
     assert "parquet" in plan.lower()       # ...it scans the sink files instead
+
+
+def test_dup_clusters_chain_and_clique(spark):
+    """D6 must label a CHAIN component (diameter > 1 — forces multi-round
+    propagation) and a separate clique with their min member ids."""
+    from profet_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12),          # chain 1-5-9-12
+         (20, 21), (20, 22), (21, 22),     # clique
+         (30, 31)],                        # pair
+        "id_a bigint, id_b bigint")
+    got = D.dup_clusters(pairs).toPandas().sort_values("id").reset_index(drop=True)
+    want = {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    assert dict(zip(got.id, got.cluster_id)) == want

@@ -94,3 +94,41 @@ def test_combined_pruning_matches_plain_filter(spark, table):
     key = ["image_id", "ts"]
     assert (sorted(map(tuple, pruned[key].values.tolist()))
             == sorted(map(tuple, want[key].values.tolist())))
+
+
+def test_iceberg_front_door_fallback(spark, tmp_path):
+    """sources.iceberg routes to the parquet hidden-partition layer when no
+    Iceberg runtime is on the classpath (this sandbox), with identical
+    results to calling the layer directly; a catalog identifier without
+    the runtime fails loudly instead of mis-writing to a path."""
+    import datetime
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from profet_spark.sources import iceberg as ice
+    from profet_spark.sources import load_table
+    from profet_spark.sources import partitioned as P
+
+    assert ice.iceberg_available(spark) is False  # sandbox has no jars
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts")
+    out = str(tmp_path / "ice_fallback")
+    assert ice.write_table(ev, out, ts_col="ts", entity_col="user_id",
+                           n_buckets=4) == "parquet"
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    hi = lo + datetime.timedelta(days=2)
+    got = ice.read_table(spark, out, ts_col="ts", entity_col="user_id",
+                         n_buckets=4, ts_between=(lo, hi),
+                         entity_in=[0, 1, 2]).toPandas()
+    want = P.scan_pruned(spark, out, ts_col="ts", entity_col="user_id",
+                         n_buckets=4, ts_between=(lo, hi),
+                         entity_in=[0, 1, 2]).toPandas()
+    cols = ["event_id", "user_id", "ts"]
+    assert got[cols].sort_values(cols).reset_index(drop=True).equals(
+        want[cols].sort_values(cols).reset_index(drop=True))
+    assert len(got) > 0
+
+    with _pt.raises(ValueError, match="catalog identifier"):
+        ice.write_table(ev, "cat.db.events", ts_col="ts", entity_col="user_id")
