@@ -1213,14 +1213,13 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_setops_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4+O1/O5 merged: exceptAll multiset difference, then global top-25
-    by multiplicity (deterministic tiebreak) — TakeOrderedAndProject over
-    the set-op result, no full sort."""
-    orders = load_table(spark, sf_dir, "orders")
-    placed = orders.select("o_custkey")
-    open_ = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    diff = placed.exceptAll(open_).groupBy("o_custkey").agg(F.count("*").alias("n"))
-    return diff.orderBy(F.desc("n"), F.asc("o_custkey")).limit(25)
+    """O4+O1/O5 merged: exceptAll multiset difference (COMPOSED from the
+    o4 component so the definitions cannot drift, mirroring the oracle
+    composition), then global top-25 by multiplicity (deterministic
+    tiebreak) — TakeOrderedAndProject over the set-op result, no full
+    sort."""
+    return (_q_set_ops(spark, sf_dir)
+            .orderBy(F.desc("n"), F.asc("o_custkey")).limit(25))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2266,17 +2265,18 @@ def _oracle_sql_base() -> dict[str, str]:
             ASOF LEFT JOIN purchases p
               ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
-        # `>=` (not the batch sessionize's `>`): F.session_window windows
-        # are [ts, ts + gap) with an EXCLUSIVE end, so an event exactly
-        # gap seconds after its predecessor starts a NEW session — the
-        # oracle must split on ts - prev_ts >= gap to match. (The batch
-        # w5_sessionize operator keeps the pandas/ProFET `>` convention on
-        # both engines; the two operators' session rules differ by design.)
+        # Exact-gap semantics PINNED by experiment (Spark 4.1.2, batch and
+        # multi-micro-batch streaming, tests/test_streaming.py::
+        # test_session_window_exact_gap_merges): F.session_window MERGES
+        # two events exactly gap seconds apart into one session — it
+        # splits only on a STRICTLY greater gap. `>` here matches that
+        # (and the batch sessionize convention); `>=` would silently
+        # diverge on any dataset containing an exact-gap pair.
         "st_w5_session_stream": """
             WITH s AS (
               SELECT user_id, ts,
                      CAST(sum(CASE WHEN prev_ts IS NULL
-                                   OR ts - prev_ts >= INTERVAL '3600' SECOND
+                                   OR ts - prev_ts > INTERVAL '3600' SECOND
                               THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1

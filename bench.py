@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -182,6 +183,7 @@ def main():
         "stat": "median",
     }))
     spark.stop()
+    shutil.rmtree(fx_dir, ignore_errors=True)  # staged fixtures (multi-MB)
 
 
 if __name__ == "__main__":

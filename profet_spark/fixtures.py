@@ -45,8 +45,8 @@ def stage_parquet(spark, pdf: pd.DataFrame, path: str):
     data rides INSIDE every task binary (~MBs per task, re-shipped on every
     re-computation after a cache drop — the 'task of very large size'
     warnings); a parquet scan ships only file splits. Column types mirror
-    SNAPSHOT_DDL; ``ts`` is naive, so Spark 4 reads it as TIMESTAMP_NTZ
-    (same as the driver testdata tables)."""
+    SNAPSHOT_DDL exactly (``ts`` cast back to TIMESTAMP after the read),
+    so frames from either loader union/join cleanly."""
     import os
 
     import pyarrow as pa
@@ -61,7 +61,11 @@ def stage_parquet(spark, pdf: pd.DataFrame, path: str):
     os.makedirs(path, exist_ok=True)
     pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
                    os.path.join(path, "part-0.parquet"))
-    return spark.read.parquet(path)
+    # parquet naive timestamps read back as TIMESTAMP_NTZ; cast to the
+    # SNAPSHOT_DDL TIMESTAMP type so both fixture loaders stay
+    # union/join-compatible (session TZ is pinned UTC — identity cast)
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", df["ts"].cast("timestamp"))
 
 _VOCAB = None
 

@@ -574,6 +574,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             lbl = new
             if changed == 0:
                 return lbl.select("id", F.col("lbl").alias("cluster_id"))
+        lbl.unpersist()
         raise RuntimeError(
             f"dup_clusters: no fixpoint after {max_iter} rounds — component "
             "diameter exceeds max_iter; raise it or use the star variant")

@@ -449,6 +449,14 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     elif not isinstance(n_centroids, int):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
 
+    # guard the (driver-collected) query side BEFORE any expensive corpus
+    # work — an oversized query set must fail fast, not after k-means
+    q_rows = _collect_query_side(
+        _quantized(queries, id_col, vec_col), "ivf_ann", max_queries)
+    if not q_rows:
+        empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
+
     if centroids == "kmeans":
         Cm, cnrm = _train_centroids_kmeans(
             _quantized(corpus, id_col, vec_col), n_centroids,
@@ -494,11 +502,6 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     assigned = _quantized(corpus, id_col, vec_col).mapInPandas(assign, assign_schema)
 
-    q_rows = _collect_query_side(
-        _quantized(queries, id_col, vec_col), "ivf_ann", max_queries)
-    if not q_rows:
-        empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
-        return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
     qids = [r["id"] for r in q_rows]
     Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
     qnrm = np.asarray([r["nrm"] for r in q_rows], dtype=np.float64)

@@ -40,31 +40,58 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def _is_catalog_identifier(target: str) -> bool:
-    """Heuristic: catalog identifiers are dotted (`cat.db.tbl`), fallback
-    targets are filesystem paths."""
-    return "." in target and "/" not in target
+    """Heuristic: a 3-part dotted slash-free name (``cat.db.tbl``) is a
+    catalog identifier; anything else (including dotted filenames like
+    ``snapshots.v2``) is a filesystem path for the fallback."""
+    return target.count(".") >= 2 and "/" not in target
+
+
+def _catalog_configured(spark: SparkSession, target: str) -> bool:
+    """True iff the identifier's catalog has a ``spark.sql.catalog.<name>``
+    session config — writeTo()/spark.table() fail with a raw
+    CATALOG_NOT_FOUND otherwise, so we check up front and explain."""
+    cat = target.split(".", 1)[0]
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{cat}", None) is not None
+    except Exception:
+        return False
+
+
+def _route(spark: SparkSession, target: str) -> str:
+    """"iceberg" | "parquet", with loud errors for half-configured setups."""
+    if not _is_catalog_identifier(target):
+        return "parquet"
+    if not iceberg_available(spark):
+        raise ValueError(
+            f"'{target}' is a catalog identifier but no Iceberg runtime "
+            f"({_ICEBERG_CATALOG_CLASS}) is on the classpath — pass an "
+            "output directory for the parquet fallback or add the "
+            "iceberg-spark-runtime jar + catalog config.")
+    if not _catalog_configured(spark, target):
+        raise ValueError(
+            f"'{target}' names catalog '{target.split('.', 1)[0]}' but the "
+            f"session has no spark.sql.catalog.{target.split('.', 1)[0]} "
+            "config — configure the catalog (SparkCatalog/SparkSessionCatalog "
+            "+ warehouse) or pass an output directory for the fallback.")
+    return "iceberg"
 
 
 def write_table(df: DataFrame, target: str, ts_col: str = "ts",
                 entity_col: str = "image_id", n_buckets: int = 8) -> str:
     """Write ``df`` partitioned by days(ts) x bucket(n_buckets, entity).
 
-    ``target`` is an Iceberg identifier (``catalog.db.table``) when a
-    catalog is available, else an output directory for the parquet
-    fallback. Returns which path was taken ("iceberg" | "parquet")."""
+    ``target`` is an Iceberg identifier (``catalog.db.table``, used when
+    the runtime is on the classpath AND the catalog is configured — a
+    half-configured setup fails with a clear error) or an output directory
+    for the parquet fallback. Returns the path taken
+    ("iceberg" | "parquet")."""
     spark = df.sparkSession
-    if iceberg_available(spark) and _is_catalog_identifier(target):
+    if _route(spark, target) == "iceberg":
         (df.writeTo(target)
          .partitionedBy(F.days(F.col(ts_col)),
                         F.bucket(n_buckets, F.col(entity_col)))
          .createOrReplace())
         return "iceberg"
-    if _is_catalog_identifier(target):
-        raise ValueError(
-            f"write_table: '{target}' looks like a catalog identifier but "
-            f"no Iceberg runtime ({_ICEBERG_CATALOG_CLASS}) is on the "
-            "classpath — pass an output directory for the parquet fallback "
-            "or add the iceberg-spark-runtime jar + catalog config.")
     P.write_partitioned(df, target, ts_col=ts_col, entity_col=entity_col,
                         n_buckets=n_buckets)
     return "parquet"
@@ -80,7 +107,7 @@ def read_table(spark: SparkSession, target: str, ts_col: str = "ts",
     them against the hidden partition spec). Fallback path: the explicit
     rewrite in :func:`partitioned.scan_pruned` (PartitionFilters pruning,
     plan-asserted)."""
-    if iceberg_available(spark) and _is_catalog_identifier(target):
+    if _route(spark, target) == "iceberg":
         df = spark.table(target)
         if ts_between is not None:
             lo, hi = ts_between

@@ -132,3 +132,9 @@ def test_iceberg_front_door_fallback(spark, tmp_path):
 
     with _pt.raises(ValueError, match="catalog identifier"):
         ice.write_table(ev, "cat.db.events", ts_col="ts", entity_col="user_id")
+
+    # dotted FILENAMES (fewer than two dots, or any slash) route to the
+    # parquet fallback rather than being mistaken for identifiers
+    out2 = str(tmp_path / "snapshots.v2")
+    assert ice.write_table(ev, out2, ts_col="ts", entity_col="user_id",
+                           n_buckets=4) == "parquet"

@@ -208,3 +208,30 @@ def test_stateful_asof_restart_from_checkpoint(spark, sf_dir, ev_schema,
     want = _batch_asof_want(spark, sf_dir)
     assert n_first < got.count() == want.count(), "no dup / no reprocess"
     assert _pdf(got).equals(_pdf(want))
+
+
+def test_session_window_exact_gap_merges(spark, tmp_path_factory):
+    """Pin the exact-gap rule the st_w5 oracle depends on: two events
+    exactly gap seconds apart belong to ONE session (F.session_window
+    splits only on a STRICTLY greater gap) — measured on Spark 4.1.2;
+    ADVICE r2's 'exclusive end' reading is refuted by this test."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("exact_gap"))
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": [base, base + pd.Timedelta(seconds=3600),         # exact gap
+               base + pd.Timedelta(seconds=3600 + 3601)],        # > gap
+        "event_id": [1, 2, 3],
+    })
+    df = spark.createDataFrame(pdf)
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    stream = (spark.readStream.schema(df.schema).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    st.run_available_now(st.session_agg(stream, 3600), "t_exact_gap")
+    got = (spark.table("t_exact_gap").toPandas()
+           .sort_values("session_start").reset_index(drop=True))
+    # one session of 2 (events 0+3600s merge), one session of 1
+    assert got.n.tolist() == [2, 1]
