@@ -1222,6 +1222,41 @@ def _q_setops_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), F.asc("o_custkey")).limit(25))
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stateful-dedup twin: dropDuplicatesWithinWatermark on
+    (user_id, ts) replayed with availableNow. Only the deduped KEYS are
+    graded (which row survives among exact-key duplicates is
+    engine-arbitrary; the key set is deterministic)."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
+    st.run_available_now(
+        st.dedup_within_watermark(stream, ["user_id", "ts"]).select("user_id", "ts"),
+        name, output_mode="append")
+    # the stream cast ts NTZ->LTZ for the watermark; cast back for grading
+    return spark.table(name).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+
+def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 sliding-window twin: overlapping F.window counts drained via
+    availableNow must equal the batch sliding-window SQL."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_slide_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
+    st.run_available_now(st.sliding_counts(stream, "1 hour", "15 minutes"), name)
+    return spark.table(name).select(
+        "user_id", F.col("win_start").cast("timestamp_ntz").alias("win_start"), "n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver grades the FIRST 50 keys.
     Positions 1-50 are chosen so every SURVEY §2 operator has a graded
@@ -1322,6 +1357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D6 canonical-keeper clustering over D3 pair edges (iterative;
         # graded locally vs a DuckDB recursive CTE)
         "d6_dup_clusters": _q_dup_clusters,
+        # remaining §2.9 streaming twins (tumbling/session/stateful-asof
+        # are graded in the top 50; these two are mirror-graded)
+        "st_f3_dedup_stream": _q_stream_dedup,
+        "st_w7_sliding_stream": _q_stream_sliding,
     }
 
 
@@ -1681,6 +1720,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id
     """
+    # streaming twins: graded against the SAME SQL as their batch ops
+    d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
+    d["st_w7_sliding_stream"] = (
+        f"SELECT user_id, win_start, n FROM ({d['w7_sliding']})")
     return d
 
 
