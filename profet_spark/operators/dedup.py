@@ -361,7 +361,8 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 2, max_hamming: int = 3,
                   max_bucket: int | None = None,
-                  persist: bool = True) -> DataFrame:
+                  persist: bool = True,
+                  signatures: DataFrame | None = None) -> DataFrame:
     """D4: ALL pairs with simhash hamming distance <= max_hamming (<=3).
 
     Pigeonhole: 64 bits in 4 16-bit blocks; <=3 differing bits cannot touch
@@ -374,13 +375,22 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     cap — the skew guard for boilerplate-heavy corpora, where m identical
     documents share every block and the join's own OUTPUT is O(m^2) pairs.
     Same recall caveat as D2/D3 stop-shingle caps: loss only inside the
-    capped (pathological) clusters."""
+    capped (pathological) clusters.
+
+    ``signatures``: a precomputed :func:`simhash_table` result (e.g. read
+    back from the S7 checkpointed sink) — same production shape as
+    ``minhash_lsh_pairs(signatures=...)``: the 64-vote aggregate pipeline
+    then runs once per corpus, not once per query. Must use the same
+    ``k``."""
     if max_hamming > 3:  # not assert: silently missing pairs under -O
         raise ValueError("pigeonhole argument needs max_hamming <= 3 for 4 blocks")
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
-    # persist: the self-join references the simhash table twice and Spark
-    # would otherwise run the 64-vote aggregate pipeline once per side
-    t = _maybe_persist(simhash_table(df, id_col, text_col, k), persist)
+    if signatures is None:
+        # persist: the self-join references the simhash table twice and
+        # Spark would otherwise run the 64-vote aggregate once per side
+        t = _maybe_persist(simhash_table(df, id_col, text_col, k), persist)
+    else:
+        t = signatures
     blocks = t.select(
         "id", "simhash",
         F.explode(F.array(*[

@@ -268,3 +268,59 @@ def test_dup_clusters_chain_and_clique(spark):
     got = D.dup_clusters(pairs).toPandas().sort_values("id").reset_index(drop=True)
     want = {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
     assert dict(zip(got.id, got.cluster_id)) == want
+
+
+def test_simhash_pairs_from_materialized_signatures(spark, docs, tmp_path):
+    """D4 twin of the D3 S7 composition: simhash_pairs(signatures=...)
+    from a checkpointed-sink readback equals the direct computation, with
+    no shingle explode in the pair plan."""
+    from profet_spark.operators import dedup as D
+    from profet_spark.sources import checkpoint as ckpt
+
+    out = str(tmp_path / "simhash_table")
+    ckpt.checkpointed_write(D.simhash_table(docs, k=2), out,
+                            key_cols=["id"], num_buckets=4,
+                            lineage="docs-simhash-k2")
+    back = ckpt.read_checkpointed(spark, out).select("id", "simhash")
+    direct = D.simhash_pairs(docs, k=2).toPandas()
+    from_mat = D.simhash_pairs(docs, k=2, signatures=back).toPandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        direct.sort_values(key).reset_index(drop=True),
+        from_mat.sort_values(key).reset_index(drop=True))
+    plan = (D.simhash_pairs(docs, k=2, signatures=back)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "sequence" not in plan.lower() and "parquet" in plan.lower()
+
+
+def test_dup_clusters_matches_union_find_reference(spark):
+    """D6 vs an independent python union-find on seeded random graphs
+    (including a long path to force many propagation rounds)."""
+    import numpy as np
+
+    from profet_spark.operators import dedup as D
+
+    def union_find(edges):
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        n = 40
+        edges = {(int(a), int(b)) for a, b in rng.integers(0, n, (60, 2)) if a != b}
+        edges |= {(i, i + 1) for i in range(100, 115)}  # path: diameter 15
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint")
+        got = {int(r.id): int(r.cluster_id)
+               for r in D.dup_clusters(pairs).collect()}
+        want = union_find(edges)
+        assert got == want, f"trial {trial}"
