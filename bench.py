@@ -144,10 +144,11 @@ def main():
     _materialize(temporal.sessionize(ev_small, 3600, entity="user_id", ts="ts"))
     _materialize(td.add_caption_features(snap_text.limit(500)))
 
-    # >=3 warm iterations per stage, report MEDIANS: n=1 numbers proved
+    # >=5 warm iterations per stage, report MEDIANS: n=1 numbers proved
     # untrustworthy round over round (first touch of a table/shuffle shape
-    # pays Python-worker + AQE warm-up that medians absorb)
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # pays Python-worker + AQE warm-up; this box also shows hypervisor
+    # steal spikes — a 5-sample median tolerates two poisoned samples)
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
     samples: dict[str, list[float]] = {name: [] for name in stages}
     for _ in range(iters):
         for name, mk in stages.items():
@@ -162,6 +163,11 @@ def main():
             _materialize(mk())
             samples[name].append(time.perf_counter() - t0)
     times = {name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()}
+    # noise on this box is strictly additive (hypervisor steal episodes —
+    # see BENCH/BASELINE.md), so the per-stage MINIMUM is the least-biased
+    # point estimate; keep the median as "value" for round-over-round
+    # comparability and report both
+    times_min = {name: round(min(ts), 3) for name, ts in samples.items()}
     # per-iteration samples to stderr: variance diagnosis without touching
     # the stable one-line-JSON stdout contract
     print(json.dumps({"samples": {n: [round(x, 3) for x in t]
@@ -175,6 +181,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_min": times_min,
+        "value_min": round(sum(times_min.values()), 3),
         "sf": sf,
         "feature_vectors": n_vectors,
         "feature_vectors_per_sec": round(n_vectors / desc_sec, 1) if desc_sec > 0 else None,
