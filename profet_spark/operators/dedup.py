@@ -541,30 +541,39 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "e
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iter: int = 50) -> DataFrame:
+                 max_iter: int = 50,
+                 algorithm: str = "propagate") -> DataFrame:
     """D6: connected components over near-dup pair edges.
 
     Input: any D2-D5 pair output. Output: ``(id, cluster_id)`` for every
     id appearing in a pair, where ``cluster_id`` is the MINIMUM member id
     of the component — the canonical-keeper convention (keep cluster_id,
-    drop the rest), deterministic regardless of iteration order, so the
-    fixpoint is reproducible in a DuckDB recursive CTE for grading.
+    drop the rest), deterministic regardless of iteration order and
+    algorithm, so the fixpoint is reproducible in a DuckDB recursive CTE
+    for grading.
 
-    Algorithm: min-label propagation — each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds. Each round is one shuffle on the edge
-    key plus a broadcast-sized label join; labels are persisted per round
-    and the previous round unpersisted, with ``localCheckpoint`` every few
-    rounds to truncate the growing lineage (the standard Spark idiom for
-    iterative algorithms). Near-dup components are shallow (dup clusters
-    are cliques or near-cliques from band collisions), so rounds stay in
-    the single digits; for adversarially long chains at warehouse scale,
-    swap in the large-star/small-star variant (O(log n) rounds) — the
-    per-round plan shape is identical.
+    ``algorithm``:
+    - ``"propagate"`` (default): min-label propagation — each round every
+      node takes the minimum label among itself and its neighbors;
+      converges in O(component diameter) rounds. Near-dup components are
+      shallow (band-collision cliques), so rounds stay in the single
+      digits and each round is just one edge-key shuffle + label join.
+    - ``"star"``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log n) rounds
+      regardless of diameter; the warehouse-scale choice when components
+      can be long chains (transitive near-dup drift). Both phases keep
+      edges pointing from larger to smaller id, and each round is two
+      groupBy-min + join steps over the (shrinking) edge set.
 
-    The driver-side loop carries only a 1-row convergence probe per round
-    (`limit(1).count()` on the changed-labels frame), never the labels.
+    Both loops persist per round, unpersist the previous round, and
+    ``localCheckpoint`` periodically to truncate lineage (the standard
+    Spark idiom for iterative algorithms); the driver carries only a
+    1-row convergence probe per round, never the data.
     """
+    if algorithm == "star":
+        return _dup_clusters_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "propagate":
+        raise ValueError(f"unknown dup_clusters algorithm: {algorithm!r}")
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
              .distinct().persist()
@@ -587,6 +596,56 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         lbl.unpersist()
         raise RuntimeError(
             f"dup_clusters: no fixpoint after {max_iter} rounds — component "
-            "diameter exceeds max_iter; raise it or use the star variant")
+            "diameter exceeds max_iter; raise it or use algorithm='star'")
     finally:
         edges.unpersist()
+
+
+def _dup_clusters_star(pairs: DataFrame, id_a: str, id_b: str,
+                       max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (see dup_clusters).
+
+    Invariant both phases preserve: every edge points from the larger id
+    to the smaller (``a > b``). At the fixpoint the edge set is a union
+    of stars (member -> component min); semantics pinned against a python
+    union-find reference in tests (random graphs + long paths)."""
+    e = (pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+         .where(F.col("x") != F.col("y")))
+    E = (e.select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
+         .distinct().persist())
+    for i in range(max_iter):
+        # large-star: over the symmetrized adjacency of u, connect every
+        # LARGER neighbor v to m(u) = min(neighbors(u) + {u})
+        sym = E.unionByName(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+             .select("a", F.least("mn", F.col("a")).alias("m")))
+        e1 = (sym.join(m, "a").where(F.col("b") > F.col("a"))
+              .select(F.col("b").alias("a"), F.col("m").alias("b"))
+              .where(F.col("a") != F.col("b")).distinct())
+        # small-star: edges already point downward, so
+        # m(u) = min(neighbors(u)); connect every neighbor AND u to it
+        m2 = e1.groupBy("a").agg(F.min("b").alias("m"))
+        nbrs = (e1.join(m2, "a").where(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        selfs = m2.select("a", F.col("m").alias("b"))
+        e2 = (nbrs.unionByName(selfs)
+              .where(F.col("a") != F.col("b")).distinct())
+        e2 = e2.localCheckpoint(eager=True) if i % 2 == 1 else e2.persist()
+        # converged when the round is a no-op (set equality, both ways)
+        grew = e2.subtract(E).limit(1).count()
+        shrank = E.subtract(e2).limit(1).count() if grew == 0 else 1
+        E.unpersist()
+        E = e2
+        if grew == 0 and shrank == 0:
+            members = E.select(F.col("a").alias("id"),
+                               F.col("b").alias("cluster_id"))
+            roots = (E.select("b").distinct()
+                     .join(E.select(F.col("a").alias("b")).distinct(),
+                           "b", "left_anti")
+                     .select(F.col("b").alias("id"),
+                             F.col("b").alias("cluster_id")))
+            return members.unionByName(roots)
+    E.unpersist()
+    raise RuntimeError(
+        f"dup_clusters(star): no fixpoint after {max_iter} rounds")

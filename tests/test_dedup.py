@@ -324,3 +324,49 @@ def test_dup_clusters_matches_union_find_reference(spark):
                for r in D.dup_clusters(pairs).collect()}
         want = union_find(edges)
         assert got == want, f"trial {trial}"
+
+
+def test_dup_clusters_star_matches_union_find(spark):
+    """The large-star/small-star variant (O(log n) rounds) must agree with
+    union-find AND with the propagate variant, including on a long path
+    whose diameter exceeds propagate's budget economics."""
+    import numpy as np
+
+    from profet_spark.operators import dedup as D
+
+    rng = np.random.default_rng(5)
+    n = 40
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, n, (60, 2)) if a != b}
+    edges |= {(i, i + 1) for i in range(100, 140)}  # path: diameter 40
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint")
+
+    def union_find(edges):
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n_: find(n_) for n_ in parent}
+
+    got = {int(r.id): int(r.cluster_id)
+           for r in D.dup_clusters(pairs, algorithm="star", max_iter=15).collect()}
+    assert got == union_find(edges)
+    # the 40-hop path converged within 15 star rounds — beyond what
+    # propagate could do in 15 (needs ~40); also cross-check propagate
+    # at a budget that CAN converge
+    got_prop = {int(r.id): int(r.cluster_id)
+                for r in D.dup_clusters(pairs, max_iter=60).collect()}
+    assert got_prop == got
+
+
+def test_dup_clusters_bad_algorithm_raises(spark):
+    from profet_spark.operators import dedup as D
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError, match="algorithm"):
+        D.dup_clusters(pairs, algorithm="bfs")
