@@ -426,6 +426,29 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
 
 
+def _q_lsh_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3+D6 merged suite: the MinHash-LSH pair edges AND the connected
+    components over them, tagged by ``part`` so one graded driver row
+    covers both operators. Cluster rows carry -1 sentinels (never NULL)
+    in the pair-only columns so every column keeps an integer dtype kind
+    and the driver's value hash is unambiguous."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).persist()
+    clusters = dedup.dup_clusters(pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        "inter", "na", "nb", "jaccard")
+    cluster_rows = clusters.select(
+        F.lit("cluster").alias("part"),
+        F.col("id").alias("a"), F.col("cluster_id").alias("b"),
+        F.lit(-1).cast("int").alias("inter"),
+        F.lit(-1).cast("bigint").alias("na"),
+        F.lit(-1).cast("bigint").alias("nb"),
+        F.lit(-1.0).alias("jaccard"))
+    return pair_rows.unionByName(cluster_rows)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_table(docs, k=2)
@@ -1307,10 +1330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_pipeline": _q_multimodal,
         # -- text analysis (T1-T4) -------------------------- 35
         "t1t4_textstats": _q_textstats_suite,
-        # -- dedup (D1-D5) ---------------------------------- 36-41
+        # -- dedup (D1-D6) ---------------------------------- 36-41
         "d1_exact_dedup": _q_exact_dedup,
         "d2_ngram_jaccard": _q_ngram_jaccard,
-        "d3_minhash_lsh": _q_minhash_lsh,
+        # D3 pairs + D6 connected components in one graded row
+        "d3d6_lsh_dedup": _q_lsh_dedup_suite,
         "d4_simhash": _q_simhash,
         "d5_embedding_dup": _q_embedding_dup,
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1354,8 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_cube": _q_cube,
         "j2_star_dims": _q_star_dims,
         "a9_part_stats": _q_part_stats,
-        # D6 canonical-keeper clustering over D3 pair edges (iterative;
-        # graded locally vs a DuckDB recursive CTE)
+        # D3/D6 components (graded together via d3d6_lsh_dedup above)
+        "d3_minhash_lsh": _q_minhash_lsh,
         "d6_dup_clusters": _q_dup_clusters,
         # remaining §2.9 streaming twins (tumbling/session/stateful-asof
         # are graded in the top 50; these two are mirror-graded)
@@ -1719,6 +1743,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b
         )
         SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id
+    """
+    # D3+D6 merged suite: pair rows verbatim plus cluster rows with -1
+    # sentinels (not NULLs — keeps every column integer-kind so the
+    # driver value hash has no null/NaN encoding ambiguity)
+    d["d3d6_lsh_dedup"] = f"""
+        WITH RECURSIVE p AS ({d['d3_minhash_lsh']}),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        r(id, lbl) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b
+        ),
+        c AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+        SELECT 'pair' AS part, id_a AS a, id_b AS b, inter, na, nb, jaccard
+        FROM p
+        UNION ALL
+        SELECT 'cluster', id, cluster_id,
+               CAST(-1 AS INTEGER), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1.0 AS DOUBLE)
+        FROM c
     """
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
