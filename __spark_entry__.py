@@ -416,6 +416,42 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs).select("doc_id", "content_fp")
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: Gopher-style within-document repetition features (duplicate
+    n-gram mass + top-n-gram mass for n in {2,3}; exact-int ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.add_repetition_features(docs).select(
+        "doc_id", "dup_2gram_frac", "top_2gram_frac",
+        "dup_3gram_frac", "top_3gram_frac")
+
+
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: corpus-level duplicated-segment removal (C4-style line dedup;
+    fixed-width word segmenter — the synthetic corpus has no newlines,
+    real line mode is delimiter='\\n', tested in tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.drop_duplicate_segments(docs, width=8)
+
+
+def _q_exact_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D7 merged suite: exact-dedup survivors AND the duplicated-
+    segment-removal rewrite, tagged by ``part`` so one graded driver row
+    covers both corpus-dedup operators. -1 sentinels (never NULL) keep
+    integer dtype kinds unambiguous for the driver value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    d1 = dedup.exact_dedup(docs).select(
+        F.lit("doc").alias("part"), "doc_id",
+        F.col("content_fp").alias("txt"),
+        F.lit(-1).cast("int").alias("n_a"),
+        F.lit(-1).cast("int").alias("n_b"))
+    d7 = dedup.drop_duplicate_segments(docs, width=8).select(
+        F.lit("seg").alias("part"), "doc_id",
+        F.col("new_text").alias("txt"),
+        F.col("n_segments").alias("n_a"),
+        F.col("n_kept").alias("n_b"))
+    return d1.unionByName(d7)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
@@ -1189,16 +1225,19 @@ def _q_ctd_comp_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_textstats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1+T2+T3+T4 merged: one chained pass over documents adds language
-    ID, quality features, token counts, and the minhash fingerprint —
-    the production single-scan shape (each add_* is withColumn-only)."""
+    """T1+T2+T3+T4+T5 merged: one chained pass over documents adds
+    language ID, quality features, token counts, the minhash fingerprint,
+    and the repetition features — the production single-scan shape (the
+    scalar add_* are withColumn-only; T4/T5 each contribute one narrow
+    join-back keyed on doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
-    out = ts.add_fingerprint(
-        ts.add_token_counts(ts.add_quality_features(ts.add_language_id(docs))))
+    out = ts.add_repetition_features(ts.add_fingerprint(
+        ts.add_token_counts(ts.add_quality_features(ts.add_language_id(docs)))))
     return out.select(
         "doc_id", "lang", "pred_lang", "pred_score",
         "n_tokens", "mean_tok_len", "alpha_ratio", "stopword_ratio",
-        "quality_score", "ws_tokens", "bpe_tokens", "fp_minhash", "fp_windows")
+        "quality_score", "ws_tokens", "bpe_tokens", "fp_minhash", "fp_windows",
+        "dup_2gram_frac", "top_2gram_frac", "dup_3gram_frac", "top_3gram_frac")
 
 
 def _q_event_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,10 +1367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profet_caption_features": _q_profet_features,
         "image_snapshot_pipeline": _q_image_pipeline,
         "multimodal_resize_pipeline": _q_multimodal,
-        # -- text analysis (T1-T4) -------------------------- 35
-        "t1t4_textstats": _q_textstats_suite,
-        # -- dedup (D1-D6) ---------------------------------- 36-41
-        "d1_exact_dedup": _q_exact_dedup,
+        # -- text analysis (T1-T5) -------------------------- 35
+        "t1t5_textstats": _q_textstats_suite,
+        # -- dedup (D1-D7) ---------------------------------- 36-41
+        # D1 survivors + D7 segment-dedup rewrite in one graded row
+        "d1d7_exact_dedup": _q_exact_dedup_suite,
         "d2_ngram_jaccard": _q_ngram_jaccard,
         # D3 pairs + D6 connected components in one graded row
         "d3d6_lsh_dedup": _q_lsh_dedup_suite,
@@ -1369,6 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_quality_score": _q_quality,
         "t3_token_counts": _q_token_counts,
         "t4_fingerprint": _q_fingerprint,
+        "t5_repetition": _q_repetition,
+        "d1_exact_dedup": _q_exact_dedup,
+        "d7_segment_dedup": _q_segment_dedup,
         "c5_date_scalars": _q_date_scalars,
         "c7_map_ops": _q_map_ops,
         "o4_set_ops": _q_set_ops,
@@ -1580,6 +1623,63 @@ def _duck_lsh_dup_sql(threshold: float) -> str:
     """
 
 
+def _duck_repetition_sql(ns: tuple[int, ...] = (2, 3)) -> str:
+    """T5 oracle twin of textstats.add_repetition_features: per n, count
+    occurrences per (doc, gram-h32), then duplicate-mass and top-gram-mass
+    ratios of exact integer counts (bit-identical doubles on both engines)."""
+    ctes, cols, joins = [], [], []
+    for n in ns:
+        parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+        ctes.append(f"""
+        g{n} AS (SELECT id, {H.h32_sql_duckdb(f"({parts})")} AS h
+                 FROM (SELECT id, w,
+                              unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS i
+                       FROM d)),
+        c{n} AS (SELECT id, h, count(*) AS c FROM g{n} GROUP BY 1, 2),
+        r{n} AS (SELECT id, (sum(c) - count(*)) / sum(c) AS dupf,
+                        max(c) / sum(c) AS topf
+                 FROM c{n} GROUP BY id)""")
+        cols.append(f"coalesce(r{n}.dupf, CAST(0.0 AS DOUBLE)) AS dup_{n}gram_frac,\n"
+                    f"               coalesce(r{n}.topf, CAST(0.0 AS DOUBLE)) AS top_{n}gram_frac")
+        joins.append(f"LEFT JOIN r{n} ON r{n}.id = d.id")
+    return f"""
+        WITH d AS (SELECT doc_id AS id, {_DUCK_WORDS.format(c='text')} AS w FROM documents),
+        {','.join(ctes)}
+        SELECT d.id AS doc_id,
+               {', '.join(cols)}
+        FROM d {' '.join(joins)}
+    """
+
+
+def _duck_segment_dedup_sql(width: int = 8, min_count: int = 2) -> str:
+    """D7 oracle twin of dedup.drop_duplicate_segments (fixed-width word
+    segmenter): same segment strings, same 64-bit (h32, h32_hi) count key,
+    same <min_count keep rule, same ordered re-assembly."""
+    w_expr = _DUCK_WORDS.format(c="text")
+    return f"""
+        WITH d AS (SELECT doc_id AS id, {w_expr} AS w FROM documents),
+        s AS (SELECT id, i,
+                     array_to_string(list_slice(w, (i-1)*{width}+1, i*{width}), ' ') AS seg
+              FROM (SELECT id, w,
+                           unnest(generate_series(1, CAST(ceil(len(w)/{width}.0) AS BIGINT))) AS i
+                    FROM d)),
+        hx AS (SELECT id, i, seg, {H.h32_sql_duckdb('seg')} AS h,
+                      {H.h32_hi_sql_duckdb('seg')} AS h2 FROM s),
+        c AS (SELECT h, h2, count(*) AS n FROM hx GROUP BY 1, 2),
+        k AS (SELECT hx.id, hx.i, hx.seg
+              FROM hx JOIN c ON c.h = hx.h AND c.h2 = hx.h2
+              WHERE c.n < {min_count}),
+        agg AS (SELECT id, count(*) AS n_kept,
+                       string_agg(seg, ' ' ORDER BY i) AS new_text
+                FROM k GROUP BY id)
+        SELECT d.id AS doc_id,
+               CAST(ceil(len(d.w)/{width}.0) AS INT) AS n_segments,
+               CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+               coalesce(agg.new_text, '') AS new_text
+        FROM d LEFT JOIN agg ON agg.id = d.id
+    """
+
+
 def _duck_quality_sql() -> str:
     """T2 quality features (shared by t2_quality_score and the S4
     feature-sink round-trip oracle)."""
@@ -1696,15 +1796,27 @@ def oracle_sql() -> dict[str, str]:
         FROM ({d['a4_ctd_composition']}) c
         JOIN ({d['a5_ctd_transition']}) t ON t.doc_id = c.doc_id
     """
-    d["t1t4_textstats"] = f"""
+    d["t1t5_textstats"] = f"""
         SELECT t1.doc_id, t1.lang, t1.pred_lang, t1.pred_score,
                t2.n_tokens, t2.mean_tok_len, t2.alpha_ratio,
                t2.stopword_ratio, t2.quality_score,
-               t3.ws_tokens, t3.bpe_tokens, t4.fp_minhash, t4.fp_windows
+               t3.ws_tokens, t3.bpe_tokens, t4.fp_minhash, t4.fp_windows,
+               t5.dup_2gram_frac, t5.top_2gram_frac,
+               t5.dup_3gram_frac, t5.top_3gram_frac
         FROM ({d['t1_language_id']}) t1
         JOIN ({d['t2_quality_score']}) t2 ON t2.doc_id = t1.doc_id
         JOIN ({d['t3_token_counts']}) t3 ON t3.doc_id = t1.doc_id
         JOIN ({d['t4_fingerprint']}) t4 ON t4.doc_id = t1.doc_id
+        JOIN ({d['t5_repetition']}) t5 ON t5.doc_id = t1.doc_id
+    """
+    # D1+D7 merged suite: both component oracles verbatim, tagged
+    d["d1d7_exact_dedup"] = f"""
+        SELECT 'doc' AS part, doc_id, content_fp AS txt,
+               CAST(-1 AS INTEGER) AS n_a, CAST(-1 AS INTEGER) AS n_b
+        FROM ({d['d1_exact_dedup']})
+        UNION ALL
+        SELECT 'seg', doc_id, new_text, n_segments, n_kept
+        FROM ({d['d7_segment_dedup']})
     """
     # C5+C7 per-event scalar suite (same expressions as the grouped
     # c5_date_scalars and c7_map_ops oracles, ungrouped)
@@ -1998,6 +2110,8 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM documents)
             GROUP BY content_fp
         """,
+        "t5_repetition": _duck_repetition_sql(),
+        "d7_segment_dedup": _duck_segment_dedup_sql(),
         "d2_ngram_jaccard": f"""
             WITH {_duck_shingle_cte(3)},
             i AS (SELECT a.id AS ia, b.id AS ib, count(*) AS k

@@ -84,6 +84,74 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def drop_duplicate_segments(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", width: int = 8,
+                            delimiter: str | None = None,
+                            min_count: int = 2) -> DataFrame:
+    """D7 — corpus-level duplicated-segment removal (the C4/CCNet "remove
+    any line occurring elsewhere in the corpus" curation pass, Raffel et
+    al. 2020 §2.2): every segment whose corpus-wide occurrence count
+    reaches ``min_count`` is dropped from EVERY document, and each
+    document is re-assembled from its surviving segments in order.
+
+    Segmentation: ``delimiter`` splits on a separator (a Java regex for
+    the split; the re-assembly joins with the same string verbatim, so
+    pass a fixed literal like ``"\\n"`` for real line-level dedup);
+    ``delimiter=None`` falls back to
+    fixed-width word windows of ``width`` tokens — the synthetic corpus
+    has no newlines, so the fixed-width segmenter exercises the same
+    machinery (segment hash -> corpus count -> ordered re-assembly) with
+    deterministic segment boundaries. The MECHANISM is the operator under
+    test; both modes share every stage after segmentation.
+
+    Returns (id_col, n_segments, n_kept, new_text); a document whose
+    every segment is duplicated survives with ``n_kept=0, new_text=''``
+    (filtering empties is the caller's policy decision).
+
+    Physical shape (100 TB): codegen posexplode -> count on the NARROW
+    64-bit (h, h2) key pair (map-side partial agg; segment text never
+    enters that exchange) -> join-back on the same pair -> one groupBy
+    per doc for the ordered re-assembly. 32 bits alone would birthday-
+    collide at ~10^5 distinct segments, so the count key is both md5
+    halves (collisions ~2^-64 per pair — the standard fingerprint-width
+    trade, same as the 64-bit SimHash rationale in hashing.h32_hi)."""
+    if delimiter is not None:
+        segs = F.filter(F.split(F.col(text_col), F.lit(delimiter), -1),
+                        lambda s: s != F.lit(""))
+        sep = delimiter
+    else:
+        w = H.words(text_col)
+        n_seg = F.floor((F.size(w) + (width - 1)) / F.lit(width)).cast("int")
+        # sequence(0, -1) would DESCEND — guard the zero-word case
+        segs = F.when(n_seg > 0, F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width)))
+        ).otherwise(F.array().cast("array<string>"))
+        sep = " "
+    base = df.select(F.col(id_col).alias("id"), segs.alias("segs"))
+    exploded = (
+        base.select("id", F.posexplode("segs").alias("pos", "seg"))
+        .select("id", "pos", "seg",
+                H.h32(F.col("seg")).alias("h"), H.h32_hi(F.col("seg")).alias("h2"))
+    )
+    counts = exploded.groupBy("h", "h2").agg(F.count("*").alias("n"))
+    kept = (exploded.join(counts, ["h", "h2"])
+            .where(F.col("n") < min_count))
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                        lambda s: s["seg"]), sep).alias("new_text"))
+    totals = base.select("id", F.size("segs").alias("n_segments"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(F.col("id").alias(id_col),
+                "n_segments",
+                F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+                F.coalesce("new_text", F.lit("")).alias("new_text"))
+    )
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingles: sorted distinct array<bigint>, n: int) — narrow."""
     return df.select(

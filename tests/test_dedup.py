@@ -370,3 +370,49 @@ def test_dup_clusters_bad_algorithm_raises(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
     with pytest.raises(ValueError, match="algorithm"):
         D.dup_clusters(pairs, algorithm="bfs")
+
+
+def test_drop_duplicate_segments_line_mode(spark):
+    """D7 real line-level mode (delimiter='\\n'): the C4-style rule —
+    a line occurring in >=2 docs is dropped from every doc; docs are
+    re-assembled in original line order; a fully-boilerplate doc
+    survives with empty text (caller's policy to drop)."""
+    a = "alpha beta\nshared boilerplate line\ngamma delta"
+    b = "epsilon zeta\nshared boilerplate line"
+    c = "shared boilerplate line"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    got = (dedup.drop_duplicate_segments(df, delimiter="\n")
+           .toPandas().set_index("doc_id").sort_index())
+    assert got.loc[0, "new_text"] == "alpha beta\ngamma delta"
+    assert got.loc[0, "n_segments"] == 3 and got.loc[0, "n_kept"] == 2
+    assert got.loc[1, "new_text"] == "epsilon zeta"
+    assert got.loc[2, "new_text"] == "" and got.loc[2, "n_kept"] == 0
+    assert got.loc[2, "n_segments"] == 1
+
+
+def test_drop_duplicate_segments_fixed_width(spark):
+    """Fixed-width word segmenter: aligned duplicate window dropped
+    everywhere, tails kept, empty doc -> 0 segments."""
+    rows = [(0, "a b c d e f g h"),   # segs: 'a b c d', 'e f g h'
+            (1, "a b c d x y z w"),   # segs: 'a b c d', 'x y z w'
+            (2, "p q"),               # one short segment
+            (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (dedup.drop_duplicate_segments(df, width=4)
+           .toPandas().set_index("doc_id").sort_index())
+    assert got.loc[0, "new_text"] == "e f g h"
+    assert got.loc[0, "n_segments"] == 2 and got.loc[0, "n_kept"] == 1
+    assert got.loc[1, "new_text"] == "x y z w"
+    assert got.loc[2, "new_text"] == "p q" and got.loc[2, "n_kept"] == 1
+    assert got.loc[3, "n_segments"] == 0 and got.loc[3, "new_text"] == ""
+
+
+def test_drop_duplicate_segments_min_count(spark):
+    """min_count=3 tolerates a segment appearing twice."""
+    df = spark.createDataFrame(
+        [(0, "dup line\nuniq a"), (1, "dup line\nuniq b")],
+        ["doc_id", "text"])
+    got = (dedup.drop_duplicate_segments(df, delimiter="\n", min_count=3)
+           .toPandas().set_index("doc_id").sort_index())
+    assert got.loc[0, "new_text"] == "dup line\nuniq a"
+    assert got.loc[1, "n_kept"] == 2

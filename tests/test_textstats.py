@@ -59,3 +59,31 @@ def test_fingerprint_invariance(spark):
     assert got.loc[0, "fp_windows"] == 3
     assert got.loc[0, "fp_minhash"] != got.loc[2, "fp_minhash"]
     assert got.loc[3, "fp_minhash"] == -1 and got.loc[3, "fp_windows"] == 0
+
+
+def test_repetition_features(docs):
+    """T5 hand-check: exact duplicate-mass and top-gram-mass ratios."""
+    got = ts.add_repetition_features(docs).toPandas().set_index("doc_id")
+    # doc 0 "the key table row a the": 5 bigrams, all distinct
+    assert got.loc[0, "dup_2gram_frac"] == 0.0
+    assert got.loc[0, "top_2gram_frac"] == 1 / 5
+    # doc 1 "agg hash sort merge agg hash": bigrams agg-hash x2,
+    # hash-sort, sort-merge, merge-agg -> total 5, distinct 4, max 2
+    assert got.loc[1, "dup_2gram_frac"] == 1 / 5
+    assert got.loc[1, "top_2gram_frac"] == 2 / 5
+    # trigrams of doc 1: 4 windows, all distinct
+    assert got.loc[1, "dup_3gram_frac"] == 0.0
+    assert got.loc[1, "top_3gram_frac"] == 1 / 4
+    # empty doc -> all zeros (no windows)
+    assert got.loc[3, "dup_2gram_frac"] == 0.0
+    assert got.loc[3, "top_3gram_frac"] == 0.0
+
+
+def test_repetition_degenerate_loop(spark):
+    """A looping document approaches dup_frac -> 1, top_frac -> 1."""
+    df = spark.createDataFrame([(0, ("spam " * 50).strip())],
+                               ["doc_id", "text"])
+    got = ts.add_repetition_features(df).toPandas()
+    assert got.loc[0, "dup_2gram_frac"] == 48 / 49
+    assert got.loc[0, "top_2gram_frac"] == 1.0
+    assert got.loc[0, "top_3gram_frac"] == 1.0
