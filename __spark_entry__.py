@@ -433,6 +433,31 @@ def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.drop_duplicate_segments(docs, width=8)
 
 
+def _q_fp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: generic 64-bit hamming_pairs over the T4 minhash fingerprint
+    column (pigeonhole 16-bit-block join — the D4 machinery on an
+    arbitrary precomputed signature). The -1 no-window sentinel rows are
+    excluded (they would otherwise form an artificial hamming-0 cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (ts.add_fingerprint(docs)
+          .where(F.col("fp_minhash") >= 0).select("doc_id", "fp_minhash"))
+    return dedup.hamming_pairs(fp, id_col="doc_id", bits_col="fp_minhash",
+                               max_hamming=3)
+
+
+def _q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 image adapter: near-dup image pairs by phash Hamming distance
+    over the native snapshot fixture (input_hint shape), with the
+    max_bucket skew guard active against the fixture's planted hot-phash
+    cluster. Fixture-backed (no sf image table) — rows-only to the
+    driver; exactness vs a numpy brute force is asserted in
+    tests/test_dedup.py."""
+    pdf = fixtures.make_fixture(n_entities=80)
+    df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "phash")
+    latest = df.groupBy("image_id").agg(F.max_by("phash", "ts").alias("phash"))
+    return dedup.phash_dup_pairs(latest, max_hamming=3, max_bucket=16)
+
+
 def _q_exact_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1+D7 merged suite: exact-dedup survivors AND the duplicated-
     segment-removal rewrite, tagged by ``part`` so one graded driver row
@@ -1412,6 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_repetition": _q_repetition,
         "d1_exact_dedup": _q_exact_dedup,
         "d7_segment_dedup": _q_segment_dedup,
+        "d8_fp_hamming": _q_fp_hamming,
+        "d8_phash_dup_pairs": _q_phash_dup_pairs,
         "c5_date_scalars": _q_date_scalars,
         "c7_map_ops": _q_map_ops,
         "o4_set_ops": _q_set_ops,
@@ -1876,6 +1903,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(-1 AS INTEGER), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1.0 AS DOUBLE)
         FROM c
+    """
+    # D8: brute-force XOR/bit_count twin of the pigeonhole block join
+    # (full recall for hamming<=3 is the operator's exactness claim, so
+    # the quadratic oracle and the block join must agree exactly)
+    d["d8_fp_hamming"] = f"""
+        WITH f AS (SELECT doc_id, fp_minhash FROM ({d['t4_fingerprint']})
+                   WHERE fp_minhash >= 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp_minhash, b.fp_minhash)) AS INT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp_minhash, b.fp_minhash)) <= 3
     """
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"

@@ -28,6 +28,13 @@ D6  dup_clusters         — connected components over any pair output
                            (min-label propagation; cluster_id = min member
                            id), the canonical-keeper step that turns pair
                            edges into keep/drop decisions.
+D7  drop_duplicate_segments — C4/CCNet-style corpus-level line dedup
+                           (segment → narrow 64-bit count key → drop
+                           repeated segments everywhere → ordered rebuild).
+D8  hamming_pairs        — the D4 pigeonhole block join generalized to ANY
+                           precomputed 64-bit signature column: text
+                           SimHash, T4 minhash fingerprints, image phash
+                           (phash_dup_pairs is the image-table adapter).
 
 Scale notes:
 - Signatures/fingerprints are narrow projections: Catalyst prunes ``text``
@@ -450,24 +457,51 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ``minhash_lsh_pairs(signatures=...)``: the 64-vote aggregate pipeline
     then runs once per corpus, not once per query. Must use the same
     ``k``."""
-    if max_hamming > 3:  # not assert: silently missing pairs under -O
-        raise ValueError("pigeonhole argument needs max_hamming <= 3 for 4 blocks")
-    mask = (1 << SIMHASH_BLOCK_BITS) - 1
     if signatures is None:
         # persist: the self-join references the simhash table twice and
         # Spark would otherwise run the 64-vote aggregate once per side
         t = _maybe_persist(simhash_table(df, id_col, text_col, k), persist)
     else:
         t = signatures
+    return hamming_pairs(t, id_col="id", bits_col="simhash",
+                         max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def hamming_pairs(sigs: DataFrame, id_col: str = "id", bits_col: str = "bits",
+                  max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
+    """D8 — ALL pairs of rows whose 64-bit signatures differ in at most
+    ``max_hamming`` bits, via the pigeonhole 16-bit-block equi-join. The
+    D4 machinery generalized to ANY precomputed int64 signature column:
+    text SimHash (:func:`simhash_pairs` delegates here), T4 minhash
+    fingerprints, image perceptual hashes (:func:`phash_dup_pairs`).
+
+    Pigeonhole: 64 bits in 4 16-bit blocks; <=3 differing bits cannot
+    touch all 4 blocks, so every qualifying pair shares >=1 exact block —
+    the block equi-join has FULL recall (exact, not approximate) while
+    shuffling only (block_id, 16-bit value, id): 4x65536 join keys
+    instead of a cross join, the signature itself the only other column.
+
+    ``max_bucket`` drops (block, value) buckets holding more rows than
+    the cap — the skew guard for degenerate clusters (m identical
+    signatures share every block; the join's own OUTPUT is O(m^2) pairs).
+    Recall loss only inside the capped clusters, same convention as the
+    D2/D3 stop-shingle caps.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, exact distances."""
+    if max_hamming > 3:  # not assert: silently missing pairs under -O
+        raise ValueError("pigeonhole argument needs max_hamming <= 3 for 4 blocks")
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    t = sigs.select(F.col(id_col).alias("id"), F.col(bits_col).alias("bits"))
     blocks = t.select(
-        "id", "simhash",
+        "id", "bits",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
-                     F.shiftright("simhash", SIMHASH_BLOCK_BITS * i)
+                     F.shiftright("bits", SIMHASH_BLOCK_BITS * i)
                      .bitwiseAND(F.lit(mask)).alias("val"))
             for i in range(SIMHASH_BLOCKS)
         ])).alias("b"),
-    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    ).select("id", "bits", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
     if max_bucket is not None:
         # narrow agg on (blk, val) + broadcast anti-join: the oversized-
         # bucket list is tiny by construction, nothing wide is shuffled
@@ -476,7 +510,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         blocks = blocks.join(F.broadcast(big), ["blk", "val"], "left_anti")
     a = blocks.alias("a")
     b = blocks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a.bits").bitwiseXOR(F.col("b.bits")))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val"))
                & (F.col("a.id") < F.col("b.id")))
@@ -485,6 +519,19 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 ham.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def phash_dup_pairs(df: DataFrame, id_col: str = "image_id",
+                    phash_col: str = "phash", max_hamming: int = 3,
+                    max_bucket: int | None = None) -> DataFrame:
+    """D8 image adapter: near-duplicate image pairs by perceptual-hash
+    Hamming distance over the (image_id, phash) columns of the snapshot
+    table (BASELINE.json input_hint shape) — :func:`hamming_pairs` on the
+    phash column. On real corpora boilerplate assets (logos, placeholder
+    thumbnails) form phash mega-clusters; pass ``max_bucket`` to cap
+    them (the bench fixture plants exactly such a hot cluster)."""
+    return hamming_pairs(df, id_col=id_col, bits_col=phash_col,
+                         max_hamming=max_hamming, max_bucket=max_bucket)
 
 
 def embedding_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",

@@ -416,3 +416,50 @@ def test_drop_duplicate_segments_min_count(spark):
            .toPandas().set_index("doc_id").sort_index())
     assert got.loc[0, "new_text"] == "dup line\nuniq a"
     assert got.loc[1, "n_kept"] == 2
+
+
+def test_hamming_pairs_pigeonhole_exactness(spark):
+    """D8 hand-check: <=3-bit pairs found exactly (pigeonhole recall);
+    4-bit pairs excluded whether or not they share a block; bit-63
+    (negative bigint) signatures handled."""
+    rows = [
+        (0, 0),
+        (1, 0b111),                              # hamming 3 vs id 0
+        (2, 0b1111),                             # hamming 4 vs id 0 (one block)
+        (3, (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)),  # 4 bits, 4 blocks
+        (4, -(2 ** 63)),                         # bit 63 only -> hamming 1 vs 0
+    ]
+    df = spark.createDataFrame(rows, "id long, bits long")
+    got = dedup.hamming_pairs(df).toPandas()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.itertuples()}
+    assert pairs[(0, 1)] == 3
+    assert pairs[(0, 4)] == 1
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+    # ids 1 vs 2: 0b111 ^ 0b1111 = 0b1000 -> hamming 1
+    assert pairs[(1, 2)] == 1
+
+
+def test_phash_dup_pairs_vs_numpy_bruteforce(spark):
+    """D8 image adapter == quadratic numpy oracle on the native fixture
+    (one phash per entity); planted hot cluster produces the expected
+    O(m^2) pair mass, and max_bucket caps exactly that cluster."""
+    from profet_spark import fixtures
+    pdf = fixtures.make_fixture(n_entities=60)
+    latest = (pdf.sort_values("ts").groupby("image_id")["phash"]
+              .last().reset_index())
+    ids = latest["image_id"].to_numpy()
+    ph = latest["phash"].to_numpy().astype(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        d = np.bitwise_xor(ph, ph[i])
+        for j in np.nonzero([bin(int(x)).count("1") <= 3 for x in d])[0]:
+            if ids[i] < ids[j]:
+                want.add((ids[i], ids[j]))
+    df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "phash")
+    sl = df.groupBy("image_id").agg(F.max_by("phash", "ts").alias("phash"))
+    got = dedup.phash_dup_pairs(sl).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == want
+    assert len(want) > 0  # the planted cluster guarantees pairs
+    # capping shrinks (or holds) the pair count, never errors
+    capped = dedup.phash_dup_pairs(sl, max_bucket=3).toPandas()
+    assert len(capped) <= len(got)
