@@ -214,8 +214,16 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             dim: int | None = None, max_bucket: int | None = None,
-            max_queries: int | None = None) -> DataFrame:
+            max_queries: int | None = None,
+            on_large: str = "raise") -> DataFrame:
     """N2: LSH-bucketed approximate top-k (the 100 TB path).
+
+    ``on_large`` controls the oversized-query-side behavior:
+    ``"raise"`` (default) keeps the documented driver-collect contract
+    and raises past ``max_queries``; ``"distributed"`` probes the bound
+    first (a LIMIT-pushed count, never a collect) and transparently
+    routes to :func:`lsh_ann_distributed` — identical output, no driver
+    materialization of either side.
 
     Candidates: corpus rows sharing >=1 of the ANN_BANDS signature bands
     with the query; exact cosine + top-k among candidates. Returns the same
@@ -247,6 +255,15 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     id_type = dict(corpus.dtypes)[id_col]
     spark = corpus.sparkSession
+
+    if on_large not in ("raise", "distributed"):
+        raise ValueError(f"lsh_ann: unknown on_large={on_large!r}")
+    if on_large == "distributed":
+        cap = ANN_MAX_QUERIES if max_queries is None else max_queries
+        if queries.limit(cap + 1).count() > cap:
+            return lsh_ann_distributed(
+                corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                dim=dim, max_bucket=max_bucket)
 
     q_rows = _collect_query_side(
         _quantized(queries, id_col, vec_col), "lsh_ann", max_queries)
@@ -341,6 +358,127 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (local.dropDuplicates(["query_id", "neighbor_id"])
             .withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k))
+
+
+def lsh_ann_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int | None = None,
+                        max_bucket: int | None = None,
+                        persist: bool = True) -> DataFrame:
+    """N2 for LARGE query sides: fully distributed band join — neither
+    side is ever collected to the driver (:func:`lsh_ann` collects the
+    query side by contract and raises past ``max_queries``; this is the
+    path for query sets beyond that, e.g. corpus-vs-corpus probing).
+
+    Identical arithmetic and ranking to :func:`lsh_ann` — exact int64
+    dots, the same sign-plane signatures, (cosine desc, neighbor_id asc)
+    order — so the two paths return IDENTICAL rows whenever both can run
+    (asserted in tests/test_similarity.py).
+
+    Plan shape:
+    - signatures on BOTH sides via the same broadcast-plane Arrow matmul
+      kernel; banding drops the vectors, so the band equi-join exchanges
+      only (id, band, digest) — narrow at any scale;
+    - candidate (qid, cid) pairs are deduped while still narrow, THEN the
+      quantized vectors are attached by two id-keyed shuffle joins (the
+      one wide exchange, proportional to candidate volume, which
+      ``max_bucket`` caps under skew — AQE may broadcast a small side);
+    - per-batch Arrow cosine (row-wise int64 einsum) + batch-local top-k
+      per query, then the global window top-k.
+
+    ``persist``: the signed corpus table is referenced by both the band
+    join and the re-rank attach; same caching convention as the dedup
+    pair operators (caller may opt out and manage cache lifetime)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    id_type = dict(corpus.dtypes)[id_col]
+    out_empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    if dim is None:
+        first = queries.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return (spark.createDataFrame([], out_empty)
+                    .withColumn("rank", F.lit(1).cast("int")))
+        dim = int(first["d"])
+    P = _planes_matrix(dim)
+    bP = spark.sparkContext.broadcast(P)
+    mask = (1 << ANN_BAND_BITS) - 1
+    sig_schema = f"id {id_type}, q array<bigint>, nrm bigint, sig bigint"
+
+    def sign_kernel(batches):
+        Pm = bP.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            if C.shape[1] != dim:
+                raise ValueError(
+                    f"lsh_ann_distributed: vector dim {C.shape[1]} != {dim}")
+            out = pdf[["id", "q", "nrm"]].copy()
+            out["sig"] = _pack_signatures((C @ Pm.T) > 0)
+            yield out
+
+    def banded_ids(signed: DataFrame, id_alias: str) -> DataFrame:
+        return signed.select(
+            F.col("id").alias(id_alias),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).cast("int").alias("band"),
+                         F.shiftright("sig", ANN_BAND_BITS * b)
+                         .bitwiseAND(F.lit(mask)).alias("digest"))
+                for b in range(ANN_BANDS)
+            ])).alias("bd"),
+        ).select(id_alias, F.col("bd.band").alias("band"),
+                 F.col("bd.digest").alias("digest"))
+
+    csigned = _quantized(corpus, id_col, vec_col).mapInPandas(
+        sign_kernel, sig_schema)
+    if persist:
+        csigned = csigned.persist()
+    qsigned = _quantized(queries, id_col, vec_col).mapInPandas(
+        sign_kernel, sig_schema)
+    if persist:
+        qsigned = qsigned.persist()
+
+    cb = banded_ids(csigned, "cid")
+    if max_bucket is not None:
+        big = (cb.groupBy("band", "digest").count()
+               .where(F.col("count") > max_bucket).select("band", "digest"))
+        cb = cb.join(F.broadcast(big), ["band", "digest"], "left_anti")
+    qb = banded_ids(qsigned, "qid")
+    # narrow candidate pairs, deduped BEFORE vectors are attached
+    cand = (qb.join(cb, ["band", "digest"])
+            .where(F.col("qid") != F.col("cid"))
+            .select("qid", "cid").distinct())
+    paired = (cand
+              .join(csigned.select(F.col("id").alias("cid"),
+                                   F.col("q").alias("cq"),
+                                   F.col("nrm").alias("cnrm")), "cid")
+              .join(qsigned.select(F.col("id").alias("qid"),
+                                   F.col("q").alias("qq"),
+                                   F.col("nrm").alias("qnrm")), "qid"))
+
+    def rank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Cq = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["cq"]])
+            Qq = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qq"]])
+            dots = np.einsum("ij,ij->i", Cq, Qq)   # exact int64, < 2^53
+            cos = dots.astype(np.float64) / np.sqrt(
+                pdf["cnrm"].to_numpy(np.float64) * pdf["qnrm"].to_numpy(np.float64))
+            out = pd.DataFrame({"query_id": pdf["qid"],
+                                "neighbor_id": pdf["cid"], "cosine": cos})
+            # batch-local top-k per query shrinks rows before the window
+            out = (out.sort_values(["query_id", "cosine", "neighbor_id"],
+                                   ascending=[True, False, True])
+                   .groupby("query_id", sort=False).head(k))
+            yield out
+
+    local = paired.mapInPandas(rank, out_empty)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 def _train_centroids_kmeans(qdf: DataFrame, n_centroids: int,

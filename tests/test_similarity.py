@@ -258,3 +258,35 @@ def test_ann_query_side_collect_is_bounded(emb):
     for fn in (similarity.cosine_topk, similarity.lsh_ann, similarity.ivf_ann):
         with pytest.raises(ValueError, match="query side exceeds"):
             fn(df, df, k=3, max_queries=10)
+
+
+def test_lsh_ann_distributed_equals_collected(emb):
+    """The distributed band join must return IDENTICAL rows to the
+    driver-collected path (same signatures, same exact cosine, same
+    (cosine desc, id asc) ranking)."""
+    df, _ = emb
+    q = df.where(df.vec_id < 15)
+    a = (similarity.lsh_ann(df, q, k=5, dim=DIM)
+         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (similarity.lsh_ann_distributed(df, q, k=5, dim=DIM)
+         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lsh_ann_on_large_routes_to_distributed(emb):
+    """on_large='distributed' silently takes the distributed path when the
+    query side exceeds max_queries (where 'raise' would error)."""
+    df, _ = emb
+    q = df.where(df.vec_id < 15)
+    with pytest.raises(ValueError, match="query side exceeds"):
+        similarity.lsh_ann(df, q, k=3, dim=DIM, max_queries=5)
+    got = (similarity.lsh_ann(df, q, k=3, dim=DIM, max_queries=5,
+                              on_large="distributed")
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    want = (similarity.lsh_ann_distributed(df, q, k=3, dim=DIM)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # under the cap the collected path is used and agrees anyway
+    small = (similarity.lsh_ann(df, df.where(df.vec_id < 3), k=3, dim=DIM,
+                                max_queries=5, on_large="distributed").toPandas())
+    assert set(small.query_id) <= {0, 1, 2}
