@@ -515,6 +515,27 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(docs, k=2)
 
 
+def _q_hamming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+D8 merged suite: the 64-bit simhash table AND the generic
+    hamming_pairs pigeonhole join (over the T4 minhash fingerprint),
+    tagged by ``part`` so one graded driver row covers both hamming
+    operators. ``b`` holds the simhash for D4 rows and id_b for D8 rows
+    (both bigint); the -1 hamming sentinel (never NULL) keeps the
+    driver value hash dtype-kind unambiguous."""
+    docs = load_table(spark, sf_dir, "documents")
+    d4 = dedup.simhash_table(docs, k=2).select(
+        F.lit("simhash").alias("part"),
+        F.col("id").alias("a"), F.col("simhash").alias("b"),
+        F.lit(-1).cast("int").alias("hamming"))
+    fp = (ts.add_fingerprint(docs)
+          .where(F.col("fp_minhash") >= 0).select("doc_id", "fp_minhash"))
+    d8 = dedup.hamming_pairs(fp, id_col="doc_id", bits_col="fp_minhash",
+                             max_hamming=3).select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"), "hamming")
+    return d4.unionByName(d8)
+
+
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_dup_pairs(emb, threshold=0.3)
@@ -1400,7 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_ngram_jaccard": _q_ngram_jaccard,
         # D3 pairs + D6 connected components in one graded row
         "d3d6_lsh_dedup": _q_lsh_dedup_suite,
-        "d4_simhash": _q_simhash,
+        # D4 simhash table + D8 hamming pairs in one graded row
+        "d4d8_hamming": _q_hamming_suite,
         "d5_embedding_dup": _q_embedding_dup,
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
         # -- ANN (N1-N3) ------------------------------------ 42-44
@@ -1444,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_set_ops": _q_set_ops,
         "o5_global_topk": _q_global_topk,
         # agg / join variants
+        "d4_simhash": _q_simhash,
         "d4_simhash_pairs": _q_simhash_pairs,
         "a11_cube": _q_cube,
         "j2_star_dims": _q_star_dims,
@@ -1914,6 +1937,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.fp_minhash, b.fp_minhash)) AS INT) AS hamming
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp_minhash, b.fp_minhash)) <= 3
+    """
+    # D4+D8 merged suite: both component oracles verbatim, tagged
+    d["d4d8_hamming"] = f"""
+        SELECT 'simhash' AS part, id AS a, simhash AS b,
+               CAST(-1 AS INTEGER) AS hamming
+        FROM ({d['d4_simhash']})
+        UNION ALL
+        SELECT 'pair', id_a, id_b, hamming
+        FROM ({d['d8_fp_hamming']})
     """
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
