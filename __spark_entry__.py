@@ -555,6 +555,16 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann(emb, emb.where(F.col("vec_id") < 20), k=5, dim=64)
 
 
+def _q_lsh_ann_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path: the fully distributed band join (neither side
+    collected to the driver). Row-identical to lsh_ann by construction
+    (same plane signatures, exact int64 cosine, same ranking), so it is
+    graded against the SAME bit-exact SQL oracle as n2_lsh_ann."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_distributed(
+        emb, emb.where(F.col("vec_id") < 20), k=5, dim=64)
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 IVF-partitioned ANN (bucket-pruned scale path). The driver row
     runs the deterministic 'lowest_id' centroid strategy so the ENTIRE
@@ -1478,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are graded in the top 50; these two are mirror-graded)
         "st_f3_dedup_stream": _q_stream_dedup,
         "st_w7_sliding_stream": _q_stream_sliding,
+        # N2 distributed band-join scale path (same oracle as n2_lsh_ann)
+        "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
     }
 
 
@@ -2520,6 +2532,9 @@ def _oracle_sql_base() -> dict[str, str]:
         "a13_autocorr": _duck_autocorr_sql(),
         "d5_embedding_dup_lsh": _duck_lsh_dup_sql(0.3),
         "n2_lsh_ann": _duck_lsh_ann_sql(20, 5),
+        # the distributed band join is row-identical to lsh_ann by
+        # construction, so the same bit-exact oracle grades it
+        "n2_lsh_ann_distributed": _duck_lsh_ann_sql(20, 5),
         "n3_ivf_ann": _duck_ivf_ann_sql(16, 3, 20, 5),
         # stateful streaming as-of graded against DuckDB's native ASOF JOIN.
         # `value IS NOT NULL` matches the kernel's non-null-right contract:
