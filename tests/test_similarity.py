@@ -290,3 +290,25 @@ def test_lsh_ann_on_large_routes_to_distributed(emb):
     small = (similarity.lsh_ann(df, df.where(df.vec_id < 3), k=3, dim=DIM,
                                 max_queries=5, on_large="distributed").toPandas())
     assert set(small.query_id) <= {0, 1, 2}
+
+
+def test_lsh_ann_distributed_max_bucket_and_empty_query(emb):
+    """max_bucket drops oversized corpus bands (results stay a valid
+    subset: every surviving (query, neighbor) cosine matches the exact
+    numpy value); an empty query side yields an empty, correctly-typed
+    frame on the distributed path."""
+    df, vecs = emb
+    q = df.where(df.vec_id < 8)
+    got = similarity.lsh_ann_distributed(df, q, k=5, dim=DIM,
+                                         max_bucket=10).toPandas()
+    _, cos = _numpy_topk(vecs, range(8), 5)
+    for row in got.itertuples():
+        assert row.cosine == pytest.approx(
+            cos[int(row.query_id), int(row.neighbor_id)], abs=1e-12)
+    assert (got.groupby("query_id")["rank"].apply(
+        lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+
+    empty = similarity.lsh_ann_distributed(
+        df, df.where(df.vec_id < 0), k=5, dim=DIM).toPandas()
+    assert empty.empty
+    assert list(empty.columns) == ["query_id", "neighbor_id", "cosine", "rank"]
