@@ -32,7 +32,7 @@ from profet_spark.functions.alphabets import (
     R8_MAP,
     translate_pair,
 )
-from profet_spark.operators import asof, dedup, similarity, temporal
+from profet_spark.operators import asof, corpus, dedup, similarity, temporal
 from profet_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -534,6 +534,80 @@ def _q_hamming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pair").alias("part"),
         F.col("id_a").alias("a"), F.col("id_b").alias("b"), "hamming")
     return d4.unionByName(d8)
+
+
+# P1-P4 corpus pipeline suite literals — shared between the Spark queries
+# and the DuckDB oracles (es is deliberately absent from the sample
+# allowlist: strata without a rate are dropped, rate 0).
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SAMPLE_RATES = {"en": 0.5, "de": 0.8, "fr": 0.2, "zh": 0.6}
+_PACK_CAPACITY = 2048
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: deterministic hash-bucket train/val/test split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.hash_split(docs, _SPLIT_WEIGHTS).select(
+        "doc_id", "split_bucket", "split")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: per-language deterministic downsampling (allowlist semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.stratified_sample(
+        docs, _SAMPLE_RATES, strata_col="lang").select("doc_id", "lang")
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: concat-and-chunk sequence packing on the exact n_chars counts
+    (distributed prefix sum == the oracle's serial window cumsum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_chunks(docs, "n_chars", capacity=_PACK_CAPACITY)
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: TF-IDF term weights, division-only smooth idf (bitwise
+    reproducible — no libm ln in the score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.tfidf(docs)
+
+
+def _q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4 merged suite: one graded driver row covers the whole corpus
+    pipeline tier. Per-doc rows (part='doc') carry split + sample-flag +
+    packing columns; per-term rows (part='tfidf') carry tf/df/score in the
+    same generic layout. -1 integer sentinels (never NULL) keep every
+    column's dtype kind unambiguous for the driver value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = corpus.hash_split(docs, _SPLIT_WEIGHTS)
+    sampled = (corpus.stratified_sample(docs, _SAMPLE_RATES,
+                                        strata_col="lang")
+               .select("doc_id").withColumn("_s", F.lit(1)))
+    packed = corpus.pack_chunks(docs, "n_chars", capacity=_PACK_CAPACITY)
+    doc_rows = (splits
+                .join(sampled, "doc_id", "left")
+                .join(packed, "doc_id")
+                .select(F.lit("doc").alias("part"), "doc_id",
+                        F.col("split").alias("s"),
+                        F.col("split_bucket").cast("bigint").alias("i1"),
+                        F.coalesce(F.col("_s"), F.lit(0)).cast("bigint")
+                        .alias("i2"),
+                        F.col("n_tokens").alias("i3"),
+                        F.col("start_offset").alias("i4"),
+                        F.col("chunk_id").alias("i5"),
+                        F.col("chunk_offset").alias("i6"),
+                        F.lit(-1.0).alias("x")))
+    term_rows = corpus.tfidf(docs).select(
+        F.lit("tfidf").alias("part"), "doc_id",
+        F.col("word").alias("s"),
+        F.col("tf").cast("bigint").alias("i1"),
+        F.col("df").cast("bigint").alias("i2"),
+        F.lit(-1).cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"),
+        F.lit(-1).cast("bigint").alias("i5"),
+        F.lit(-1).cast("bigint").alias("i6"),
+        F.col("tfidf").alias("x"))
+    return doc_rows.unionByName(term_rows)
 
 
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,7 +1466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_profile_summary": _q_profile_summary,
         # -- joins (J2-J5) ---------------------------------- 8-12
         "j3_asof_join": _q_asof,
-        "j3_asof_strict": _q_asof_strict,
         "j2_broadcast_join": _q_bcast_join,
         "j4_range_join": _q_range_join,
         "j5_anti_join": _q_anti_join,
@@ -1425,6 +1498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_pipeline": _q_multimodal,
         # -- text analysis (T1-T5) -------------------------- 35
         "t1t5_textstats": _q_textstats_suite,
+        # -- corpus pipeline tier (P1-P4): split/sample/pack/tfidf in one
+        # graded row. Occupies the slot j3_asof_strict held: J3 stays
+        # graded via j3_asof_join, and the strict variant stays
+        # mirror-tested at 51+ — four brand-new operators outrank a
+        # second inequality variant of an already-green operator.
+        "p1p4_corpus_suite": _q_corpus_suite,
         # -- dedup (D1-D7) ---------------------------------- 36-41
         # D1 survivors + D7 segment-dedup rewrite in one graded row
         "d1d7_exact_dedup": _q_exact_dedup_suite,
@@ -1448,7 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_j3_stateful_asof_stream": _q_stream_stateful_asof,
         "st_w5_session_stream": _q_stream_session,
         # ==== position 51+: ungraded by the driver, mirror-tested ====
-        # as-of strategy variants (J3 graded via j3_asof_join/strict)
+        # as-of strategy variants (J3 graded via j3_asof_join)
+        "j3_asof_strict": _q_asof_strict,
         "j3_asof_window": _q_asof_window,
         "j3_asof_broadcast": _q_asof_broadcast,
         "j3_asof_salted": _q_asof_salted,
@@ -1490,6 +1570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_w7_sliding_stream": _q_stream_sliding,
         # N2 distributed band-join scale path (same oracle as n2_lsh_ann)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
+        # P1-P4 components (graded together via p1p4_corpus_suite above)
+        "p1_hash_split": _q_hash_split,
+        "p2_stratified_sample": _q_stratified_sample,
+        "p3_pack_chunks": _q_pack_chunks,
+        "p4_tfidf": _q_tfidf,
     }
 
 
@@ -1958,6 +2043,69 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'pair', id_a, id_b, hamming
         FROM ({d['d8_fp_hamming']})
+    """
+    # P1-P4 corpus pipeline tier: oracles generated from the SAME literal
+    # dicts the Spark queries use (operators/corpus.py shares the h32 +
+    # basis-point construction with functions/hashing.py)
+    split_bucket = corpus.bucket_bp_sql_duckdb("doc_id", "split")
+    sample_bucket = corpus.bucket_bp_sql_duckdb("doc_id", "sample")
+    d["p1_hash_split"] = f"""
+        WITH b AS (SELECT doc_id, {split_bucket} AS split_bucket
+                   FROM documents)
+        SELECT doc_id, split_bucket,
+               {corpus.split_case_sql_duckdb(_SPLIT_WEIGHTS, 'split_bucket')}
+                 AS split
+        FROM b
+    """
+    keep = " OR ".join(
+        f"(lang = '{v}' AND sb < {round(r * corpus.SPLIT_BP)})"
+        for v, r in _SAMPLE_RATES.items())
+    d["p2_stratified_sample"] = f"""
+        WITH b AS (SELECT doc_id, lang, {sample_bucket} AS sb
+                   FROM documents)
+        SELECT doc_id, lang FROM b WHERE {keep}
+    """
+    d["p3_pack_chunks"] = f"""
+        WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+                          CAST(sum(CAST(n_chars AS BIGINT))
+                            OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                   FROM documents)
+        SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+               CAST(floor((cum - n_tokens) / {_PACK_CAPACITY}) AS BIGINT)
+                 AS chunk_id,
+               (cum - n_tokens) % {_PACK_CAPACITY} AS chunk_offset
+        FROM c
+    """
+    duck_words = _DUCK_WORDS.format(c="text")
+    d["p4_tfidf"] = f"""
+        WITH w AS (SELECT doc_id, unnest({duck_words}) AS word
+                   FROM documents),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+               (CAST(tf.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE))
+                 / CAST(dfq.df + 1 AS DOUBLE) AS tfidf
+        FROM tf JOIN dfq USING (word) CROSS JOIN n
+    """
+    # P1-P4 merged suite: all four component oracles verbatim, tagged
+    d["p1p4_corpus_suite"] = f"""
+        SELECT 'doc' AS part, s.doc_id, s.split AS s,
+               s.split_bucket AS i1,
+               CAST(CASE WHEN sm.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS i2,
+               p.n_tokens AS i3, p.start_offset AS i4, p.chunk_id AS i5,
+               p.chunk_offset AS i6, CAST(-1.0 AS DOUBLE) AS x
+        FROM ({d['p1_hash_split']}) s
+        LEFT JOIN (SELECT doc_id FROM ({d['p2_stratified_sample']})) sm
+          ON sm.doc_id = s.doc_id
+        JOIN ({d['p3_pack_chunks']}) p ON p.doc_id = s.doc_id
+        UNION ALL
+        SELECT 'tfidf', doc_id, word, tf, df,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), tfidf
+        FROM ({d['p4_tfidf']})
     """
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"

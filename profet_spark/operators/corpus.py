@@ -1,0 +1,277 @@
+"""Corpus-level training-data pipeline operators (P1-P4).
+
+The operations a 100 TB pretraining-data pipeline runs after curation
+(dedup/quality, operators/dedup.py + functions/textstats.py) and before
+training: deterministic split assignment, stratified subsampling,
+sequence packing, and TF-IDF term weighting. Like every operator in this
+engine they are built for bitwise SQL-oracle grading (portable h32
+hashing, exact-int derivations, IEEE-deterministic float expressions —
+see functions/hashing.py) and for 1000-executor scale (narrow projections,
+no driver-side data paths except the documented P-row offset collect in
+:func:`pack_chunks`).
+
+- P1 :func:`hash_split` — train/val/test labels from a salted portable
+  hash of the id: reproducible across runs, engines, and cluster sizes,
+  and stable under corpus growth (a doc's split never changes when other
+  docs are added). Pure map-side projection, zero shuffle.
+- P2 :func:`stratified_sample` — per-stratum deterministic downsampling
+  by the same salted-hash construction. Zero shuffle; the filter runs at
+  the scan.
+- P3 :func:`pack_chunks` — GPT-style concat-and-chunk sequence packing:
+  documents in a global deterministic order are laid head-to-tail and cut
+  into fixed ``capacity`` chunks. Implemented as a distributed prefix sum
+  (range partition -> in-partition Arrow cumsum with O(1) carry ->
+  P-row partition-offset broadcast), NOT a single-partition global
+  window, so it scales; output is invariant to the partition count.
+- P4 :func:`tfidf` — term frequency x inverse document frequency over
+  the whitespace word tokenization shared with textstats. The score uses
+  the division-only smooth form ``tf * (N+1) / (df+1)`` so every arithmetic
+  step is a correctly-rounded IEEE op reproduced bitwise by the oracle
+  (``ln`` would be libm-dependent across engines).
+
+Reference parity: ProFET exposes no corpus-level pipeline (single-process
+per-sequence loop); these are the task-mandated training-data additions
+(SURVEY.md §2 'NEW' tier) alongside dedup/similarity/textstats.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from profet_spark.functions import hashing as H
+
+#: basis-point modulus shared by P1/P2 and their oracles.
+SPLIT_BP = 10_000
+
+
+def _bucket_bp(id_col: str, salt: str) -> F.Column:
+    """Uniform bucket in [0, SPLIT_BP) from the salted portable h32.
+
+    ``h32`` is uniform on [0, 2^32); 2^32 is not a multiple of 10^4, so
+    buckets carry a ~1e-5 relative modulo bias — irrelevant for split
+    ratios, and identical in both engines."""
+    salted = F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    return H.h32(salted) % SPLIT_BP
+
+
+def bucket_bp_sql_duckdb(id_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`_bucket_bp` (same md5-derived h32, same
+    basis-point modulus)."""
+    h = H.h32_sql_duckdb(f"'{salt}:' || CAST({id_expr} AS VARCHAR)")
+    return f"({h} % {SPLIT_BP})"
+
+
+def hash_split(df: DataFrame, weights: Mapping[str, float],
+               id_col: str = "doc_id", salt: str = "split",
+               out_col: str = "split") -> DataFrame:
+    """P1: deterministic train/val/test split assignment.
+
+    ``weights`` maps label -> fraction; fractions are snapped to integer
+    basis points (sum must reach exactly ``SPLIT_BP``) so the boundaries
+    are exact integers, never float comparisons. Labels are assigned by
+    cumulative ranges in the mapping's iteration order. Adds ``out_col``
+    (the label) and ``{out_col}_bucket`` (the raw bucket, kept so tests
+    and oracles can audit boundary behavior).
+
+    Scale: a single codegen'd projection — no shuffle, no UDF; the split
+    of a given id is a pure function of (salt, id), so it is stable under
+    corpus growth and reshuffling and consistent across tables keyed by
+    the same id.
+    """
+    bps = {k: round(w * SPLIT_BP) for k, w in weights.items()}
+    total = sum(bps.values())
+    if total != SPLIT_BP:
+        raise ValueError(
+            f"hash_split: weights must sum to 1.0 within 1e-4 resolution "
+            f"(got basis points {bps}, sum {total} != {SPLIT_BP})")
+    if any(v < 0 for v in bps.values()):
+        raise ValueError(f"hash_split: negative weight in {bps}")
+    bucket = _bucket_bp(id_col, salt)
+    out = df.withColumn(f"{out_col}_bucket", bucket)
+    expr = None
+    acc = 0
+    for label, bp in bps.items():
+        acc += bp
+        cond = F.col(f"{out_col}_bucket") < acc
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return out.withColumn(out_col, expr)
+
+
+def split_case_sql_duckdb(weights: Mapping[str, float],
+                          bucket_expr: str) -> str:
+    """The CASE expression the DuckDB oracle uses for :func:`hash_split`
+    labels (same cumulative basis-point boundaries, same order)."""
+    bps = {k: round(w * SPLIT_BP) for k, w in weights.items()}
+    acc = 0
+    arms = []
+    for label, bp in bps.items():
+        acc += bp
+        arms.append(f"WHEN {bucket_expr} < {acc} THEN '{label}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def stratified_sample(df: DataFrame, rates: Mapping[str, float] | float,
+                      strata_col: str | None = None,
+                      id_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """P2: deterministic (per-stratum) downsampling.
+
+    ``rates`` is either one fraction for the whole frame or a mapping
+    stratum-value -> fraction over ``strata_col`` (strata missing from the
+    mapping are dropped, rate 0 — the explicit-allowlist convention of
+    curation pipelines). A row is kept iff its salted hash bucket falls
+    below ``rate * SPLIT_BP``, so samples are reproducible, nested
+    (rate 0.1 ⊂ rate 0.2 under the same salt), and consistent across
+    tables sharing the id space.
+
+    Scale: zero shuffle — the keep-predicate is a scan-level filter; the
+    stratum rate lookup is a literal CASE, not a join.
+    """
+    bucket = _bucket_bp(id_col, salt)
+    if isinstance(rates, Mapping):
+        if strata_col is None:
+            raise ValueError("stratified_sample: per-stratum rates require "
+                             "strata_col")
+        expr = None
+        for value, r in rates.items():
+            cond = F.col(strata_col) == value
+            bp = F.lit(round(r * SPLIT_BP))
+            expr = F.when(cond, bp) if expr is None else expr.when(cond, bp)
+        rate_bp = expr.otherwise(F.lit(0))
+    else:
+        rate_bp = F.lit(round(float(rates) * SPLIT_BP))
+    return df.where(bucket < rate_bp)
+
+
+def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,
+                order_col: str = "doc_id", n_partitions: int | None = None,
+                persist: bool = True) -> DataFrame:
+    """P3: concat-and-chunk sequence packing over a global document order.
+
+    Documents sorted by ``order_col`` (must be unique — ties would make
+    the global order, and thus every offset, ambiguous) are laid
+    head-to-tail; training chunk ``i`` covers global token offsets
+    ``[i*capacity, (i+1)*capacity)``. Returns one row per document:
+
+    ``(order_col, n_tokens, start_offset, chunk_id, chunk_offset)``
+
+    where ``chunk_id``/``chunk_offset`` locate the document's first token
+    (a document longer than the remaining room spans into following
+    chunks, as concat-and-chunk intends).
+
+    Plan (the 100 TB shape — NO global single-partition window):
+
+    1. ``repartitionByRange(order_col)`` + sort-within-partition: range
+       exchange of the narrow (order, tokens) projection only;
+    2. in-partition exclusive-scan via ``mapInPandas`` with an O(1)
+       running carry across Arrow batches (same pattern as the as-of
+       merge kernel, operators/asof.py);
+    3. per-partition totals (P rows) are collected, prefix-summed on the
+       driver — the one documented driver-side step, bounded by the
+       partition count, same class as the checkpoint metrics collect —
+       and broadcast-joined back as partition offsets.
+
+    The result is the exact global cumulative sum: range-boundary
+    placement cancels out, so the output is invariant to ``n_partitions``
+    (property-tested). ``persist`` caches the scanned projection that is
+    referenced by both the offsets aggregation and the final join (same
+    knob convention as operators/dedup.py).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    if capacity <= 0:
+        raise ValueError(f"pack_chunks: capacity must be > 0, got {capacity}")
+    spark = df.sparkSession
+    dtypes = dict(df.dtypes)
+    if dtypes[tokens_col] not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_chunks: tokens_col must be integral, got "
+            f"{dtypes[tokens_col]} (token counts are exact by contract)")
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    base = (df.select(F.col(order_col), F.col(tokens_col).cast("bigint")
+                      .alias("n_tokens"))
+            .repartitionByRange(n_parts, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("_pid", F.spark_partition_id()))
+
+    out_schema = (f"`{order_col}` {dtypes[order_col]}, n_tokens bigint, "
+                  f"_pid int, _cum bigint")
+
+    def scan_kernel(batches):
+        carry = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if (pdf["n_tokens"] < 0).any():
+                raise ValueError("pack_chunks: negative token count")
+            out = pdf.copy()
+            out["_cum"] = pdf["n_tokens"].cumsum() + carry
+            carry = int(out["_cum"].iloc[-1])
+            yield out
+
+    local = base.mapInPandas(scan_kernel, out_schema)
+    if persist:
+        local = local.persist()
+    # partition totals: the max in-partition inclusive cumsum IS the
+    # partition's total (token counts are non-negative)
+    totals = {int(r["_pid"]): int(r["t"])
+              for r in local.groupBy("_pid").agg(F.max("_cum").alias("t"))
+              .collect()}
+    offsets, acc = [], 0
+    for pid in sorted(totals):  # range partitions: ascending pid = ascending keys
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    if not offsets:
+        return spark.createDataFrame(
+            [], f"`{order_col}` {dtypes[order_col]}, n_tokens bigint, "
+                f"start_offset bigint, chunk_id bigint, chunk_offset bigint")
+    odf = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    start = F.col("_off") + F.col("_cum") - F.col("n_tokens")
+    return (local.join(F.broadcast(odf), "_pid")
+            .withColumn("start_offset", start)
+            .withColumn("chunk_id",
+                        F.floor(F.col("start_offset") / capacity)
+                        .cast("bigint"))
+            .withColumn("chunk_offset", F.col("start_offset") % capacity)
+            .select(order_col, "n_tokens", "start_offset", "chunk_id",
+                    "chunk_offset"))
+
+
+def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+          min_df: int = 1, n_docs: int | None = None) -> DataFrame:
+    """P4: TF-IDF term weighting over the shared word tokenization.
+
+    Returns ``(doc_id, word, tf, df, tfidf)`` with
+    ``tfidf = tf * (N+1) / (df+1)`` — the division-only smooth form:
+    ``tf``/``df``/``N`` are exact integers and the two float ops
+    (multiply, divide) are correctly-rounded IEEE doubles, so the DuckDB
+    oracle reproduces the score bit for bit (a ``ln``-based idf would be
+    libm-dependent across engines). ``min_df`` drops rare terms;
+    ``n_docs`` lets callers pass a known corpus size (table stats) to
+    skip the count scan.
+
+    Scale: tf is one exchange on the narrow (doc_id, word-hash) key space
+    with map-side partial aggregation; df is a second narrow aggregate of
+    tf's output (never re-reads text). The tf⋈df join shuffles on
+    ``word`` — stopword keys are hot by construction, which is exactly
+    the AQE skew-join case (one df row per key gets replicated against
+    the split tf partitions); candidates below
+    ``autoBroadcastJoinThreshold`` broadcast instead.
+    """
+    if n_docs is None:
+        n_docs = df.count()  # exact corpus size; one columnar count scan
+    wordrows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(H.words(F.col(text_col))).alias("word"))
+    tf = wordrows.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("word").agg(F.count("*").alias("df"))
+             .where(F.col("df") >= min_df))
+    n1 = float(n_docs + 1)
+    score = ((F.col("tf").cast("double") * F.lit(n1))
+             / (F.col("df") + F.lit(1)).cast("double"))
+    return (tf.join(dfreq, "word")
+            .select("doc_id", "word", "tf", "df",
+                    score.alias("tfidf")))

@@ -1,0 +1,162 @@
+"""P1-P4 corpus pipeline operators: determinism, ground truth, scale shape."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from profet_spark.operators import corpus
+
+N = 400
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "doc_id": range(N),
+        "lang": rng.choice(["en", "de", "fr"], N),
+        "n_tok": rng.integers(1, 500, N).astype("int64"),
+        "text": [" ".join(rng.choice(["a", "bb", "ccc", "Dd", "e"],
+                                     rng.integers(1, 12)))
+                 for _ in range(N)],
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+# ------------------------------------------------------------------ P1
+
+def test_hash_split_matches_md5_ground_truth(docs):
+    df, pdf = docs
+    got = corpus.hash_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}).toPandas()
+    buckets = pdf.doc_id.map(lambda i: _h32(f"split:{i}") % 10000)
+    want = np.where(buckets < 8000, "train",
+                    np.where(buckets < 9000, "val", "test"))
+    got = got.sort_values("doc_id")
+    assert (got.split_bucket.to_numpy() ==
+            buckets[got.doc_id].to_numpy()).all()
+    assert (got.split.to_numpy() == want[got.doc_id]).all()
+    # deterministic across invocations and stable under corpus growth
+    sub = corpus.hash_split(df.where(df.doc_id < 50),
+                            {"train": 0.8, "val": 0.1, "test": 0.1}).toPandas()
+    merged = sub.merge(got, on="doc_id", suffixes=("_sub", ""))
+    assert (merged.split_sub == merged.split).all()
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    df, _ = docs
+    with pytest.raises(ValueError, match="sum"):
+        corpus.hash_split(df, {"a": 0.5, "b": 0.4})
+
+
+# ------------------------------------------------------------------ P2
+
+def test_stratified_sample_rates_and_nesting(docs):
+    df, pdf = docs
+    small = corpus.stratified_sample(
+        df, {"en": 0.2, "de": 0.5}, strata_col="lang").toPandas()
+    big = corpus.stratified_sample(
+        df, {"en": 0.6, "de": 0.9, "fr": 0.3}, strata_col="lang").toPandas()
+    assert set(small.lang) <= {"en", "de"}  # fr absent from the allowlist
+    # nesting under the same salt
+    assert set(small.doc_id) <= set(big.doc_id)
+    # exact membership rule
+    buckets = pdf.doc_id.map(lambda i: _h32(f"sample:{i}") % 10000)
+    want = pdf[(pdf.lang == "en") & (buckets < 2000)
+               | (pdf.lang == "de") & (buckets < 5000)]
+    assert sorted(small.doc_id) == sorted(want.doc_id)
+    # scalar-rate form
+    flat = corpus.stratified_sample(df, 0.25).toPandas()
+    assert sorted(flat.doc_id) == sorted(pdf.doc_id[buckets < 2500])
+
+
+# ------------------------------------------------------------------ P3
+
+def _pack_ground_truth(pdf, capacity):
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    end = pdf.n_tok.cumsum()
+    start = end - pdf.n_tok
+    return pd.DataFrame({
+        "doc_id": pdf.doc_id, "n_tokens": pdf.n_tok,
+        "start_offset": start, "chunk_id": start // capacity,
+        "chunk_offset": start % capacity})
+
+
+def test_pack_chunks_matches_serial_cumsum(docs):
+    df, pdf = docs
+    got = (corpus.pack_chunks(df, "n_tok", capacity=1024)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    want = _pack_ground_truth(pdf, 1024)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pack_chunks_invariant_to_partition_count(docs):
+    df, _ = docs
+    a = (corpus.pack_chunks(df, "n_tok", 512, n_partitions=1)
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    for p in (3, 16, 64):
+        b = (corpus.pack_chunks(df, "n_tok", 512, n_partitions=p)
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_chunks_empty_and_validation(docs, spark):
+    df, _ = docs
+    empty = corpus.pack_chunks(df.where(df.doc_id < 0), "n_tok", 64).toPandas()
+    assert empty.empty and "chunk_id" in empty.columns
+    with pytest.raises(ValueError, match="capacity"):
+        corpus.pack_chunks(df, "n_tok", 0)
+    with pytest.raises(ValueError, match="integral"):
+        corpus.pack_chunks(df.withColumn("bad", F.lit(1.5)), "bad", 64)
+    with pytest.raises(Exception, match="negative"):
+        corpus.pack_chunks(df.withColumn("neg", F.lit(-1).cast("bigint")),
+                           "neg", 64).count()
+
+
+def test_pack_chunks_plan_has_no_global_window(docs):
+    """The scale claim: a range exchange + broadcast offset join — never a
+    single-partition global window (which would serialize 100 TB through
+    one task)."""
+    df, _ = docs
+    plan = (corpus.pack_chunks(df, "n_tok", 1024, n_partitions=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan or "RangePartitioning" in plan
+
+
+# ------------------------------------------------------------------ P4
+
+def test_tfidf_matches_pandas_ground_truth(docs):
+    df, pdf = docs
+    got = corpus.tfidf(df).toPandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        toks = r.text.strip().lower().split()
+        for w in set(toks):
+            rows.append((r.doc_id, w, toks.count(w)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "word", "tf"])
+    dfreq = tf.groupby("word").size().rename("df").reset_index()
+    want = tf.merge(dfreq, on="word")
+    want["tfidf"] = want.tf.astype(float) * float(N + 1) / (want.df + 1.0)
+    got = got.sort_values(["doc_id", "word"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "word"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tfidf_min_df_and_known_n(docs):
+    df, _ = docs
+    full = corpus.tfidf(df).toPandas()
+    pruned = corpus.tfidf(df, min_df=5).toPandas()
+    assert set(pruned.word) == set(full.word[full["df"] >= 5])
+    # n_docs passed from table stats skips the count but changes nothing
+    byhand = corpus.tfidf(df, n_docs=N).toPandas()
+    assert np.array_equal(
+        byhand.sort_values(["doc_id", "word"]).tfidf.to_numpy(),
+        full.sort_values(["doc_id", "word"]).tfidf.to_numpy())
