@@ -31,7 +31,7 @@ from profet_spark import fixtures, get_spark
 from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
 from profet_spark.functions import textstats
-from profet_spark.operators import asof, dedup, similarity, temporal
+from profet_spark.operators import asof, corpus, dedup, similarity, temporal
 from profet_spark.sources import load_table
 
 
@@ -130,6 +130,22 @@ def main():
         emb = load_table(spark, sf_dir, "embeddings")
         return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 100), k=10)
 
+    def corpus_pipeline(spark, sf_dir):
+        """Post-curation corpus tier (new in round 3): split + stratified
+        sample + sequence packing + TF-IDF over documents. Added as its
+        own stage key so earlier-round totals stay comparable by summing
+        the shared keys."""
+        docs = load_table(spark, sf_dir, "documents").repartition(n_parts)
+        split = corpus.hash_split(docs, {"train": 0.9, "val": 0.05,
+                                         "test": 0.05})
+        samp = (corpus.stratified_sample(docs, 0.5)
+                .select("doc_id").withColumn("sampled", F.lit(1)))
+        packed = corpus.pack_chunks(docs, "n_chars", capacity=2048)
+        scores = (corpus.tfidf(docs)
+                  .groupBy("doc_id").agg(F.sum("tfidf").alias("tfidf_mass")))
+        return (split.join(samp, "doc_id", "left")
+                .join(packed, "doc_id").join(scores, "doc_id"))
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir),
         "caption_descriptors": lambda: caption_descriptors(spark, snap_text),
@@ -137,6 +153,7 @@ def main():
         "a9_pricing_summary": lambda: pricing_summary(spark, sf_dir),
         "curation_dedup_quality": lambda: curation_ops(spark, sf_dir),
         "ann_cosine_topk": lambda: ann_topk(spark, sf_dir),
+        "corpus_pipeline": lambda: corpus_pipeline(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start
