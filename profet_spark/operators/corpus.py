@@ -130,6 +130,13 @@ def stratified_sample(df: DataFrame, rates: Mapping[str, float] | float,
     Scale: zero shuffle — the keep-predicate is a scan-level filter; the
     stratum rate lookup is a literal CASE, not a join.
     """
+    def _bp(r: float, label: str) -> int:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(
+                f"stratified_sample: rate for {label} must be in [0, 1], "
+                f"got {r}")
+        return round(r * SPLIT_BP)
+
     bucket = _bucket_bp(id_col, salt)
     if isinstance(rates, Mapping):
         if strata_col is None:
@@ -138,11 +145,11 @@ def stratified_sample(df: DataFrame, rates: Mapping[str, float] | float,
         expr = None
         for value, r in rates.items():
             cond = F.col(strata_col) == value
-            bp = F.lit(round(r * SPLIT_BP))
+            bp = F.lit(_bp(r, repr(value)))
             expr = F.when(cond, bp) if expr is None else expr.when(cond, bp)
         rate_bp = expr.otherwise(F.lit(0))
     else:
-        rate_bp = F.lit(round(float(rates) * SPLIT_BP))
+        rate_bp = F.lit(_bp(float(rates), "the frame"))
     return df.where(bucket < rate_bp)
 
 

@@ -160,3 +160,11 @@ def test_tfidf_min_df_and_known_n(docs):
     assert np.array_equal(
         byhand.sort_values(["doc_id", "word"]).tfidf.to_numpy(),
         full.sort_values(["doc_id", "word"]).tfidf.to_numpy())
+
+
+def test_stratified_sample_rejects_out_of_range_rates(docs):
+    df, _ = docs
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        corpus.stratified_sample(df, 1.5)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        corpus.stratified_sample(df, {"en": -0.1}, strata_col="lang")

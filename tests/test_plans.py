@@ -119,3 +119,27 @@ def test_whole_stage_codegen_covers_descriptor_sql(spark):
     plan = _plan(q(spark, SF))
     # formatted explain marks whole-stage-codegen nodes with a leading `*`
     assert "* Project" in plan and "* Filter" in plan
+
+
+def test_hash_split_and_sample_are_shuffle_free(spark):
+    """P1/P2: pure scan->project/filter pipelines — no Exchange, no
+    Python nodes; the keep-predicate/label is a codegen'd md5 projection."""
+    from profet_spark.operators import corpus
+    docs = load_table(spark, SF, "documents")
+    for df in (corpus.hash_split(docs, {"a": 0.5, "b": 0.5}),
+               corpus.stratified_sample(docs, 0.25)):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+
+
+def test_tfidf_scan_prunes_to_id_and_text(spark):
+    """P4 reads exactly (doc_id, text) from the parquet scan; tf->df is
+    a partial-agg pipeline on narrow keys."""
+    from profet_spark.operators import corpus
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(corpus.tfidf(docs, n_docs=500))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("n_chars" not in ln and "lang" not in ln
+                        and "source" not in ln for ln in scan)
+    assert "partial_count" in plan or "partial" in plan.lower()
