@@ -639,6 +639,16 @@ def _q_lsh_ann_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 20), k=5, dim=64)
 
 
+def _q_ivf_ann_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 scale path: fully distributed IVF probing (neither side
+    collected). Row-identical to ivf_ann by construction, so it is graded
+    against the SAME bit-exact SQL oracle (lowest_id centroid strategy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_distributed(
+        emb, emb.where(F.col("vec_id") < 20), k=5,
+        n_centroids=16, n_probe=3, centroids="lowest_id")
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 IVF-partitioned ANN (bucket-pruned scale path). The driver row
     runs the deterministic 'lowest_id' centroid strategy so the ENTIRE
@@ -1568,8 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are graded in the top 50; these two are mirror-graded)
         "st_f3_dedup_stream": _q_stream_dedup,
         "st_w7_sliding_stream": _q_stream_sliding,
-        # N2 distributed band-join scale path (same oracle as n2_lsh_ann)
+        # N2/N3 distributed scale paths (same oracles as n2/n3)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
+        "n3_ivf_ann_distributed": _q_ivf_ann_distributed,
         # P1-P4 components (graded together via p1p4_corpus_suite above)
         "p1_hash_split": _q_hash_split,
         "p2_stratified_sample": _q_stratified_sample,
@@ -2684,6 +2695,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # construction, so the same bit-exact oracle grades it
         "n2_lsh_ann_distributed": _duck_lsh_ann_sql(20, 5),
         "n3_ivf_ann": _duck_ivf_ann_sql(16, 3, 20, 5),
+        # the distributed IVF probe is row-identical to ivf_ann by
+        # construction, so the same bit-exact oracle grades it
+        "n3_ivf_ann_distributed": _duck_ivf_ann_sql(16, 3, 20, 5),
         # stateful streaming as-of graded against DuckDB's native ASOF JOIN.
         # `value IS NOT NULL` matches the kernel's non-null-right contract:
         # a purchase row with a NULL value is probe-only (pv.notna()), so

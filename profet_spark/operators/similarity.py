@@ -450,6 +450,21 @@ def lsh_ann_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cand = (qb.join(cb, ["band", "digest"])
             .where(F.col("qid") != F.col("cid"))
             .select("qid", "cid").distinct())
+    return _rank_narrow_pairs(cand, csigned, qsigned, k, out_empty)
+
+
+def _rank_narrow_pairs(cand: DataFrame, csigned: DataFrame,
+                       qsigned: DataFrame, k: int,
+                       out_schema: str) -> DataFrame:
+    """Shared tail of the distributed ANN paths: attach the quantized
+    vectors to narrow (qid, cid) candidate pairs via two id-keyed joins
+    (the one exchange proportional to candidate volume), per-batch exact
+    int64 row-wise cosine with batch-local top-k, then the global window
+    top-k. Ranking is (cosine desc, neighbor_id asc) — identical to the
+    collected paths."""
+    import numpy as np
+    import pandas as pd
+
     paired = (cand
               .join(csigned.select(F.col("id").alias("cid"),
                                    F.col("q").alias("cq"),
@@ -475,7 +490,7 @@ def lsh_ann_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    .groupby("query_id", sort=False).head(k))
             yield out
 
-    local = paired.mapInPandas(rank, out_empty)
+    local = paired.mapInPandas(rank, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (local.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -537,6 +552,28 @@ def _train_centroids_kmeans(qdf: DataFrame, n_centroids: int,
     return Cm, cnrm
 
 
+def _build_centroids(qdf: DataFrame, n_centroids: int, centroids: str,
+                     sample_size: int, kmeans_iter: int):
+    """Coarse-centroid build shared by the IVF paths. Returns
+    (Cm int64 (c, dim), cnrm float64) — possibly empty on an empty
+    corpus. Driver-side work is bounded by ``sample_size`` (kmeans) or
+    ``n_centroids`` rows (lowest_id) regardless of corpus size."""
+    import numpy as np
+
+    if centroids == "kmeans":
+        return _train_centroids_kmeans(
+            qdf, n_centroids, sample_size=sample_size, n_iter=kmeans_iter)
+    if centroids == "lowest_id":
+        cent_rows = (qdf.orderBy("id").limit(n_centroids)
+                     .select("q", "nrm").collect())
+        if not cent_rows:
+            return (np.empty((0, 0), dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        return (np.asarray([r["q"] for r in cent_rows], dtype=np.int64),
+                np.asarray([r["nrm"] for r in cent_rows], dtype=np.float64))
+    raise ValueError(f"unknown centroids strategy: {centroids!r}")
+
+
 def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_centroids: int | str = 16, n_probe: int = 2,
@@ -595,25 +632,13 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
         empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
         return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
 
-    if centroids == "kmeans":
-        Cm, cnrm = _train_centroids_kmeans(
-            _quantized(corpus, id_col, vec_col), n_centroids,
-            sample_size=sample_size, n_iter=kmeans_iter)
-        if len(Cm) == 0:
-            empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
-            return spark.createDataFrame([], empty).withColumn(
-                "rank", F.lit(1).cast("int"))
-    elif centroids == "lowest_id":
-        cent_rows = (_quantized(corpus, id_col, vec_col).orderBy("id")
-                     .limit(n_centroids).select("q", "nrm").collect())
-        if not cent_rows:
-            empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
-            return spark.createDataFrame([], empty).withColumn(
-                "rank", F.lit(1).cast("int"))
-        Cm = np.asarray([r["q"] for r in cent_rows], dtype=np.int64)
-        cnrm = np.asarray([r["nrm"] for r in cent_rows], dtype=np.float64)
-    else:
-        raise ValueError(f"unknown centroids strategy: {centroids!r}")
+    Cm, cnrm = _build_centroids(
+        _quantized(corpus, id_col, vec_col), n_centroids, centroids,
+        sample_size, kmeans_iter)
+    if len(Cm) == 0:
+        empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        return spark.createDataFrame([], empty).withColumn(
+            "rank", F.lit(1).cast("int"))
 
     def _cos_to_centroids(Q, qnrm, Cm=Cm, cnrm=cnrm):
         dots = Q @ Cm.T
@@ -685,3 +710,94 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     local = cand.mapInPandas(rank, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_ann_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_centroids: int = 16, n_probe: int = 2,
+                        centroids: str = "kmeans", sample_size: int = 4096,
+                        kmeans_iter: int = 15,
+                        persist: bool = True) -> DataFrame:
+    """N3 for LARGE query sides: fully distributed IVF probing — neither
+    corpus nor queries is collected to the driver (:func:`ivf_ann`
+    collects the query side by contract and raises past ``max_queries``;
+    this is the path for corpus-vs-corpus probing). The only driver-side
+    steps are the bounded centroid build (``sample_size`` rows — the
+    index-construction cost, shared with ivf_ann) and nothing else.
+
+    Identical assignment (argmax exact-int cosine, first-max tiebreak),
+    probe selection (stable argsort, top ``n_probe``), and ranking
+    (cosine desc, neighbor_id asc) to :func:`ivf_ann`, so the two paths
+    return IDENTICAL rows whenever both can run (asserted in tests).
+
+    Plan shape:
+    - centroid matrix broadcast once per executor; corpus AND query
+      assignment are map-side Arrow matmuls against it;
+    - probe pairs (qid, cid) are exploded narrow — n_probe rows per
+      query, vectors dropped;
+    - candidates come from the (cid)-keyed equi-join of probe pairs with
+      the corpus assignment projected to (cid, id) — still narrow; each
+      (query, corpus row) pair occurs at most once (a corpus row lives in
+      exactly one cell), so no dedup is needed;
+    - vectors are attached and ranked by the shared
+      :func:`_rank_narrow_pairs` tail. Hot-cell skew is bounded by
+      sizing ``n_centroids ~ sqrt(corpus)`` (cells ~ sqrt(n) rows) and
+      falls under AQE's skew-join handling on the attach joins.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    Cm, cnrm = _build_centroids(
+        _quantized(corpus, id_col, vec_col), n_centroids, centroids,
+        sample_size, kmeans_iter)
+    if len(Cm) == 0:
+        return (spark.createDataFrame([], out_schema)
+                .withColumn("rank", F.lit(1).cast("int")))
+    bc = spark.sparkContext.broadcast((Cm, cnrm))
+    n_pr = min(n_probe, len(Cm))
+
+    def assign_kernel(n_cells):
+        """Arrow matmul against the broadcast centroids; top-``n_cells``
+        cell ids per row (first-max/stable order — bit-identical to the
+        collected path's np.argmax / stable argsort)."""
+        def kernel(batches):
+            Cm, cnrm = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = np.asarray([np.asarray(v, dtype=np.int64)
+                                for v in pdf["q"]])
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                cos = (Q @ Cm.T).astype(np.float64) / np.sqrt(
+                    nrm[:, None] * cnrm[None, :])
+                out = pdf[["id", "q", "nrm"]].copy()
+                if n_cells == 1:
+                    out["cids"] = [[int(c)] for c in np.argmax(cos, axis=1)]
+                else:
+                    order = np.argsort(-cos, axis=1, kind="stable")
+                    out["cids"] = [[int(c) for c in row[:n_cells]]
+                                   for row in order]
+                yield out
+        return kernel
+
+    sig_schema = f"id {id_type}, q array<bigint>, nrm bigint, cids array<int>"
+    csigned = _quantized(corpus, id_col, vec_col).mapInPandas(
+        assign_kernel(1), sig_schema)
+    if persist:
+        csigned = csigned.persist()
+    qsigned = _quantized(queries, id_col, vec_col).mapInPandas(
+        assign_kernel(n_pr), sig_schema)
+    if persist:
+        qsigned = qsigned.persist()
+
+    probes = qsigned.select(F.col("id").alias("qid"),
+                            F.explode("cids").alias("cid"))
+    corpus_cells = csigned.select(F.col("id").alias("cand_id"),
+                                  F.element_at("cids", 1).alias("cid"))
+    cand = (probes.join(corpus_cells, "cid")
+            .where(F.col("qid") != F.col("cand_id"))
+            .select("qid", F.col("cand_id").alias("cid")))
+    return _rank_narrow_pairs(cand, csigned, qsigned, k, out_schema)

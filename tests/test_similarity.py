@@ -312,3 +312,26 @@ def test_lsh_ann_distributed_max_bucket_and_empty_query(emb):
         df, df.where(df.vec_id < 0), k=5, dim=DIM).toPandas()
     assert empty.empty
     assert list(empty.columns) == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_ann_distributed_equals_collected(emb):
+    """The distributed IVF probe must return IDENTICAL rows to the
+    driver-collected path for both centroid strategies (same assignment
+    argmax, same stable probe order, same exact cosine ranking)."""
+    df, _ = emb
+    q = df.where(df.vec_id < 12)
+    for strat in ("lowest_id", "kmeans"):
+        a = (similarity.ivf_ann(df, q, k=4, n_centroids=8, n_probe=3,
+                                centroids=strat)
+             .toPandas().sort_values(["query_id", "rank"])
+             .reset_index(drop=True))
+        b = (similarity.ivf_ann_distributed(df, q, k=4, n_centroids=8,
+                                            n_probe=3, centroids=strat)
+             .toPandas().sort_values(["query_id", "rank"])
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b), strat
+
+    empty = similarity.ivf_ann_distributed(
+        df, df.where(df.vec_id < 0), k=3, n_centroids=4).toPandas()
+    assert empty.empty
+    assert list(empty.columns) == ["query_id", "neighbor_id", "cosine", "rank"]
