@@ -579,8 +579,15 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
             n_centroids: int | str = 16, n_probe: int = 2,
             centroids: str = "kmeans", sample_size: int = 4096,
             kmeans_iter: int = 15,
-            max_queries: int | None = None) -> DataFrame:
+            max_queries: int | None = None,
+            on_large: str = "raise") -> DataFrame:
     """N3: IVF-partitioned approximate top-k — the bucket-pruned scale path.
+
+    ``on_large`` mirrors :func:`lsh_ann`: ``"raise"`` (default) keeps the
+    documented driver-collect contract; ``"distributed"`` probes the
+    bound first (a LIMIT-pushed count) and transparently routes to
+    :func:`ivf_ann_distributed` — identical output, no driver
+    materialization of either side (requires an int ``n_centroids``).
 
     Inverted-file design: every corpus vector is assigned to its nearest
     coarse centroid (exact int64 cosine, deterministic first-max
@@ -623,6 +630,17 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
         sample_size = max(sample_size, 32 * n_centroids)
     elif not isinstance(n_centroids, int):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
+
+    if on_large not in ("raise", "distributed"):
+        raise ValueError(f"ivf_ann: unknown on_large={on_large!r}")
+    if on_large == "distributed":
+        cap = ANN_MAX_QUERIES if max_queries is None else max_queries
+        if queries.limit(cap + 1).count() > cap:
+            return ivf_ann_distributed(
+                corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                n_centroids=n_centroids, n_probe=n_probe,
+                centroids=centroids, sample_size=sample_size,
+                kmeans_iter=kmeans_iter)
 
     # guard the (driver-collected) query side BEFORE any expensive corpus
     # work — an oversized query set must fail fast, not after k-means

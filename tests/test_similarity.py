@@ -335,3 +335,18 @@ def test_ivf_ann_distributed_equals_collected(emb):
         df, df.where(df.vec_id < 0), k=3, n_centroids=4).toPandas()
     assert empty.empty
     assert list(empty.columns) == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_ann_on_large_routes_to_distributed(emb):
+    df, _ = emb
+    q = df.where(df.vec_id < 12)
+    with pytest.raises(ValueError, match="query side exceeds"):
+        similarity.ivf_ann(df, q, k=3, n_centroids=8, max_queries=5)
+    got = (similarity.ivf_ann(df, q, k=3, n_centroids=8, n_probe=3,
+                              centroids="lowest_id", max_queries=5,
+                              on_large="distributed")
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    want = (similarity.ivf_ann_distributed(df, q, k=3, n_centroids=8,
+                                           n_probe=3, centroids="lowest_id")
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
