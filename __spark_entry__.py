@@ -565,6 +565,15 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_chunks(docs, "n_chars", capacity=_PACK_CAPACITY)
 
 
+def _q_pack_chunks_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 sharded variant: per-language packing — a pure-JVM window plan
+    (one hash exchange on the shard key), chunk ids shard-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_chunks_sharded(docs, "n_chars",
+                                      capacity=_PACK_CAPACITY,
+                                      shard_col="lang")
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: TF-IDF term weights, division-only smooth idf (bitwise
     reproducible — no libm ln in the score)."""
@@ -1585,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_hash_split": _q_hash_split,
         "p2_stratified_sample": _q_stratified_sample,
         "p3_pack_chunks": _q_pack_chunks,
+        "p3_pack_chunks_sharded": _q_pack_chunks_sharded,
         "p4_tfidf": _q_tfidf,
     }
 
@@ -2083,6 +2093,19 @@ def oracle_sql() -> dict[str, str]:
                                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                    FROM documents)
         SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+               CAST(floor((cum - n_tokens) / {_PACK_CAPACITY}) AS BIGINT)
+                 AS chunk_id,
+               (cum - n_tokens) % {_PACK_CAPACITY} AS chunk_offset
+        FROM c
+    """
+    d["p3_pack_chunks_sharded"] = f"""
+        WITH c AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+                          CAST(sum(CAST(n_chars AS BIGINT))
+                            OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                  CURRENT ROW) AS BIGINT) AS cum
+                   FROM documents)
+        SELECT lang, doc_id, n_tokens, cum - n_tokens AS start_offset,
                CAST(floor((cum - n_tokens) / {_PACK_CAPACITY}) AS BIGINT)
                  AS chunk_id,
                (cum - n_tokens) % {_PACK_CAPACITY} AS chunk_offset

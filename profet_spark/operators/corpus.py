@@ -247,6 +247,47 @@ def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,
                     "chunk_offset"))
 
 
+def pack_chunks_sharded(df: DataFrame, tokens_col: str, capacity: int,
+                        shard_col: str, order_col: str = "doc_id") -> DataFrame:
+    """P3 variant: concat-and-chunk WITHIN each shard independently.
+
+    The production shape when chunks must not cross a boundary (per-split,
+    per-source, or per-language packing): documents are ordered by
+    ``order_col`` within each ``shard_col`` value and packed against a
+    per-shard offset 0. Returns one row per document:
+
+    ``(shard_col, order_col, n_tokens, start_offset, chunk_id,
+    chunk_offset)`` — offsets/chunk ids are shard-local.
+
+    Unlike the global :func:`pack_chunks` (which needs the distributed
+    prefix-sum machinery because a total order has no parallel unit), the
+    sharded form is a plain window aggregate partitioned by the shard key
+    — Catalyst distributes it across shards natively, so this is a pure
+    JVM plan with ONE hash exchange on ``shard_col``. Shard skew is the
+    standard window-skew case: pick a shard key with bounded cardinality
+    per value (split × source × lang, not a single global shard).
+    """
+    from pyspark.sql.window import Window
+
+    if capacity <= 0:
+        raise ValueError(f"pack_chunks_sharded: capacity must be > 0, "
+                         f"got {capacity}")
+    dtypes = dict(df.dtypes)
+    if dtypes[tokens_col] not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_chunks_sharded: tokens_col must be integral, got "
+            f"{dtypes[tokens_col]}")
+    w = (Window.partitionBy(shard_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_tok = F.col(tokens_col).cast("bigint")
+    cum = F.sum(n_tok).over(w)
+    start = (cum - n_tok).alias("start_offset")
+    return df.select(
+        shard_col, order_col, n_tok.alias("n_tokens"), start,
+        F.floor((cum - n_tok) / capacity).cast("bigint").alias("chunk_id"),
+        ((cum - n_tok) % capacity).alias("chunk_offset"))
+
+
 def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
           min_df: int = 1, n_docs: int | None = None) -> DataFrame:
     """P4: TF-IDF term weighting over the shared word tokenization.

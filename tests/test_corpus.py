@@ -168,3 +168,24 @@ def test_stratified_sample_rejects_out_of_range_rates(docs):
         corpus.stratified_sample(df, 1.5)
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         corpus.stratified_sample(df, {"en": -0.1}, strata_col="lang")
+
+
+def test_pack_chunks_sharded_matches_per_shard_serial(docs):
+    """Sharded packing == independent serial packing of each shard."""
+    df, pdf = docs
+    got = (corpus.pack_chunks_sharded(df, "n_tok", 1024, shard_col="lang")
+           .toPandas().sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    parts = []
+    for lang, grp in pdf.groupby("lang"):
+        g = _pack_ground_truth(grp.reset_index(drop=True), 1024)
+        g.insert(0, "lang", lang)
+        parts.append(g)
+    want = (pd.concat(parts).sort_values(["lang", "doc_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pure-JVM single-exchange plan: no Python nodes, exactly one
+    # hashpartitioning exchange (the shard window)
+    plan = (corpus.pack_chunks_sharded(df, "n_tok", 1024, shard_col="lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -235,3 +235,25 @@ def test_session_window_exact_gap_merges(spark, tmp_path_factory):
            .sort_values("session_start").reset_index(drop=True))
     # one session of 2 (events 0+3600s merge), one session of 1
     assert got.n.tolist() == [2, 1]
+
+
+def test_stream_corpus_split_sample_equal_batch(spark, sf_dir, tmp_path_factory):
+    """P1/P2 are stateless projections, so they stream unchanged: running
+    hash_split + stratified_sample on a readStream replays exactly the
+    batch assignment (same salted-hash labels, same kept rows)."""
+    from profet_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.coalesce(2).write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(docs.schema).parquet(out)
+    weights = {"train": 0.8, "val": 0.2}
+    streamed = corpus.stratified_sample(
+        corpus.hash_split(stream, weights), 0.5).select(
+        "doc_id", "split_bucket", "split")
+    st.run_available_now(streamed, "t_corpus_split", output_mode="append")
+    got = spark.table("t_corpus_split")
+    want = corpus.stratified_sample(
+        corpus.hash_split(docs, weights), 0.5).select(
+        "doc_id", "split_bucket", "split")
+    assert _pdf(got).equals(_pdf(want))
