@@ -189,3 +189,32 @@ def test_pack_chunks_sharded_matches_per_shard_serial(docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_tier_on_string_id_snapshot_table(spark):
+    """The north-rule input shape has image_id:string — the corpus tier
+    must work unchanged on string ids (hash_split salts the string id
+    directly; packing range-partitions on it)."""
+    from profet_spark import fixtures
+
+    pdf = fixtures.make_fixture(n_entities=60, with_images=False)
+    df = fixtures.to_spark(spark, pdf)
+    latest = (df.groupBy("image_id")
+              .agg(F.max(F.length("caption")).alias("cap_len")))
+    split = corpus.hash_split(latest, {"train": 0.9, "val": 0.1},
+                              id_col="image_id").toPandas()
+    assert len(split) == 60 and split.split.notna().all()
+    for _, r in split.iterrows():
+        assert r.split_bucket == _h32(f"split:{r.image_id}") % 10000
+    samp = corpus.stratified_sample(latest, 0.5, id_col="image_id")
+    assert 0 < samp.count() < 60
+    packed = (corpus.pack_chunks(latest, "cap_len", 256,
+                                 order_col="image_id")
+              .toPandas().sort_values("image_id").reset_index(drop=True))
+    ordered = (latest.toPandas().sort_values("image_id")
+               .reset_index(drop=True))
+    assert (packed.image_id == ordered.image_id).all()
+    acc = 0
+    for i, t in enumerate(ordered.cap_len):
+        assert int(packed.start_offset[i]) == acc
+        acc += int(t)
