@@ -7,8 +7,8 @@ sequence packing, and TF-IDF term weighting. Like every operator in this
 engine they are built for bitwise SQL-oracle grading (portable h32
 hashing, exact-int derivations, IEEE-deterministic float expressions —
 see functions/hashing.py) and for 1000-executor scale (narrow projections,
-no driver-side data paths except the documented P-row offset collect in
-:func:`pack_chunks`).
+no driver-side data paths — :func:`pack_chunks`' partition offsets are a
+P-row in-DAG window, not a collect).
 
 - P1 :func:`hash_split` — train/val/test labels from a salted portable
   hash of the id: reproducible across runs, engines, and cluster sizes,
@@ -21,8 +21,9 @@ no driver-side data paths except the documented P-row offset collect in
   documents in a global deterministic order are laid head-to-tail and cut
   into fixed ``capacity`` chunks. Implemented as a distributed prefix sum
   (range partition -> in-partition Arrow cumsum with O(1) carry ->
-  P-row partition-offset broadcast), NOT a single-partition global
-  window, so it scales; output is invariant to the partition count.
+  P-row partition-offset window + broadcast join, one lazy DAG), NOT a
+  single-partition global window over the data, so it scales; output is
+  invariant to the partition count.
 - P4 :func:`tfidf` — term frequency x inverse document frequency over
   the whitespace word tokenization shared with textstats. The score uses
   the division-only smooth form ``tf * (N+1) / (df+1)`` so every arithmetic
@@ -52,8 +53,19 @@ def _bucket_bp(id_col: str, salt: str) -> F.Column:
 
     ``h32`` is uniform on [0, 2^32); 2^32 is not a multiple of 10^4, so
     buckets carry a ~1e-5 relative modulo bias — irrelevant for split
-    ratios, and identical in both engines."""
-    salted = F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ratios, and identical in both engines.
+
+    A NULL id raises: ``concat`` would null the salted key, silently
+    assigning the row to NO split (and dropping it from every sample,
+    even at rate 1.0) — fail-fast beats silent data loss for a
+    train/val/test assignment."""
+    id_str = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"hash bucket: NULL {id_col} — split/sample ids must be "
+            f"non-null")).cast("string"),
+    ).otherwise(F.col(id_col).cast("string"))
+    salted = F.concat(F.lit(f"{salt}:"), id_str)
     return H.h32(salted) % SPLIT_BP
 
 
@@ -142,6 +154,10 @@ def stratified_sample(df: DataFrame, rates: Mapping[str, float] | float,
         if strata_col is None:
             raise ValueError("stratified_sample: per-stratum rates require "
                              "strata_col")
+        if not rates:
+            raise ValueError(
+                "stratified_sample: empty rates mapping — pass at least "
+                "one stratum (strata absent from the mapping are dropped)")
         expr = None
         for value, r in rates.items():
             cond = F.col(strata_col) == value
@@ -176,16 +192,28 @@ def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,
     2. in-partition exclusive-scan via ``mapInPandas`` with an O(1)
        running carry across Arrow batches (same pattern as the as-of
        merge kernel, operators/asof.py);
-    3. per-partition totals (P rows) are collected, prefix-summed on the
-       driver — the one documented driver-side step, bounded by the
-       partition count, same class as the checkpoint metrics collect —
+    3. per-partition totals (exactly P rows, one per range partition) are
+       exclusive-prefix-summed by a single-partition window — P is the
+       partition count, so this window is O(parallelism), never O(rows) —
        and broadcast-joined back as partition offsets.
+
+    Everything stays in ONE lazy DAG: the range exchange appears under
+    both the totals branch and the probe branch, and Spark's exchange
+    reuse executes it once per action, so the ``_pid`` layout the offsets
+    were summed over is by construction the layout the join sees. (An
+    earlier revision collected the totals to the driver between two
+    actions; ``repartitionByRange`` samples its boundaries with a
+    per-execution seed, so under ``persist=False`` — or cache eviction —
+    the two actions could disagree on the layout and mis-join offsets.
+    Plan-asserted in tests/test_corpus.py: exactly one range exchange.)
 
     The result is the exact global cumulative sum: range-boundary
     placement cancels out, so the output is invariant to ``n_partitions``
     (property-tested). ``persist`` caches the scanned projection that is
     referenced by both the offsets aggregation and the final join (same
-    knob convention as operators/dedup.py).
+    knob convention as operators/dedup.py); with it off the scan kernel
+    runs twice per action over the reused shuffle output — correctness
+    is unaffected either way.
     """
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
@@ -212,6 +240,11 @@ def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,
         for pdf in batches:
             if pdf.empty:
                 continue
+            if pdf["n_tokens"].isna().any():
+                # nullable bigint arrives as float64 NaN; without this the
+                # NaN would pass the < 0 check, poison the cumsum, and
+                # surface as a cryptic int(NaN) failure at the carry
+                raise ValueError("pack_chunks: NULL token count")
             if (pdf["n_tokens"] < 0).any():
                 raise ValueError("pack_chunks: negative token count")
             out = pdf.copy()
@@ -223,25 +256,20 @@ def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,
     if persist:
         local = local.persist()
     # partition totals: the max in-partition inclusive cumsum IS the
-    # partition's total (token counts are non-negative)
-    totals = {int(r["_pid"]): int(r["t"])
-              for r in local.groupBy("_pid").agg(F.max("_cum").alias("t"))
-              .collect()}
-    offsets, acc = [], 0
-    for pid in sorted(totals):  # range partitions: ascending pid = ascending keys
-        offsets.append((pid, acc))
-        acc += totals[pid]
-    if not offsets:
-        return spark.createDataFrame(
-            [], f"`{order_col}` {dtypes[order_col]}, n_tokens bigint, "
-                f"start_offset bigint, chunk_id bigint, chunk_offset bigint")
-    odf = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    # partition's total (token counts are non-negative). Exclusive prefix
+    # over ascending _pid (range partitions: ascending pid = ascending
+    # keys) via a single-partition window — P rows only, O(parallelism).
+    from pyspark.sql.window import Window
+
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    odf = (local.groupBy("_pid").agg(F.max("_cum").alias("_t"))
+           .select("_pid",
+                   F.coalesce(F.sum("_t").over(wp), F.lit(0)).alias("_off")))
     start = F.col("_off") + F.col("_cum") - F.col("n_tokens")
     return (local.join(F.broadcast(odf), "_pid")
             .withColumn("start_offset", start)
             .withColumn("chunk_id",
-                        F.floor(F.col("start_offset") / capacity)
-                        .cast("bigint"))
+                        F.expr(f"start_offset DIV {capacity}"))
             .withColumn("chunk_offset", F.col("start_offset") % capacity)
             .select(order_col, "n_tokens", "start_offset", "chunk_id",
                     "chunk_offset"))
@@ -279,13 +307,24 @@ def pack_chunks_sharded(df: DataFrame, tokens_col: str, capacity: int,
             f"{dtypes[tokens_col]}")
     w = (Window.partitionBy(shard_col).orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    n_tok = F.col(tokens_col).cast("bigint")
+    # same NULL/negative contract as pack_chunks' Arrow kernel, enforced
+    # JVM-side (a window sum would silently treat NULL as 0 and a
+    # negative count would silently walk offsets backwards)
+    n_tok = F.when(
+        F.col(tokens_col).isNull() | (F.col(tokens_col) < 0),
+        F.raise_error(F.concat(
+            F.lit("pack_chunks_sharded: NULL or negative token count: "),
+            F.coalesce(F.col(tokens_col).cast("string"),
+                       F.lit("NULL")))).cast("bigint"),
+    ).otherwise(F.col(tokens_col).cast("bigint"))
     cum = F.sum(n_tok).over(w)
-    start = (cum - n_tok).alias("start_offset")
     return df.select(
-        shard_col, order_col, n_tok.alias("n_tokens"), start,
-        F.floor((cum - n_tok) / capacity).cast("bigint").alias("chunk_id"),
-        ((cum - n_tok) % capacity).alias("chunk_offset"))
+        shard_col, order_col, n_tok.alias("n_tokens"),
+        (cum - n_tok).alias("start_offset"),
+    ).select(
+        shard_col, order_col, "n_tokens", "start_offset",
+        F.expr(f"start_offset DIV {capacity}").alias("chunk_id"),
+        (F.col("start_offset") % capacity).alias("chunk_offset"))
 
 
 def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

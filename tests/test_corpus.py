@@ -118,17 +118,71 @@ def test_pack_chunks_empty_and_validation(docs, spark):
     with pytest.raises(Exception, match="negative"):
         corpus.pack_chunks(df.withColumn("neg", F.lit(-1).cast("bigint")),
                            "neg", 64).count()
+    with pytest.raises(Exception, match="NULL token"):
+        corpus.pack_chunks(
+            df.withColumn("nul", F.when(df.doc_id == 7, None)
+                          .otherwise(F.lit(1)).cast("bigint")),
+            "nul", 64).count()
+
+
+def test_pack_chunks_sharded_rejects_null_and_negative(docs):
+    """The two P3 variants enforce the same token contract: a window sum
+    would silently read NULL as 0 and walk offsets backwards on negative
+    counts — both must fail loudly instead."""
+    df, _ = docs
+    for bad in (F.lit(-5), F.when(df.doc_id == 7, None).otherwise(F.lit(1))):
+        with pytest.raises(Exception, match="NULL or negative token count"):
+            corpus.pack_chunks_sharded(
+                df.withColumn("bad_tok", bad.cast("bigint")),
+                "bad_tok", 64, shard_col="lang").count()
+
+
+def test_split_and_sample_reject_null_ids(docs):
+    """A NULL id would hash to a NULL bucket → the row silently joins no
+    split and survives no sample; the operators raise instead."""
+    df, _ = docs
+    nid = df.withColumn(
+        "doc_id", F.when(df.doc_id == 7, None).otherwise(df.doc_id))
+    with pytest.raises(Exception, match="non-null"):
+        corpus.hash_split(nid, {"train": 1.0}).count()
+    with pytest.raises(Exception, match="non-null"):
+        corpus.stratified_sample(nid, 1.0).count()
+    with pytest.raises(ValueError, match="empty rates"):
+        corpus.stratified_sample(df, {}, strata_col="lang")
 
 
 def test_pack_chunks_plan_has_no_global_window(docs):
     """The scale claim: a range exchange + broadcast offset join — never a
-    single-partition global window (which would serialize 100 TB through
-    one task)."""
+    single-partition global window OVER THE DATA (which would serialize
+    100 TB through one task). The only window allowed is the P-row
+    exclusive prefix over the per-partition totals (keyed by _pid)."""
     df, _ = docs
     plan = (corpus.pack_chunks(df, "n_tok", 1024, n_partitions=8)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Window" not in plan
+    specs = [seg for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs, "expected the P-row offsets window"
+    assert all(s.startswith("_pid") for s in specs), specs
     assert "rangepartitioning" in plan or "RangePartitioning" in plan
+
+
+def test_pack_chunks_unpersisted_reuses_one_range_exchange(docs):
+    """persist=False safety: the totals branch and the probe branch must
+    share ONE materialized range shuffle (AQE ReusedExchange), otherwise
+    repartitionByRange's per-execution boundary sampling could hand the
+    offsets join a different _pid layout than the one the totals were
+    summed over."""
+    df, _ = docs
+    out = corpus.pack_chunks(df, "n_tok", 1024, n_partitions=8,
+                             persist=False)
+    out.collect()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    head = plan.split("Initial Plan")[0]
+    # either marker proves single materialization: AQE stage reuse, or
+    # cacheManager substituting a cache left by a persist=True call with
+    # the same canonical plan (both branches then read the same blocks)
+    assert ("ReusedExchange" in head and "rangepartitioning" in head) \
+        or "InMemoryTableScan" in head or "TableCacheQueryStage" in head
 
 
 # ------------------------------------------------------------------ P4
