@@ -1662,7 +1662,8 @@ def _duck_quantized_cte(where: str = "") -> str:
               FROM (SELECT vec_id, embedding,
                            unnest(generate_series(1, len(embedding))) AS i
                     FROM embeddings {where})),
-        nrm AS (SELECT vec_id, sum(qx * qx) AS nrm FROM q GROUP BY vec_id)"""
+        nrm AS (SELECT vec_id, sum(qx * qx) AS nrm FROM q GROUP BY vec_id
+                HAVING sum(qx * qx) > 0)"""
 
 
 _DUCK_COS = ("CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))")

@@ -568,9 +568,13 @@ def embedding_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
     import numpy as np
 
     id_type = dict(df.dtypes)[id_col]
+    # zero-norm vectors are excluded — same undefined-direction contract
+    # as similarity._quantized (a NaN cosine would pass Spark's >=
+    # threshold test, NaN > any double, while DuckDB drops it)
     qd = _maybe_persist(df.select(
         F.col(id_col).alias("id"), H.quantize_vec(vec_col).alias("q"),
-    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))), persist)
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q")))
+        .where(F.col("nrm") > 0), persist)
 
     sig_schema = f"id {id_type}, sig bigint"
 
@@ -639,10 +643,12 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "e
     # persist: both self-join sides reference the quantized projection; the
     # HOF transform/fold is interpreted per element, so recomputing it per
     # side doubles the dominant CPU cost
+    # zero-norm exclusion: same contract as similarity._quantized
     q = _maybe_persist(df.select(
         F.col(id_col).alias("id"),
         H.quantize_vec(vec_col).alias("q"),
-    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))), persist)
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q")))
+        .where(F.col("nrm") > 0), persist)
     a = q.alias("a")
     b = q.alias("b")
     dot = H.int_dot(F.col("a.q"), F.col("b.q"))

@@ -42,13 +42,21 @@ ANN_MAX_QUERIES = 65536
 
 
 def _collect_query_side(qdf: DataFrame, caller: str,
-                        max_queries: int | None = None) -> list:
+                        max_queries: int | None = None,
+                        on_over: str = "raise") -> list | None:
     """Bounded collect of the quantized query rows: reads at most
     ``max_queries + 1`` rows (LIMIT pushes into the scan), so an oversized
-    query side costs one cheap probe, not a driver OOM."""
+    query side costs one cheap bounded job, not a driver OOM.
+
+    ``on_over="none"`` returns None instead of raising — the
+    ``on_large='distributed'`` auto-routing uses this so routing and
+    collection share ONE bounded scan (a separate count probe would
+    re-scan the query side on every small-query call)."""
     cap = ANN_MAX_QUERIES if max_queries is None else max_queries
     rows = qdf.select("id", "q", "nrm").limit(cap + 1).collect()
     if len(rows) > cap:
+        if on_over == "none":
+            return None
         raise ValueError(
             f"{caller}: query side exceeds {cap} rows; it is collected to "
             "the driver by design. Split the query set, raise max_queries "
@@ -113,10 +121,20 @@ def _signature_bits(qvec_col: F.Column, dim: int) -> F.Column:
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Quantize + attach the exact integer norm, excluding zero-norm rows.
+
+    A vector whose every |coord| < 0.5e-6 quantizes to all zeros; its
+    direction is undefined and its cosine is 0/0 = NaN, which Spark's
+    descending sort ranks FIRST (NaN > any double) while numpy's lexsort
+    ranks last — so a single zero embedding would both poison top-k
+    results and make the arrow/jvm strategies diverge. Contract (mirrored
+    by the oracles' ``HAVING nrm > 0``): zero-norm vectors participate in
+    no similarity result, as query or neighbor."""
     return df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         H.quantize_vec(vec_col).alias("q"),
-    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q")))
+    ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))).where(
+        F.col("nrm") > 0)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -258,15 +276,14 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     if on_large not in ("raise", "distributed"):
         raise ValueError(f"lsh_ann: unknown on_large={on_large!r}")
-    if on_large == "distributed":
-        cap = ANN_MAX_QUERIES if max_queries is None else max_queries
-        if queries.limit(cap + 1).count() > cap:
-            return lsh_ann_distributed(
-                corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
-                dim=dim, max_bucket=max_bucket)
-
+    # routing and collection share one bounded scan: None = over cap
     q_rows = _collect_query_side(
-        _quantized(queries, id_col, vec_col), "lsh_ann", max_queries)
+        _quantized(queries, id_col, vec_col), "lsh_ann", max_queries,
+        on_over="none" if on_large == "distributed" else "raise")
+    if q_rows is None:
+        return lsh_ann_distributed(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            dim=dim, max_bucket=max_bucket)
     if not q_rows:
         empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
         return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
@@ -628,24 +645,25 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
         n_corpus = corpus.count()
         n_centroids = max(1, int(np.sqrt(n_corpus)))
         sample_size = max(sample_size, 32 * n_centroids)
-    elif not isinstance(n_centroids, int):
+    elif not isinstance(n_centroids, int) or isinstance(n_centroids, bool):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
+    if n_centroids <= 0:
+        raise ValueError(f"n_centroids must be > 0, got {n_centroids}")
 
     if on_large not in ("raise", "distributed"):
         raise ValueError(f"ivf_ann: unknown on_large={on_large!r}")
-    if on_large == "distributed":
-        cap = ANN_MAX_QUERIES if max_queries is None else max_queries
-        if queries.limit(cap + 1).count() > cap:
-            return ivf_ann_distributed(
-                corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
-                n_centroids=n_centroids, n_probe=n_probe,
-                centroids=centroids, sample_size=sample_size,
-                kmeans_iter=kmeans_iter)
-
     # guard the (driver-collected) query side BEFORE any expensive corpus
-    # work — an oversized query set must fail fast, not after k-means
+    # work — an oversized query set must fail fast (or reroute), not
+    # after k-means; routing and collection share one bounded scan
     q_rows = _collect_query_side(
-        _quantized(queries, id_col, vec_col), "ivf_ann", max_queries)
+        _quantized(queries, id_col, vec_col), "ivf_ann", max_queries,
+        on_over="none" if on_large == "distributed" else "raise")
+    if q_rows is None:
+        return ivf_ann_distributed(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, n_probe=n_probe,
+            centroids=centroids, sample_size=sample_size,
+            kmeans_iter=kmeans_iter)
     if not q_rows:
         empty = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
         return spark.createDataFrame([], empty).withColumn("rank", F.lit(1).cast("int"))
@@ -767,6 +785,17 @@ def ivf_ann_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     spark = corpus.sparkSession
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    # same n_centroids contract as ivf_ann (0 would otherwise return an
+    # empty result silently via limit(0) on the lowest_id path)
+    if n_centroids == "auto":
+        n_centroids = max(1, int(np.sqrt(corpus.count())))
+        sample_size = max(sample_size, 32 * n_centroids)
+    elif not isinstance(n_centroids, int) or isinstance(n_centroids, bool):
+        raise ValueError(
+            f"n_centroids must be an int or 'auto', got {n_centroids!r}")
+    if n_centroids <= 0:
+        raise ValueError(f"n_centroids must be > 0, got {n_centroids}")
 
     Cm, cnrm = _build_centroids(
         _quantized(corpus, id_col, vec_col), n_centroids, centroids,

@@ -350,3 +350,53 @@ def test_ivf_ann_on_large_routes_to_distributed(emb):
                                            n_probe=3, centroids="lowest_id")
             .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """A vector that quantizes to all zeros (every |coord| < 0.5e-6) has
+    no direction: its cosine is 0/0 = NaN, which Spark's descending sort
+    ranks FIRST while numpy's lexsort ranks last. Contract: zero-norm
+    rows join no similarity result, as query or neighbor, in every
+    strategy (mirrored by the oracles' HAVING nrm > 0)."""
+    from profet_spark.operators import dedup
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(20, DIM)).astype(np.float32)
+    vecs[7] = 1e-9  # quantizes to exact zeros
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    q = df.where(df.vec_id < 10)
+
+    arrow = (similarity.cosine_topk(df, q, k=25, strategy="arrow")
+             .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    jvm = (similarity.cosine_topk(df, q, k=25, strategy="jvm")
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(arrow, jvm)
+    assert not arrow.cosine.isna().any()
+    assert 7 not in set(arrow.query_id) and 7 not in set(arrow.neighbor_id)
+
+    for res in (
+        similarity.lsh_ann(df, q, k=25).toPandas(),
+        similarity.ivf_ann(df, q, k=25, n_centroids=2, n_probe=2).toPandas(),
+        similarity.lsh_ann_distributed(df, q, k=25).toPandas(),
+    ):
+        assert not res.cosine.isna().any()
+        assert 7 not in set(res.query_id) and 7 not in set(res.neighbor_id)
+
+    pairs = dedup.embedding_dup_pairs(df, threshold=-2.0).toPandas()
+    assert not pairs.cosine.isna().any()
+    assert 7 not in set(pairs.id_a) and 7 not in set(pairs.id_b)
+    lsh_pairs = dedup.embedding_dup_pairs_lsh(df, threshold=-2.0).toPandas()
+    assert not lsh_pairs.cosine.isna().any()
+    assert 7 not in set(lsh_pairs.id_a) and 7 not in set(lsh_pairs.id_b)
+
+
+def test_ivf_n_centroids_zero_raises(emb):
+    df, _ = emb
+    q = df.where(df.vec_id < 3)
+    with pytest.raises(ValueError, match="n_centroids must be > 0"):
+        similarity.ivf_ann(df, q, n_centroids=0)
+    with pytest.raises(ValueError, match="n_centroids must be > 0"):
+        similarity.ivf_ann_distributed(df, q, n_centroids=0)
+    with pytest.raises(ValueError, match="n_centroids"):
+        similarity.ivf_ann_distributed(df, q, n_centroids=True)
