@@ -45,9 +45,14 @@ implemented at the DataFrame level (no custom Catalyst rule — SURVEY.md
     fastest path when the payload fits a struct; bit-identical to
     sort_merge (tests/test_asof.py matrix).
 
-``auto`` picks broadcast when the build side is provably small, else
-sort-merge, upgrading to salted when a hot-key scan finds entities above
-the skew threshold.
+``auto`` picks broadcast when the build side is provably small (one
+bounded ``limit().count()`` probe), salted when the caller supplies
+``hot_keys`` (from :func:`detect_hot_keys` — one aggregate scan, run it
+explicitly — or an offline skew profile; auto never scans for skew
+implicitly), else sort-merge.
+
+Contract: a NULL ``ts`` on either side raises with a clear message in
+every strategy (point-in-time semantics are undefined for it).
 """
 
 from __future__ import annotations
@@ -68,11 +73,21 @@ _SALT = "__asof_salt"
 def _right_value_cols(left: DataFrame, right: DataFrame, entity: str, ts: str, suffix: str) -> list[tuple[str, str]]:
     """(right_col, output_name) pairs for the payload the join attaches."""
     taken = set(left.columns)
+    emitted = set()
     out = []
     for f in right.schema.fields:
         if f.name in (entity, ts):
             continue
         name = f.name if f.name not in taken else f"{f.name}{suffix}"
+        if name in emitted or (name != f.name and name in taken):
+            # e.g. left has 'x' and 'x_r', right has 'x': the suffixed
+            # name collides — a duplicate-label schema fails deep inside
+            # Arrow conversion, so raise a clear error here instead
+            raise ValueError(
+                f"asof_join: output column {name!r} collides (left columns "
+                f"{sorted(taken)}, suffix {suffix!r}) — rename the right "
+                "column or pass a different suffix")
+        emitted.add(name)
         out.append((f.name, name))
     return out
 
@@ -193,6 +208,20 @@ def asof_join(
     spark = left.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # point-in-time semantics are undefined for a NULL ts, and the
+    # strategies would otherwise disagree: merge_asof raises an opaque
+    # ValueError deep in an executor while the window path silently
+    # carries values across the null — one loud uniform contract instead
+    def _ts_checked(df: DataFrame) -> DataFrame:
+        return df.withColumn(ts, F.when(
+            F.col(ts).isNull(),
+            F.raise_error(F.lit(
+                f"asof_join: NULL {ts} — point-in-time rows must carry a "
+                "timestamp")).cast(df.schema[ts].dataType),
+        ).otherwise(F.col(ts)))
+
+    left, right = _ts_checked(left), _ts_checked(right)
 
     pairs = _right_value_cols(left, right, entity, ts, suffix)
     schema = _out_schema(left, right, pairs)

@@ -116,6 +116,28 @@ def checkpointed_write(
     Returns {"written": [...], "skipped": [...]}.
     """
     spark = df.sparkSession
+    if "://" in out_dir and not out_dir.startswith("file:"):
+        # manifest I/O is driver-local (os/open); an object-store URI would
+        # silently write the manifest to a local './s3:/...' directory and
+        # every resume would see zero committed buckets. A production
+        # deployment routes the manifest through the Hadoop FS API.
+        raise NotImplementedError(
+            f"checkpointed_write: non-local out_dir {out_dir!r} — the "
+            "manifest is driver-local; use a local/shared-filesystem path")
+    prior = read_manifest(spark, out_dir)
+    if prior:
+        # a resume with different bucketing silently duplicates rows into
+        # new buckets and loses the ones whose new bucket id is already
+        # marked done — the manifest's recorded parameters are the contract
+        p = prior[0]
+        ours = {"key_cols": key_cols, "num_buckets": num_buckets,
+                "hash_strategy": hash_strategy}
+        theirs = {k: p.get(k) for k in ours}
+        if ours != theirs:
+            raise ValueError(
+                f"checkpointed_write: resume parameters {ours} do not match "
+                f"the existing manifest {theirs} — resuming with different "
+                "bucketing would duplicate and drop rows")
     done = committed_buckets(spark, out_dir)
     bucketed = df.withColumn(
         BUCKET_COL,
@@ -136,8 +158,30 @@ def checkpointed_write(
         .partitionBy(BUCKET_COL)
         .parquet(out_dir)
     )
+    # metrics come from the files just written, not from re-executing the
+    # input plan: the read-back is one columnar scan of the new buckets
+    # (vs a full upstream recompute) and is consistent with disk by
+    # construction — an input-side recompute could diverge if the source
+    # changed between the write and the metrics action, making
+    # verify_manifest flag perfectly good files
     data_cols = [c for c in df.columns]
-    metrics = _bucket_metrics(subset, data_cols, hash_strategy)
+    # an all-empty write leaves no bucket=K dirs and parquet cannot infer
+    # a schema from a bare _SUCCESS file
+    has_parts = os.path.isdir(out_dir) and any(
+        e.name.startswith(f"{BUCKET_COL}=") for e in os.scandir(out_dir))
+    if has_parts:
+        written_back = (
+            spark.read.parquet(out_dir)
+            .where(F.col(BUCKET_COL).isin([int(b) for b in to_write])))
+        metrics = _bucket_metrics(written_back, data_cols, hash_strategy)
+    else:
+        metrics = []
+    # a pending bucket that holds zero rows still needs a manifest entry,
+    # or it is re-"written" on every resume and the idempotent no-op call
+    # never converges
+    seen = {m["bucket"] for m in metrics}
+    metrics.extend({"bucket": int(b), "rows": 0, "checksum": 0}
+                   for b in to_write if int(b) not in seen)
 
     os.makedirs(_manifest_path(out_dir), exist_ok=True)
     entry_file = os.path.join(_manifest_path(out_dir), f"commit-{uuid.uuid4().hex}.json")
@@ -183,7 +227,16 @@ def verify_manifest(spark: SparkSession, out_dir: str) -> bool:
                                  data_cols, strategies.pop())
     }
     for b, e in entries.items():
-        m = recomputed.get(b)  # a fully-missing bucket recomputes to nothing
-        if m is None or e["rows"] != m["rows"] or e["checksum"] != m["checksum"]:
+        m = recomputed.get(b)
+        if m is None:
+            # zero-row buckets leave no bucket=K directory: a committed
+            # empty bucket legitimately recomputes to nothing
+            if e["rows"] == 0 and e["checksum"] == 0:
+                continue
             return False
-    return not (set(recomputed) - set(entries))
+        if e["rows"] != m["rows"] or e["checksum"] != m["checksum"]:
+            return False
+    # recomputed is keyed by the manifest's buckets (the scan is filtered
+    # to them — uncommitted partials are the resume path's business, not a
+    # verification failure), so there is nothing further to cross-check
+    return True

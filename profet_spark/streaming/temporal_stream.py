@@ -80,7 +80,12 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str]) -> DataFrame:
 
 def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain everything currently available into an in-memory table
-    ``name`` and stop — the batch-equivalent replay used by the tests."""
+    ``name`` and stop — the batch-equivalent replay used by the tests.
+
+    The ``complete`` default fits the windowed AGGREGATIONS in this
+    module (tumbling/sliding/session); the append-only stateful operators
+    (:func:`dedup_within_watermark`, :func:`stateful_asof_attach`) reject
+    it at ``start()`` — pass ``output_mode="append"`` for those."""
     q = (
         df.writeStream.format("memory").queryName(name)
         .outputMode(output_mode)
@@ -136,11 +141,23 @@ def stateful_asof_attach(stream: DataFrame, entity: str = "user_id",
         pdf["_r"] = is_right
         mx = pdf.loc[is_right].groupby(ts)[right_col].transform("max")
         pdf.loc[is_right, right_col] = mx
+        last_ts_us = last_val = None
+        if state.exists:
+            last_ts_us, last_val = state.get
+            # a build ts can straddle a micro-batch boundary: rows of the
+            # stored ts arriving in THIS batch must max-merge with the
+            # stored value (the batch twin's groupBy(entity, ts).max spans
+            # batches) — overwriting would let a smaller late twin win
+            ts_us = (pdf[ts].astype("datetime64[ns]").astype("int64")
+                     // 1000)
+            eq = is_right & (ts_us == last_ts_us)
+            if eq.any():
+                pdf.loc[eq, right_col] = pdf.loc[eq, right_col].clip(
+                    lower=last_val)
         pdf = pdf.sort_values([ts, "_r"], ascending=[True, False],
                               kind="mergesort").reset_index(drop=True)
         ff = pdf[right_col].ffill()
         if state.exists:
-            last_ts_us, last_val = state.get
             ff = ff.fillna(last_val)
         rights = pdf.loc[pdf["_r"]]
         if not rights.empty:

@@ -229,3 +229,29 @@ def test_detect_hot_keys_with_table_stats(spark, fixture_dfs):
     ldf, _, lp, _ = fixture_dfs
     hot = detect_hot_keys(ldf, "image_id", frac=0.1, total_rows=len(lp))
     assert hot == ["e0000"]
+
+
+def test_asof_null_ts_raises_in_every_strategy(spark, fixture_dfs):
+    """NULL ts = undefined point-in-time semantics: one loud uniform
+    contract (merge_asof used to raise an opaque executor ValueError
+    while the window strategy silently carried values across)."""
+    ldf, rdf, lp, rp = fixture_dfs
+    lnull = ldf.withColumn(
+        "ts", F.when(F.col("x") == lp.x.iloc[0], None).otherwise(F.col("ts")))
+    for strategy in ["sort_merge", "broadcast", "salted", "window"]:
+        with pytest.raises(Exception, match="NULL ts"):
+            asof_join(lnull, rdf, strategy=strategy,
+                      hot_keys=["e0001"]).count()
+    rnull = rdf.withColumn(
+        "ts", F.when(F.col("upd") == rp.upd.iloc[0], None).otherwise(F.col("ts")))
+    with pytest.raises(Exception, match="NULL ts"):
+        asof_join(ldf, rnull, strategy="sort_merge").count()
+
+
+def test_asof_output_name_collision_raises(spark, fixture_dfs):
+    """left(x, x_r) x right(x): the suffixed name collides with a left
+    column — must raise clearly, not fail inside Arrow conversion."""
+    ldf, rdf, _, _ = fixture_dfs
+    left2 = ldf.withColumn("upd", F.lit(1.0)).withColumn("upd_r", F.lit(2.0))
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left2, rdf, strategy="sort_merge")

@@ -67,3 +67,39 @@ def test_manifest_detects_tamper(spark, events, tmp_path):
     for f in victim:
         os.remove(f)
     assert not cp.verify_manifest(spark, out)
+
+
+def test_empty_buckets_commit_and_converge(spark, tmp_path):
+    """Buckets with zero rows still get manifest entries (rows=0), so a
+    re-call is a true no-op and verify_manifest accepts the absence of
+    their bucket=K directories."""
+    tiny = spark.range(3).withColumnRenamed("id", "event_id")
+    out = str(tmp_path / "sparse")
+    r1 = cp.checkpointed_write(tiny, out, key_cols=["event_id"],
+                               num_buckets=32)
+    assert len(r1["written"]) == 32
+    assert len(cp.committed_buckets(spark, out)) == 32
+    assert cp.verify_manifest(spark, out)
+    r2 = cp.checkpointed_write(tiny, out, key_cols=["event_id"],
+                               num_buckets=32)
+    assert r2["written"] == [] and len(r2["skipped"]) == 32
+    assert cp.read_checkpointed(spark, out).count() == 3
+
+
+def test_resume_with_mismatched_params_raises(spark, events, tmp_path):
+    out = str(tmp_path / "resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cp.checkpointed_write(events, out, key_cols=["event_id"],
+                              num_buckets=16, fail_after_buckets=5)
+    for kwargs in ({"num_buckets": 32},
+                   {"num_buckets": 16, "key_cols": ["user_id"]},
+                   {"num_buckets": 16, "hash_strategy": "portable"}):
+        kw = {"key_cols": ["event_id"], **kwargs}
+        with pytest.raises(ValueError, match="resume parameters"):
+            cp.checkpointed_write(events, out, **kw)
+
+
+def test_non_local_out_dir_raises(spark, events):
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        cp.checkpointed_write(events, "s3://bucket/table",
+                              key_cols=["event_id"])

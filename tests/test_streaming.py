@@ -118,6 +118,42 @@ def test_stateful_asof_equals_batch_multi_batch(spark, sf_dir, ev_schema,
     assert _pdf(got).equals(_pdf(_batch_asof_want(spark, sf_dir)))
 
 
+def test_stateful_asof_equal_ts_straddles_batch_boundary(spark, tmp_path_factory):
+    """Two build rows with the SAME (entity, ts) split across micro-batches
+    must max-merge (the batch twin's groupBy(entity, ts).max spans
+    batches): a smaller equal-ts twin arriving in a later batch must not
+    overwrite the stored larger value."""
+    import time as _t
+
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("events_straddle"))
+    T = pd.Timestamp("2024-01-01 00:00:00")
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    b1 = pd.DataFrame([(1, 10, T, "purchase", 5.0),
+                       (2, 10, T, "view", None)], columns=cols)
+    b2 = pd.DataFrame([(3, 10, T, "purchase", 3.0),
+                       (4, 10, T + pd.Timedelta(seconds=1), "view", None)],
+                      columns=cols)
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(out)
+    schema = spark.read.parquet(out).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    tagged = stream.withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value")))
+    st.run_available_now(st.stateful_asof_attach(tagged), "t_asof_straddle",
+                         output_mode="append")
+    got = (spark.table("t_asof_straddle")
+           .select("event_id", "pv_asof").toPandas()
+           .set_index("event_id").pv_asof.to_dict())
+    # batch semantics: build value at T = max(5, 3) = 5 for every probe
+    assert got == {1: 5.0, 2: 5.0, 3: 5.0, 4: 5.0}
+
+
 def test_late_data_dropped_by_watermark(spark, sf_dir, ev_schema, tmp_path_factory):
     """§2.9 late-data contract: rows behind the watermark are excluded
     from stateful aggregation — the streaming stand-in for the batch
