@@ -1853,9 +1853,10 @@ def _duck_quality_sql() -> str:
     """T2 quality features (shared by t2_quality_score and the S4
     feature-sink round-trip oracle)."""
     return f"""
-            WITH t AS (SELECT doc_id, text, {_DUCK_WORDS.format(c='text')} AS w,
-                              length(text) AS n_chars,
-                              length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+            WITH t AS (SELECT doc_id, text,
+                              {_DUCK_WORDS.format(c="coalesce(text, '')")} AS w,
+                              length(coalesce(text, '')) AS n_chars,
+                              length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g')) AS alpha
                        FROM documents)
             SELECT doc_id, len(w) AS n_tokens,
                    CASE WHEN len(w) > 0 THEN alpha / len(w) ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len,
@@ -2357,8 +2358,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "t1_language_id": _duck_lid_sql(),
         "t2_quality_score": _duck_quality_sql(),
         "t3_token_counts": f"""
-            SELECT doc_id, len({_DUCK_WORDS.format(c='text')}) AS ws_tokens,
-                   len(regexp_extract_all(lower(text), '{ts.TOKEN_RE}')) AS bpe_tokens
+            SELECT doc_id, len({_DUCK_WORDS.format(c="coalesce(text, '')")}) AS ws_tokens,
+                   len(regexp_extract_all(lower(coalesce(text, '')), '{ts.TOKEN_RE}')) AS bpe_tokens
             FROM documents
         """,
         "t4_fingerprint": f"""

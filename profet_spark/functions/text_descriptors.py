@@ -54,24 +54,29 @@ _POS = set_lut(POSITIVE)
 _NEG = set_lut(NEGATIVE)
 _POL = set_lut(POLAR)
 
+def _group_combos(k: int, n_groups: int) -> list[str]:
+    """Digit strings ('11'..'88' for k=2/n=8) in g1-major order — the ONE
+    enumeration that drives both the feature-name list and the kernel's
+    bincount column order (idx = (g1*n + g2)[*n + g3] is g1-major by
+    construction); a single source prevents the two from drifting into
+    silently mislabeled k-mer columns."""
+    out = []
+
+    def rec(k_left, cur):
+        if k_left == 0:
+            out.append(cur)
+            return
+        for g in range(1, n_groups + 1):
+            rec(k_left - 1, cur + str(g))
+
+    rec(k, "")
+    return out
+
+
 def _build_feature_names() -> list[str]:
     names = [f"comp_{c}" for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"] + ["length", "entropy"]
-
-    def combos_ordered(k, n_groups, prefix):
-        out = []
-
-        def rec(k_left, cur):
-            if k_left == 0:
-                out.append(f"{prefix}_{cur}")
-                return
-            for g in range(1, n_groups + 1):
-                rec(k_left - 1, cur + str(g))
-
-        rec(k, "")
-        return out
-
-    names += combos_ordered(2, 8, "k2")
-    names += combos_ordered(3, 4, "k3")
+    names += [f"k2_{c}" for c in _group_combos(2, 8)]
+    names += [f"k3_{c}" for c in _group_combos(3, 4)]
     for prop in CTD_PROPERTIES:
         names += [f"ctd_{prop}_c{c}" for c in "123"]
         names += [f"ctd_{prop}_{t}" for t in ("t12", "t13", "t23")]
@@ -161,17 +166,7 @@ def _kmer(codes, row, lens, nrows, lut, k, n_groups, prefix, out: dict):
     nb = n_groups**k
     cnt = np.bincount(r[valid] * nb + idx[valid], minlength=nrows * nb).reshape(nrows, nb)
     freq = _safe_div(cnt, total[:, None])
-    combos = []
-
-    def rec(k_left, cur):
-        if k_left == 0:
-            combos.append(cur)
-            return
-        for gg in range(1, n_groups + 1):
-            rec(k_left - 1, cur + str(gg))
-
-    rec(k, "")
-    for j, combo in enumerate(combos):
+    for j, combo in enumerate(_group_combos(k, n_groups)):
         out[f"{prefix}_{combo}"] = freq[:, j]
 
 

@@ -33,11 +33,18 @@ LID_LEXICONS: dict[str, tuple[str, ...]] = {
 
 # BPE-ish tokenizer: letter runs | digit runs | single non-alnum marks.
 # Kept to constructs Java regex and RE2 (DuckDB) treat identically.
-TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _txt(text_col: str) -> F.Column:
+    """NULL text reads as empty: a missing document must score like an
+    empty one (n_tokens 0, every ratio 0, quality 0), not leave NULL
+    counts and a 0.3 score from least() skipping the NULL len term."""
+    return F.coalesce(F.col(text_col), F.lit(""))
 
 
 def _tokens(text_col: str) -> F.Column:
-    return H.words(F.col(text_col))
+    return H.words(_txt(text_col))
 
 
 def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -67,8 +74,8 @@ def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio, stopword ratio, and a fixed-weight quality score in [0,1]."""
     toks = _tokens(text_col)
     n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    n_chars = F.length(_txt(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.lower(_txt(text_col)), "[^a-z]", ""))
     stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
     mean_tok_len = F.when(n_tok > 0, alpha_chars / n_tok).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
@@ -90,7 +97,7 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("ws_tokens", F.size(_tokens(text_col)))
         .withColumn("bpe_tokens",
-                    F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                    F.size(F.regexp_extract_all(F.lower(_txt(text_col)),
                                                 F.lit(TOKEN_RE), 0)))
     )
 

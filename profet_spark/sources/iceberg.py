@@ -39,11 +39,16 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_DATA_FILE_SUFFIXES = (".parquet", ".orc", ".csv", ".json", ".avro")
+
+
 def _is_catalog_identifier(target: str) -> bool:
     """Heuristic: a 3-part dotted slash-free name (``cat.db.tbl``) is a
-    catalog identifier; anything else (including dotted filenames like
-    ``snapshots.v2``) is a filesystem path for the fallback."""
-    return target.count(".") >= 2 and "/" not in target
+    catalog identifier; anything else — dotted filenames like
+    ``snapshots.v2`` or ``events.v2.parquet`` — is a filesystem path for
+    the fallback."""
+    return (target.count(".") >= 2 and "/" not in target
+            and not target.lower().endswith(_DATA_FILE_SUFFIXES))
 
 
 def _catalog_configured(spark: SparkSession, target: str) -> bool:
@@ -98,7 +103,7 @@ def write_table(df: DataFrame, target: str, ts_col: str = "ts",
 
 
 def read_table(spark: SparkSession, target: str, ts_col: str = "ts",
-               entity_col: str = "image_id", n_buckets: int = 8,
+               entity_col: str = "image_id", n_buckets: int | None = None,
                ts_between: tuple | None = None,
                entity_in: list | None = None) -> DataFrame:
     """Scan a :func:`write_table` table with partition pruning.
@@ -106,7 +111,8 @@ def read_table(spark: SparkSession, target: str, ts_col: str = "ts",
     Iceberg path: plain source-column predicates (the catalog rewrites
     them against the hidden partition spec). Fallback path: the explicit
     rewrite in :func:`partitioned.scan_pruned` (PartitionFilters pruning,
-    plan-asserted)."""
+    plan-asserted); the bucket modulus is read from the table's persisted
+    spec — only pre-spec tables need ``n_buckets``."""
     if _route(spark, target) == "iceberg":
         df = spark.table(target)
         if ts_between is not None:

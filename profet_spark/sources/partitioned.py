@@ -32,29 +32,70 @@ uses — so co-partitioned writes from different jobs land identically.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DAY_COL = "_p_day"
 BUCKET_COL = "_p_bucket"
+SPEC_FILE = "_partition_spec.json"
 
 
-def partition_transforms(ts_col: str, entity_col: str, n_buckets: int):
+def _day_expr(col: F.Column, dtype: str) -> F.Column:
+    """days() transform value as 'yyyy-MM-dd'.
+
+    Iceberg's ``days()`` buckets instants by their UTC day; for a zoned
+    TIMESTAMP column the day is therefore derived from the epoch micros
+    (session-timezone date_format would move rows across directory
+    boundaries whenever writer and reader sessions disagree on
+    spark.sql.session.timeZone). TIMESTAMP_NTZ and DATE carry no zone, so
+    date_format on them is already deterministic."""
+    if dtype == "timestamp":
+        day = F.date_from_unix_date(
+            F.floor(F.unix_micros(col) / F.lit(86_400_000_000)).cast("int"))
+        return F.date_format(day, "yyyy-MM-dd")
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def partition_transforms(ts_col: str, entity_col: str, n_buckets: int,
+                         ts_dtype: str = "timestamp_ntz"):
     """The two hidden transforms: days(ts) and bucket(n, entity)."""
     return {
-        DAY_COL: F.date_format(F.col(ts_col), "yyyy-MM-dd"),
+        DAY_COL: _day_expr(F.col(ts_col), ts_dtype),
         BUCKET_COL: F.pmod(F.xxhash64(F.col(entity_col)), F.lit(n_buckets)).cast("int"),
     }
 
 
 def write_partitioned(df: DataFrame, out_dir: str, ts_col: str = "ts",
                       entity_col: str = "image_id", n_buckets: int = 8) -> None:
-    """Write ``df`` with the hidden partition spec days(ts) x bucket(n)."""
-    for name, expr in partition_transforms(ts_col, entity_col, n_buckets).items():
+    """Write ``df`` with the hidden partition spec days(ts) x bucket(n).
+
+    The spec (column names, bucket count, ts dtype) is persisted next to
+    the data as ``_partition_spec.json`` — the fallback's stand-in for
+    Iceberg's table metadata — so readers cannot silently probe with a
+    different bucket modulus (which would return zero rows for entities
+    whose bucket id differs under the wrong N)."""
+    dtypes = dict(df.dtypes)
+    transforms = partition_transforms(ts_col, entity_col, n_buckets,
+                                      ts_dtype=dtypes[ts_col])
+    for name, expr in transforms.items():
         df = df.withColumn(name, expr)
     (df.write.mode("overwrite")
      .partitionBy(DAY_COL, BUCKET_COL)
      .parquet(out_dir))
+    with open(os.path.join(out_dir, SPEC_FILE), "w") as f:
+        json.dump({"ts_col": ts_col, "entity_col": entity_col,
+                   "n_buckets": n_buckets, "ts_dtype": dtypes[ts_col]}, f)
+
+
+def read_spec(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, SPEC_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def _bucket_ids(spark: SparkSession, values: list, n_buckets: int,
@@ -71,7 +112,7 @@ def _bucket_ids(spark: SparkSession, values: list, n_buckets: int,
 
 
 def scan_pruned(spark: SparkSession, out_dir: str, ts_col: str = "ts",
-                entity_col: str = "image_id", n_buckets: int = 8,
+                entity_col: str = "image_id", n_buckets: int | None = None,
                 ts_between: tuple | None = None,
                 entity_in: list | None = None) -> DataFrame:
     """Read a :func:`write_partitioned` table with Iceberg-style predicate
@@ -79,17 +120,39 @@ def scan_pruned(spark: SparkSession, out_dir: str, ts_col: str = "ts",
     becomes a ``_p_bucket`` IN-list — both land in the scan's
     ``PartitionFilters`` (directory pruning), while the exact row-level
     predicates still apply on the source columns. Hidden columns are
-    dropped from the result."""
+    dropped from the result.
+
+    The bucket modulus comes from the table's persisted spec; passing an
+    ``n_buckets`` that contradicts it raises (probing pmod(h, 8) against
+    directories keyed by pmod(h, 16) would silently return zero rows for
+    most entities). ``n_buckets`` is only required for pre-spec tables."""
+    spec = read_spec(out_dir)
+    if spec is not None:
+        if n_buckets is not None and n_buckets != spec["n_buckets"]:
+            raise ValueError(
+                f"scan_pruned: n_buckets={n_buckets} contradicts the "
+                f"table's partition spec ({spec['n_buckets']}) — omit the "
+                "argument; the spec is authoritative")
+        n_buckets = spec["n_buckets"]
+    elif n_buckets is None:
+        raise ValueError(
+            "scan_pruned: table has no _partition_spec.json (written by a "
+            "pre-spec version?) — pass n_buckets explicitly")
     df = spark.read.parquet(out_dir)
+    dtypes = dict(df.dtypes)
     if ts_between is not None:
         lo, hi = ts_between
-        lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
-        # constant-foldable day bounds -> partition filter
+        lo_c = F.lit(lo).cast(dtypes[ts_col])
+        hi_c = F.lit(hi).cast(dtypes[ts_col])
+        # constant-foldable day bounds (same transform as the writer)
+        # -> partition filter
         df = df.where(F.col(DAY_COL).between(
-            F.date_format(lo_c, "yyyy-MM-dd"), F.date_format(hi_c, "yyyy-MM-dd")))
+            _day_expr(lo_c, dtypes[ts_col]), _day_expr(hi_c, dtypes[ts_col])))
         df = df.where(F.col(ts_col).between(lo_c, hi_c))
     if entity_in is not None:
-        etype = dict(df.dtypes)[entity_col]
+        if not entity_in:  # IN () matches nothing
+            return (df.where(F.lit(False)).drop(DAY_COL, BUCKET_COL))
+        etype = dtypes[entity_col]
         df = df.where(F.col(BUCKET_COL).isin(
             _bucket_ids(spark, entity_in, n_buckets, etype)))
         df = df.where(F.col(entity_col).isin(entity_in))

@@ -138,3 +138,47 @@ def test_iceberg_front_door_fallback(spark, tmp_path):
     out2 = str(tmp_path / "snapshots.v2")
     assert ice.write_table(ev, out2, ts_col="ts", entity_col="user_id",
                            n_buckets=4) == "parquet"
+
+
+def test_spec_is_authoritative_for_bucket_modulus(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    out = str(tmp_path / "spec_tbl")
+    P.write_partitioned(df, out, ts_col="ts", entity_col="user_id",
+                        n_buckets=16)
+    # omitted n_buckets: read from the spec
+    assert P.scan_pruned(spark, out, ts_col="ts", entity_col="user_id",
+                         entity_in=[7]).count() == 1
+    # a contradictory modulus would silently return zero rows — raise
+    with pytest.raises(ValueError, match="partition spec"):
+        P.scan_pruned(spark, out, ts_col="ts", entity_col="user_id",
+                      n_buckets=8, entity_in=[7])
+    # empty probe list: IN () matches nothing, no crash
+    assert P.scan_pruned(spark, out, ts_col="ts", entity_col="user_id",
+                         entity_in=[]).count() == 0
+
+
+def test_zoned_timestamp_days_are_utc(spark, tmp_path):
+    """Iceberg's days() buckets instants by UTC day: writing from one
+    session timezone and pruning from another must not lose rows."""
+    out = str(tmp_path / "tz_tbl")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql("""
+            SELECT 1 AS user_id,
+                   to_timestamp('2024-03-01 22:30:00') AS ts, 1 AS v""")
+        # 22:30 EST = 2024-03-02T03:30Z -> UTC day 2024-03-02
+        P.write_partitioned(df, out, ts_col="ts", entity_col="user_id",
+                            n_buckets=2)
+        import os
+        assert any("_p_day=2024-03-02" in d for d in os.listdir(out))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        got = P.scan_pruned(
+            spark, out, ts_col="ts", entity_col="user_id",
+            ts_between=("2024-03-02 00:00:00", "2024-03-02 12:00:00"))
+        assert got.count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

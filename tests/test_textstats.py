@@ -87,3 +87,48 @@ def test_repetition_degenerate_loop(spark):
     assert got.loc[0, "dup_2gram_frac"] == 48 / 49
     assert got.loc[0, "top_2gram_frac"] == 1.0
     assert got.loc[0, "top_3gram_frac"] == 1.0
+
+
+def test_null_text_scores_like_empty(spark):
+    """NULL text = missing document: zero tokens and quality 0.0 — not
+    NULL counts with a free 0.3 score from least() skipping the NULL
+    length term."""
+    df = spark.createDataFrame([(0, None), (1, "")], "doc_id int, text string")
+    got = (ts.add_token_counts(ts.add_quality_features(df))
+           .toPandas().set_index("doc_id"))
+    for c in ["n_tokens", "ws_tokens", "bpe_tokens"]:
+        assert got[c].tolist() == [0, 0], c
+    assert got.quality_score.tolist() == [0.0, 0.0]
+    assert got.mean_tok_len.tolist() == [0.0, 0.0]
+
+
+def test_null_text_matches_duckdb_oracle(spark):
+    """The null-as-empty contract holds bitwise against the SQL twin
+    (testdata has no NULL texts, so this pins the off-testdata case)."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_nulltext", "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import pandas as pd
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": [None, "", "the a\tx\nof"]})
+    sdf = spark.createDataFrame(docs)
+    got = (ts.add_token_counts(ts.add_quality_features(sdf))
+           .select("doc_id", "n_tokens", "quality_score", "ws_tokens",
+                   "bpe_tokens")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    q = mod.oracle_sql()["t2_quality_score"]
+    want_q = (con.execute(q).df()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert got.n_tokens.tolist() == want_q.n_tokens.tolist()
+    assert got.quality_score.tolist() == want_q.quality_score.tolist()
+    want_t = (con.execute(mod.oracle_sql()["t3_token_counts"]).df()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert got.ws_tokens.tolist() == want_t.ws_tokens.tolist()
+    assert got.bpe_tokens.tolist() == want_t.bpe_tokens.tolist()
+    # the \s token class: tab/newline are separators, not phantom tokens
+    assert got.bpe_tokens.tolist()[2] == 4
