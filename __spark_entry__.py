@@ -1635,8 +1635,8 @@ def _duck_minhash_lsh_sql(threshold: float) -> str:
         f"min(({a} * (h % {p}) + {b}) % {p}) AS m{i}"
         for i, (a, b) in enumerate(H.MINHASH_PERMS))
     bands = ", ".join(
-        "md5(CAST(m{0} AS VARCHAR) || ',' || CAST(m{1} AS VARCHAR))".format(
-            b * H.LSH_ROWS, b * H.LSH_ROWS + 1)
+        "md5('{b},' || CAST(m{0} AS VARCHAR) || ',' || CAST(m{1} AS VARCHAR))".format(
+            b * H.LSH_ROWS, b * H.LSH_ROWS + 1, b=b)
         for b in range(H.LSH_BANDS))
     return f"""
         WITH {_duck_shingle_cte(3)},

@@ -52,9 +52,6 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 LSH_BANDS = 8  # 8 bands x 2 rows over the 16-long signature
 LSH_ROWS = 2
 
-_H32_SQL = "cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
-
-
 def h32(col: Column | str) -> Column:
     """Portable 32-bit string hash: int(md5(s)[:8], 16). JVM-side."""
     c = F.col(col) if isinstance(col, str) else col
@@ -134,10 +131,18 @@ def minhash_signature(hashes: Column) -> Column:
 
 
 def band_hashes(signature: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
-    """LSH band digests: array<string> of md5 over each band's slice of the
-    signature. Docs sharing ANY band digest become candidate pairs."""
+    """LSH band digests: array<string> of md5 over (band index, band's
+    slice of the signature). Docs sharing ANY band digest become candidate
+    pairs.
+
+    The band index is part of the digest: without it, equal value-slices
+    in different band positions collide — guaranteed for the
+    empty-shingle sentinel signature (all 16 entries = MINHASH_P), whose
+    8 identical digests inflated bucket counts 8x against ``max_bucket``
+    and multiplied candidate-join work. DuckDB twin:
+    __spark_entry__._duck_minhash_lsh_sql (same '<b>,<m>,<m>' preimage)."""
     return F.array(*[
-        F.md5(F.concat_ws(",", *[
+        F.md5(F.concat_ws(",", F.lit(str(b)), *[
             F.element_at(signature, b * rows + r + 1).cast("string")
             for r in range(rows)
         ]))

@@ -49,6 +49,12 @@ def compute_image_stats(data: bytes, fmt: str) -> dict:
     import struct
     import zlib
     try:
+        if data is None:
+            # a NULL bytes cell is a missing payload, not a programming
+            # bug: map it to the decode-failure row like any corruption
+            # (bytes(None) would raise an uncaught TypeError and kill the
+            # whole stage)
+            raise ValueError("NULL image bytes")
         arr = decode(bytes(data), fmt)
     except (NotImplementedError, ValueError, zlib.error, struct.error):
         return {n: (False if n == "decode_ok" else (0 if n == "phash_check" else 0.0))

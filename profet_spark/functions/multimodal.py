@@ -61,7 +61,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                 continue
             out_bytes = []
             for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
-                arr = imaging.decode(bytes(data), fmt)
+                arr = imaging.decode(_payload(data, 'resize_images'), fmt)
                 out_bytes.append(imaging.encode_ppm(_resize_nn(arr, out_w, out_h)))
             res = pdf[other].copy()
             res[bytes_col] = out_bytes
@@ -74,6 +74,17 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
 
 
 # ------------------------------------------------------------------ video
+
+def _payload(data, where: str) -> bytes:
+    """NULL-payload guard for every decode kernel: bytes(None) raises an
+    opaque TypeError deep in the pandas worker — name the problem and the
+    remedy instead."""
+    if data is None:
+        raise ValueError(
+            f"{where}: NULL payload bytes — filter or impute missing "
+            "payloads upstream (e.g. .where(col.isNotNull()))")
+    return bytes(data)
+
 
 RAWVID_MAGIC = b"RAWVID1\x00"
 
@@ -102,12 +113,14 @@ def _decode_rawvid(data: bytes) -> list[bytes]:
     return out
 
 
-def _video_frames(data: bytes, fmt: str) -> list[bytes]:
-    """Decode registry: returns the encoded frames of a container. Real
+def _video_frames(data: bytes, fmt: str) -> tuple[list[bytes], str]:
+    """Decode registry: returns (encoded frames, frame format) of a
+    container — the frame format comes from the decoder, so a plugged-in
+    codec emitting JPEG frames is labeled correctly downstream. Real
     codecs need ffmpeg-class libs this sandbox doesn't carry — they fail
     loudly here; the operator plumbing above/below them is identical."""
     if fmt == "rawvid":
-        return _decode_rawvid(data)
+        return _decode_rawvid(data), "ppm"
     raise NotImplementedError(
         f"video codec {fmt!r}: no decoder in this environment "
         "(plug ffmpeg/pyav into _video_frames)")
@@ -128,12 +141,13 @@ def sample_video_frames(df: DataFrame, every_n: int = 2,
                 continue
             res = {id_col: [], "frame_idx": [], "frame_bytes": [], "frame_fmt": []}
             for vid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
-                frames = _video_frames(bytes(data), fmt)
+                frames, ffmt = _video_frames(
+                    _payload(data, "sample_video_frames"), fmt)
                 for i in range(0, len(frames), every_n):
                     res[id_col].append(vid)
                     res["frame_idx"].append(i)
                     res["frame_bytes"].append(frames[i])
-                    res["frame_fmt"].append("ppm")
+                    res["frame_fmt"].append(ffmt)
             yield pd.DataFrame(res)
 
     return df.mapInPandas(kernel, schema)
@@ -185,7 +199,7 @@ def add_audio_features(df: DataFrame, bytes_col: str = "audio",
                 continue
             cols = {k: [] for k in ("duration_s", "rms", "peak", "zcr")}
             for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
-                s, rate = _audio_samples(bytes(data), fmt)
+                s, rate = _audio_samples(_payload(data, 'add_audio_features'), fmt)
                 n = len(s)
                 cols["duration_s"].append(n / rate if rate else 0.0)
                 cols["rms"].append(float(np.sqrt((s * s).sum() / n)) if n else 0.0)

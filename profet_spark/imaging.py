@@ -45,8 +45,13 @@ def decode_ppm(data: bytes) -> np.ndarray:
         while i < len(data) and data[i : i + 1].isspace():
             i += 1
         if data[i : i + 1] == b"#":  # comment line
-            while data[i : i + 1] != b"\n":
+            while i < len(data) and data[i : i + 1] != b"\n":
                 i += 1
+            if i >= len(data):
+                # bounds check matters: an unterminated comment would spin
+                # this loop forever (empty slice != b'\n') and wedge the
+                # executor task instead of raising like other corruptions
+                raise ValueError("truncated PPM header comment")
             continue
         j = i
         while j < len(data) and not data[j : j + 1].isspace():

@@ -33,9 +33,11 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Prefers an Iceberg catalog table when ``sf_dir``
-    looks like a catalog identifier (contains no path separator), else
-    reads parquet from ``sf_dir/name.parquet``."""
-    if os.sep not in sf_dir and "/" not in sf_dir:
+    looks like a catalog identifier (no path separator AND no such local
+    directory — a bare relative dir name like ``testdata`` must stay a
+    parquet root, not become a TABLE_OR_VIEW_NOT_FOUND), else reads
+    parquet from ``sf_dir/name.parquet``."""
+    if os.sep not in sf_dir and "/" not in sf_dir and not os.path.isdir(sf_dir):
         return spark.read.table(f"{sf_dir}.{name}")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

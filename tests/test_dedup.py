@@ -463,3 +463,18 @@ def test_phash_dup_pairs_vs_numpy_bruteforce(spark):
     # capping shrinks (or holds) the pair count, never errors
     capped = dedup.phash_dup_pairs(sl, max_bucket=3).toPandas()
     assert len(capped) <= len(got)
+
+
+def test_band_digests_are_position_tagged(spark):
+    """Equal value-slices in different band positions must yield different
+    digests: the empty-shingle sentinel signature (all 16 mins = P) used
+    to produce 8 identical digests per doc, octupling its bucket counts
+    against max_bucket and the candidate-join work."""
+    from profet_spark.functions import hashing as H
+
+    one = spark.createDataFrame(
+        [(1,)], "id int").select(
+        "id", H.band_hashes(F.array(
+            *[F.lit(H.MINHASH_P).cast("bigint") for _ in range(16)])).alias("bh"))
+    digests = one.select(F.explode("bh").alias("d")).toPandas().d
+    assert digests.nunique() == 8

@@ -62,3 +62,17 @@ def test_fixture_skew_shape():
     counts = pdf.groupby("phash").size()
     top = counts.max() / len(pdf)
     assert top > 0.15, f"hot phash cluster only {top:.0%} of rows"
+
+
+def test_truncated_ppm_comment_raises_not_hangs():
+    """An unterminated header comment must raise like any other corruption
+    — the unbounded scan loop used to spin forever and wedge the task."""
+    import pytest
+    with pytest.raises(ValueError, match="truncated PPM header comment"):
+        imaging.decode_ppm(b"P6 #abc")
+
+
+def test_null_bytes_map_to_decode_failure():
+    from profet_spark.functions.image_descriptors import compute_image_stats
+    stats = compute_image_stats(None, "png")
+    assert stats["decode_ok"] is False

@@ -81,3 +81,20 @@ def test_audio_unknown_codec_fails_loudly(spark):
         pd.DataFrame({"audio_id": ["x"], "fmt": ["mp3"], "audio": [b"\x00"]}))
     with pytest.raises(Exception, match="NotImplementedError|mp3"):
         mm.add_audio_features(df).collect()
+
+
+def test_null_payload_raises_named_error(spark):
+    """bytes(None) used to surface as an opaque TypeError deep in the
+    worker; the kernels now name the function and the remedy."""
+    import pandas as pd
+    import pytest
+    from profet_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"video_id": [1], "video": [None], "fmt": ["rawvid"]}))
+    with pytest.raises(Exception, match="NULL payload bytes"):
+        mm.sample_video_frames(df).count()
+    adf = spark.createDataFrame(
+        pd.DataFrame({"aid": [1], "audio": [None], "fmt": ["wav"]}))
+    with pytest.raises(Exception, match="NULL payload bytes"):
+        mm.add_audio_features(adf, bytes_col="audio").count()
