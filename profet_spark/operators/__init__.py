@@ -1,5 +1,6 @@
 from profet_spark.operators import corpus, dedup, similarity  # noqa: F401
 from profet_spark.operators.asof import asof_join
+from profet_spark.operators.feature_matrix import point_in_time_matrix
 from profet_spark.operators.temporal import (
     bfill,
     expanding_stats,
@@ -13,6 +14,7 @@ from profet_spark.operators.temporal import (
 
 __all__ = [
     "asof_join",
+    "point_in_time_matrix",
     "with_lag_lead",
     "ffill",
     "bfill",

@@ -1,0 +1,239 @@
+"""Point-in-time training-matrix assembly — the feature-store spine join.
+
+The reference assembles its training matrix single-process with
+``pandas.DataFrame.from_dict`` over per-sequence feature dicts
+(``[R] ProFET/feat_extract/FeatureGen.py ≈L600-700``, SURVEY.md §1.1
+"Feature matrix"); it has no temporal dimension at all. This engine's
+north rule makes the matrix *point-in-time*: every entity×timestamp row
+must carry, for each feature family, the latest value at-or-before its
+timestamp — zero temporal leakage. That is exactly the Feast/Tecton-style
+"spine join": given a label/spine table ``(entity, ts, ...)`` and N
+feature tables each ``(entity, ts, values...)``, attach the as-of row of
+EVERY feature table to every spine row.
+
+Why not N :func:`profet_spark.operators.asof.asof_join` calls? Each call
+re-shuffles and re-sorts the spine — N exchanges + N sorts + N operator
+boundaries over the widest table in the pipeline. At 10^12-row scale the
+spine dominates, so this operator instead:
+
+1. tags the spine and all N feature tables with a side marker,
+2. packs each table's value columns into ONE struct payload column
+   (``__pay_<name>``; other tables' payload slots ride as null),
+3. ``unionByName`` everything into a single relation,
+4. runs a SINGLE window ``last(__pay_i, ignorenulls=True)`` per table —
+   all N carries share one ``partitionBy(entity).orderBy(ts, side)``
+   spec, so Catalyst folds them into ONE WindowExec: the whole assembly
+   is ONE hash exchange + ONE within-partition sort, Python-free,
+   regardless of how many feature tables are attached
+   (plan-asserted in tests/test_feature_matrix.py).
+
+Semantics per table match ``asof_join`` exactly (backward direction,
+``allow_exact_matches``, optional per-table tolerance); the two paths are
+bit-identical, which tests cross-check via ``strategy="sequential"``.
+
+Like the window as-of strategy, a feature table holding several rows at
+one (entity, ts) must be pre-aggregated to one row per key — the carried
+row among equal-ts duplicates is otherwise unspecified (the same
+precondition ``pd.merge_asof`` imposes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "__fm_side"
+
+
+def _output_names(
+    spine: DataFrame,
+    features: dict[str, DataFrame],
+    entity: str,
+    ts: str,
+    keep_feature_ts: bool,
+) -> dict[str, list[tuple[str, str]]]:
+    """Per table: (source value column, output column) pairs.
+
+    Naming rule: a value column keeps its own name when it is globally
+    unambiguous (not a spine column, not emitted by any other table);
+    otherwise it is prefixed ``<table>_``. Residual collisions raise.
+    """
+    value_cols: dict[str, list[str]] = {}
+    for name, df in features.items():
+        vcols = [c for c in df.columns if c not in (entity, ts)]
+        if not vcols:
+            raise ValueError(
+                f"point_in_time_matrix: feature table {name!r} has no value "
+                f"columns besides ({entity}, {ts})")
+        value_cols[name] = vcols
+
+    spine_taken = set(spine.columns)
+    from collections import Counter
+    freq = Counter(c for cols in value_cols.values() for c in cols)
+
+    out: dict[str, list[tuple[str, str]]] = {}
+    emitted: dict[str, str] = {}  # output name -> "table.column" provenance
+    for name, vcols in value_cols.items():
+        pairs = []
+        for c in vcols:
+            dst = c if (freq[c] == 1 and c not in spine_taken) else f"{name}_{c}"
+            if dst in spine_taken or dst in emitted:
+                other = emitted.get(dst, "the spine")
+                raise ValueError(
+                    f"point_in_time_matrix: output column {dst!r} (from "
+                    f"{name}.{c}) collides with {other} — rename the column "
+                    "or the feature table")
+            emitted[dst] = f"{name}.{c}"
+            pairs.append((c, dst))
+        if keep_feature_ts:
+            dst = f"{name}_asof_ts"
+            if dst in spine_taken or dst in emitted:
+                raise ValueError(
+                    f"point_in_time_matrix: output column {dst!r} "
+                    f"(matched-ts audit column of {name!r}) collides")
+            emitted[dst] = f"{name}.{ts}"
+        out[name] = pairs
+    return out
+
+
+def _ts_checked(df: DataFrame, ts: str) -> DataFrame:
+    # same loud contract as asof_join: point-in-time semantics are
+    # undefined for NULL ts, and the window carry would silently smear
+    # values across it
+    return df.withColumn(ts, F.when(
+        F.col(ts).isNull(),
+        F.raise_error(F.lit(
+            f"point_in_time_matrix: NULL {ts} — point-in-time rows must "
+            "carry a timestamp")).cast(df.schema[ts].dataType),
+    ).otherwise(F.col(ts)))
+
+
+def _tol_for(tolerance_s, name: str):
+    if tolerance_s is None:
+        return None
+    if isinstance(tolerance_s, dict):
+        return tolerance_s.get(name)
+    return tolerance_s
+
+
+def point_in_time_matrix(
+    spine: DataFrame,
+    features: dict[str, DataFrame],
+    entity: str = "image_id",
+    ts: str = "ts",
+    allow_exact_matches: bool = True,
+    tolerance_s: dict[str, float] | float | None = None,
+    keep_feature_ts: bool = False,
+    strategy: str = "window",
+) -> DataFrame:
+    """Attach the as-of row of every feature table to every spine row.
+
+    ``features`` maps a table name to its DataFrame (``entity``/``ts``
+    plus value columns). Output = spine columns, then per table (dict
+    order) its value columns — kept under their own names when globally
+    unambiguous, else prefixed ``<name>_`` — plus, with
+    ``keep_feature_ts``, a ``<name>_asof_ts`` audit column carrying the
+    matched feature timestamp (always <= the spine ts by construction:
+    the zero-leakage evidence column).
+
+    ``tolerance_s`` bounds the lookback per table (dict) or globally
+    (scalar); ``allow_exact_matches=False`` makes every bound strict.
+
+    ``strategy="window"`` (default) is the single-exchange fused plan
+    documented in the module docstring; ``"sequential"`` chains one
+    :func:`asof_join` per table (N exchanges) — the cross-check/fallback
+    path, bit-identical output.
+    """
+    if not features:
+        raise ValueError("point_in_time_matrix: no feature tables given")
+    names = list(features)
+    pairs = _output_names(spine, features, entity, ts, keep_feature_ts)
+
+    if strategy == "sequential":
+        return _pit_sequential(spine, features, pairs, entity, ts,
+                               allow_exact_matches, tolerance_s,
+                               keep_feature_ts)
+    if strategy != "window":
+        raise ValueError(f"unknown point_in_time_matrix strategy: {strategy}")
+
+    spine = _ts_checked(spine, ts)
+    spine_cols = spine.columns
+
+    # right rows order BEFORE left at equal ts for <= semantics, AFTER for
+    # strict < — identical rule to asof._asof_window. All feature tables
+    # share one side value: equal-ts rows of different tables cannot
+    # interfere, each carries only its own payload column.
+    r_side = 0 if allow_exact_matches else 1
+    l_side = 1 - r_side
+
+    tagged = [spine.withColumn(_SIDE, F.lit(l_side))]
+    pay_cols = {}
+    for name in names:
+        fdf = _ts_checked(features[name], ts)
+        pay = F.struct(
+            F.col(ts).alias("__rts"),
+            *[F.col(src).alias(dst) for src, dst in pairs[name]],
+        )
+        pc = f"__pay_{name}"
+        pay_cols[name] = pc
+        tagged.append(fdf.select(
+            F.col(entity), F.col(ts),
+            pay.alias(pc), F.lit(r_side).alias(_SIDE),
+        ))
+
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t, allowMissingColumns=True)
+
+    # one spec -> Catalyst evaluates every carry in a single WindowExec
+    w = (Window.partitionBy(entity).orderBy(ts, _SIDE)
+         .rowsBetween(Window.unboundedPreceding, 0))
+
+    # the window must run over the FULL union (feature rows included), so
+    # the carries are computed in a projection BEFORE the side filter.
+    # Identical window expressions are deduplicated by Catalyst's
+    # ExtractWindowExpressions, and every carry shares spec `w`, so the
+    # whole loop lands in ONE WindowExec (plan-asserted)
+    carry_cols = []
+    final = [F.col(c) for c in spine_cols]
+    for name in names:
+        matched = F.last(pay_cols[name], ignorenulls=True).over(w)
+        tol = _tol_for(tolerance_s, name)
+        if tol is not None:
+            # NTZ timestamps can't cast straight to numeric in Spark 4 —
+            # hop through TIMESTAMP (session TZ pinned UTC ⇒ identity)
+            sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+            matched = F.when(
+                (sec(F.col(ts)) - sec(matched["__rts"])) <= float(tol),
+                matched)
+        mc = f"__m_{name}"
+        carry_cols.append(matched.alias(mc))
+        final.extend(F.col(mc)[dst].alias(dst) for _, dst in pairs[name])
+        if keep_feature_ts:
+            final.append(F.col(mc)["__rts"].alias(f"{name}_asof_ts"))
+
+    carried = u.select(F.col(_SIDE), *[F.col(c) for c in spine_cols], *carry_cols)
+    return carried.where(F.col(_SIDE) == l_side).select(*final)
+
+
+def _pit_sequential(spine, features, pairs, entity, ts, allow_exact,
+                    tolerance_s, keep_feature_ts):
+    """N chained as-of joins — the reference plan the fused window path is
+    tested bit-identical against. Each feature table is pre-projected to
+    its FINAL output names, so no suffixing can fire inside asof_join."""
+    from profet_spark.operators.asof import asof_join
+
+    out = spine
+    for name, fdf in features.items():
+        sel = [F.col(entity), F.col(ts)]
+        sel += [F.col(src).alias(dst) for src, dst in pairs[name]]
+        if keep_feature_ts:
+            sel.append(F.col(ts).alias(f"{name}_asof_ts"))
+        right = fdf.select(*sel)
+        out = asof_join(
+            out, right, entity=entity, ts=ts, strategy="sort_merge",
+            tolerance_s=_tol_for(tolerance_s, name),
+            allow_exact_matches=allow_exact,
+        )
+    return out

@@ -98,3 +98,41 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert df.schema is not None
+
+
+def test_grading_window_covers_every_operator_family():
+    """The driver grades only the FIRST 50 queries() keys (insertion
+    order). Pin one representative per SURVEY §2 operator family inside
+    that window so a refactor can't silently push an operator out of the
+    graded set (the round-2 verdict's lead finding)."""
+    window = set(list(ENTRY.queries())[:50])
+    required = {
+        # windows / temporal
+        "w3_lag_lead", "w4_ffill", "w5_sessionize", "w6_topk_latest",
+        "w7_tumbling", "w8_expanding", "w1_profile_summary",
+        # joins + the training-matrix composition
+        "j2_broadcast_join", "j3_asof_join", "j4_range_join",
+        "j5_anti_join", "fm_training_matrix",
+        # aggregations / descriptors
+        "a1a3_kmer_composition", "a4a5_ctd_comp_trans",
+        "a6_ctd_distribution", "a7_entropy", "a8_scalar_features",
+        "a9_pricing_summary", "a10_distinct_counts", "a11_rollup",
+        "a12_pseaac_corr", "a13_autocorr", "a14_qso",
+        # filters / scalars / set ops
+        "f1_doc_filter", "f5_terminal_composition", "c5c7_event_scalars",
+        "c6_array_ops", "c8_bit_ops", "c9_json_props", "o4o5_setops_topk",
+        # UDF kernels / pipelines
+        "profet_features_sql_slice", "profet_caption_features",
+        "image_snapshot_pipeline", "multimodal_resize_pipeline",
+        # text / corpus / dedup / ANN tiers
+        "t1t5_textstats", "p1p4_corpus_suite", "d1d7_exact_dedup",
+        "d2_ngram_jaccard", "d3d6_lsh_dedup", "d4d8_hamming",
+        "d5_embedding_suite", "n1_cosine_topk", "n2_lsh_ann", "n3_ivf_ann",
+        # sources / sinks / streaming
+        "s1_partition_pruned_scan", "s4_feature_roundtrip",
+        "s7_checkpoint_manifest", "st_w7_tumbling_stream",
+        "st_j3_stateful_asof_stream", "st_w5_session_stream",
+    }
+    assert len(required) == 50
+    missing = required - window
+    assert not missing, f"graded window lost operator coverage: {missing}"

@@ -1,0 +1,172 @@
+"""Point-in-time training-matrix assembly (feature-store spine join):
+the fused single-window plan must be bit-identical to N chained as-of
+joins and to a pandas merge_asof oracle, leak nothing, and stay a
+single-Exchange single-WindowExec Python-free plan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from profet_spark.operators.feature_matrix import point_in_time_matrix
+from profet_spark.plans.inspect import formatted_plan, is_python_free
+
+
+def _mk_fixture(seed=11, n_entities=30):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2025-01-01")
+    spine, fa, fb = [], [], []
+    for e in range(n_entities):
+        eid = f"e{e:03d}"
+        for _ in range(int(rng.integers(2, 14))):
+            spine.append((eid, base + pd.Timedelta(seconds=int(rng.integers(0, 1_000_000))),
+                          float(rng.normal())))
+        for _ in range(int(rng.integers(0, 10))):
+            fa.append((eid, base + pd.Timedelta(seconds=int(rng.integers(0, 1_000_000))),
+                       float(rng.normal()), int(rng.integers(0, 5))))
+        for _ in range(int(rng.integers(0, 6))):
+            fb.append((eid, base + pd.Timedelta(seconds=int(rng.integers(0, 1_000_000))),
+                       float(rng.normal())))
+    sp = pd.DataFrame(spine, columns=["image_id", "ts", "x"])
+    ap = pd.DataFrame(fa, columns=["image_id", "ts", "fa_val", "fa_n"]
+                      ).drop_duplicates(["image_id", "ts"])
+    bp = pd.DataFrame(fb, columns=["image_id", "ts", "fb_val"]
+                      ).drop_duplicates(["image_id", "ts"])
+    # planted exact-ts collisions (spine ts == feature ts) to pin the
+    # allow_exact boundary on both tables
+    sp.loc[0, ["image_id", "ts"]] = ["e001", base]
+    ap.loc[ap.index[0], ["image_id", "ts"]] = ["e001", base]
+    bp.loc[bp.index[0], ["image_id", "ts"]] = ["e001", base]
+    return sp, ap.reset_index(drop=True), bp.reset_index(drop=True)
+
+
+def _oracle(sp, ap, bp, allow_exact=True, tol_a=None, tol_b=None):
+    out = sp.sort_values("ts", kind="mergesort")
+    for fp, tol in ((ap, tol_a), (bp, tol_b)):
+        out = pd.merge_asof(
+            out, fp.sort_values("ts", kind="mergesort"),
+            on="ts", by="image_id", direction="backward",
+            allow_exact_matches=allow_exact,
+            tolerance=pd.Timedelta(seconds=tol) if tol else None,
+        )
+    return out.sort_values(["image_id", "ts", "x"]).reset_index(drop=True)
+
+
+def _norm(pdf):
+    return pdf.sort_values(["image_id", "ts", "x"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    sp, ap, bp = _mk_fixture()
+    return (spark.createDataFrame(sp), spark.createDataFrame(ap),
+            spark.createDataFrame(bp), sp, ap, bp)
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_matrix_matches_oracle(spark, dfs, allow_exact):
+    sdf, adf, bdf, sp, ap, bp = dfs
+    out = point_in_time_matrix(
+        sdf, {"fa": adf, "fb": bdf}, entity="image_id", ts="ts",
+        allow_exact_matches=allow_exact,
+    ).toPandas()
+    exp = _oracle(sp, ap, bp, allow_exact=allow_exact)
+    pd.testing.assert_frame_equal(_norm(out), exp, check_dtype=False)
+
+
+def test_matrix_strategies_bit_identical(spark, dfs):
+    sdf, adf, bdf, *_ = dfs
+    kw = dict(entity="image_id", ts="ts", keep_feature_ts=True,
+              tolerance_s={"fa": 200_000.0})
+    win = point_in_time_matrix(sdf, {"fa": adf, "fb": bdf}, strategy="window", **kw)
+    seq = point_in_time_matrix(sdf, {"fa": adf, "fb": bdf}, strategy="sequential", **kw)
+    assert win.columns == seq.columns
+    wp = _norm(win.toPandas())
+    sq = _norm(seq.toPandas())
+    pd.testing.assert_frame_equal(wp, sq)
+
+
+def test_matrix_zero_leakage_audit_column(spark, dfs):
+    sdf, adf, bdf, *_ = dfs
+    out = point_in_time_matrix(
+        sdf, {"fa": adf, "fb": bdf}, entity="image_id", ts="ts",
+        keep_feature_ts=True,
+    )
+    leaked = out.where(
+        (F.col("fa_asof_ts") > F.col("ts")) | (F.col("fb_asof_ts") > F.col("ts"))
+    ).count()
+    assert leaked == 0
+    # strict mode: matched ts must be STRICTLY earlier
+    strict = point_in_time_matrix(
+        sdf, {"fa": adf}, entity="image_id", ts="ts",
+        allow_exact_matches=False, keep_feature_ts=True,
+    )
+    assert strict.where(F.col("fa_asof_ts") >= F.col("ts")).count() == 0
+
+
+def test_matrix_plan_single_window_single_exchange(spark, dfs):
+    sdf, adf, bdf, *_ = dfs
+    out = point_in_time_matrix(sdf, {"fa": adf, "fb": bdf},
+                               entity="image_id", ts="ts")
+    plan = formatted_plan(out)
+    # all carries fold into ONE WindowExec over ONE hash exchange — the
+    # N-tables-one-shuffle contract of the module docstring (count the
+    # "(n) Node" detail headers; the tree section repeats each name)
+    import re
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert is_python_free(out)
+
+
+def test_matrix_tolerance_per_table(spark, dfs):
+    sdf, adf, bdf, sp, ap, bp = dfs
+    out = point_in_time_matrix(
+        sdf, {"fa": adf, "fb": bdf}, entity="image_id", ts="ts",
+        tolerance_s={"fa": 50_000.0},
+    ).toPandas()
+    exp = _oracle(sp, ap, bp, tol_a=50_000)
+    pd.testing.assert_frame_equal(_norm(out), exp, check_dtype=False)
+
+
+def test_matrix_naming_and_errors(spark, dfs):
+    sdf, adf, bdf, *_ = dfs
+    # colliding value column across two tables -> both prefixed
+    a2 = adf.select("image_id", "ts", F.col("fa_val").alias("v"))
+    b2 = bdf.select("image_id", "ts", F.col("fb_val").alias("v"))
+    out = point_in_time_matrix(sdf, {"fa": a2, "fb": b2},
+                               entity="image_id", ts="ts")
+    assert "fa_v" in out.columns and "fb_v" in out.columns
+    # collision with a spine column -> prefixed
+    a3 = adf.select("image_id", "ts", F.col("fa_val").alias("x"))
+    out = point_in_time_matrix(sdf, {"fa": a3}, entity="image_id", ts="ts")
+    assert "fa_x" in out.columns
+    # irresolvable collision raises loudly
+    with pytest.raises(ValueError, match="collides"):
+        point_in_time_matrix(
+            sdf.withColumn("fa_x", F.lit(1)), {"fa": a3},
+            entity="image_id", ts="ts")
+    # feature table with no value columns raises
+    with pytest.raises(ValueError, match="no value columns"):
+        point_in_time_matrix(sdf, {"fa": adf.select("image_id", "ts")},
+                             entity="image_id", ts="ts")
+    with pytest.raises(ValueError, match="no feature tables"):
+        point_in_time_matrix(sdf, {}, entity="image_id", ts="ts")
+
+
+def test_matrix_null_ts_raises(spark, dfs):
+    sdf, adf, *_ = dfs
+    bad = sdf.withColumn(
+        "ts", F.when(F.col("image_id") == "e001", None).otherwise(F.col("ts")))
+    with pytest.raises(Exception, match="NULL ts"):
+        point_in_time_matrix(bad, {"fa": adf}, entity="image_id",
+                             ts="ts").collect()
+
+
+def test_matrix_empty_feature_table(spark, dfs):
+    sdf, adf, *_ = dfs
+    empty = adf.where(F.lit(False))
+    out = point_in_time_matrix(sdf, {"fa": empty}, entity="image_id",
+                               ts="ts").toPandas()
+    assert len(out) == sdf.count()
+    assert out["fa_val"].isna().all()
