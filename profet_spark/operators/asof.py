@@ -70,13 +70,21 @@ _SIDE = "__asof_side"
 _SALT = "__asof_salt"
 
 
-def _right_value_cols(left: DataFrame, right: DataFrame, entity: str, ts: str, suffix: str) -> list[tuple[str, str]]:
+def _entity_cols(entity) -> list[str]:
+    """Normalize the entity key: a single column name or a composite list
+    (e.g. ``["user_id", "device"]``) — every strategy partitions/merges on
+    the full tuple."""
+    return [entity] if isinstance(entity, str) else list(entity)
+
+
+def _right_value_cols(left: DataFrame, right: DataFrame, entity, ts: str, suffix: str) -> list[tuple[str, str]]:
     """(right_col, output_name) pairs for the payload the join attaches."""
+    keys = set(_entity_cols(entity)) | {ts}
     taken = set(left.columns)
     emitted = set()
     out = []
     for f in right.schema.fields:
-        if f.name in (entity, ts):
+        if f.name in keys:
             continue
         name = f.name if f.name not in taken else f"{f.name}{suffix}"
         if name in emitted or (name != f.name and name in taken):
@@ -183,7 +191,7 @@ def _merge_kernel(
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    entity: str = "image_id",
+    entity: str | list[str] = "image_id",
     ts: str = "ts",
     strategy: str = "auto",
     tolerance_s: float | None = None,
@@ -197,6 +205,9 @@ def asof_join(
 ) -> DataFrame:
     """Attach, to every left row, the latest right row at-or-before its ts.
 
+    ``entity`` is one column name or a composite-key list (every strategy
+    partitions and merges on the full tuple; for composite keys,
+    ``hot_keys`` entries are value tuples in the same column order).
     Returns left's columns plus right's value columns (collisions suffixed).
     ``allow_exact_matches=False`` makes the bound strict (< instead of <=).
 
@@ -256,10 +267,11 @@ def asof_join(
     raise ValueError(f"unknown asof strategy: {strategy}")
 
 
-def detect_hot_keys(df: DataFrame, entity: str, frac: float = 0.05,
+def detect_hot_keys(df: DataFrame, entity: str | list[str], frac: float = 0.05,
                     max_keys: int = 64,
                     total_rows: int | None = None) -> list[Any]:
-    """Entities holding more than ``frac`` of all rows.
+    """Entities holding more than ``frac`` of all rows — scalars for a
+    single-column key, value tuples (in ``entity`` order) for a composite.
 
     ONE scan of ``df`` (the per-entity hash aggregate): the total row count
     is re-aggregated from the persisted per-entity counts — never a second
@@ -267,7 +279,8 @@ def detect_hot_keys(df: DataFrame, entity: str, frac: float = 0.05,
     from table statistics. At 100 TB prefer an offline skew profile and
     pass ``hot_keys`` to :func:`asof_join` directly; callers should
     cache/materialize the result either way."""
-    counts = df.groupBy(entity).count().persist()
+    ents = _entity_cols(entity)
+    counts = df.groupBy(*ents).count().persist()
     try:
         if total_rows is None:
             row = counts.agg(F.sum("count").alias("t")).first()
@@ -280,26 +293,30 @@ def detect_hot_keys(df: DataFrame, entity: str, frac: float = 0.05,
             .limit(max_keys)
             .collect()
         )
-        return [r[entity] for r in rows]
+        if len(ents) == 1:
+            return [r[ents[0]] for r in rows]
+        return [tuple(r[c] for c in ents) for r in rows]
     finally:
         counts.unpersist()
 
 
-def _prep_union(left: DataFrame, right: DataFrame, entity: str, ts: str, pairs):
+def _prep_union(left: DataFrame, right: DataFrame, entity, ts: str, pairs):
     """Tag sides and union: one DataFrame carrying both inputs so a single
     Exchange co-partitions them."""
-    rsel = [F.col(entity), F.col(ts)] + [F.col(src) for src, _ in pairs]
+    ents = _entity_cols(entity)
+    rsel = [F.col(c) for c in ents] + [F.col(ts)] + [F.col(src) for src, _ in pairs]
     r = right.select(*rsel).withColumn(_SIDE, F.lit(0))
     l = left.withColumn(_SIDE, F.lit(1))
     return l.unionByName(r, allowMissingColumns=True)
 
 
 def _asof_sort_merge(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact, n):
+    ents = _entity_cols(entity)
     u = _prep_union(left, right, entity, ts, pairs)
     # one shuffle co-partitions both sides; sort is within-partition only
     # (no global range sort needed — merge_asof(by=) handles interleaved keys).
-    u = u.repartition(n, entity).sortWithinPartitions(ts, _SIDE)
-    kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, [entity])
+    u = u.repartition(n, *ents).sortWithinPartitions(ts, _SIDE)
+    kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, ents)
     return u.mapInPandas(kernel, schema=schema)
 
 
@@ -318,23 +335,24 @@ def _asof_window(left, right, entity, ts, pairs, tolerance_s, allow_exact):
     requirement pd.merge_asof imposes on the other strategies."""
     from pyspark.sql.window import Window
 
+    ents = _entity_cols(entity)
     pay_t = F.struct(
         F.col(ts).alias("__rts"), *[F.col(src).alias(dst) for src, dst in pairs]
     )
     r = right.select(
-        F.col(entity), F.col(ts), pay_t.alias("__pay"),
+        *[F.col(c) for c in ents], F.col(ts), pay_t.alias("__pay"),
         F.lit(0 if allow_exact else 1).alias(_SIDE),
     )
-    lkeep = [c for c in left.columns if c not in (entity, ts)]
+    lkeep = [c for c in left.columns if c not in ents and c != ts]
     l = left.select(
-        F.col(entity), F.col(ts),
+        *[F.col(c) for c in ents], F.col(ts),
         F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
         F.lit(1 if allow_exact else 0).alias(_SIDE),
         *[F.col(c) for c in lkeep],
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
-        Window.partitionBy(entity).orderBy(ts, _SIDE)
+        Window.partitionBy(*ents).orderBy(ts, _SIDE)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.last("__pay", ignorenulls=True).over(w)
@@ -357,7 +375,8 @@ def _asof_window(left, right, entity, ts, pairs, tolerance_s, allow_exact):
 
 
 def _asof_broadcast(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact):
-    rsel = [entity, ts] + [src for src, _ in pairs]
+    ents = _entity_cols(entity)
+    rsel = ents + [ts] + [src for src, _ in pairs]
     rpdf = right.select(*rsel).toPandas().sort_values(ts, kind="mergesort").reset_index(drop=True)
     rpdf = rpdf.rename(columns=dict(pairs))
     bc = left.sparkSession.sparkContext.broadcast(rpdf)
@@ -372,7 +391,7 @@ def _asof_broadcast(left, right, entity, ts, pairs, schema, tolerance_s, allow_e
                 continue
             lp = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
             out = pd.merge_asof(
-                lp, rp, on=ts, by=entity, direction="backward",
+                lp, rp, on=ts, by=ents, direction="backward",
                 allow_exact_matches=allow_exact, tolerance=tol, suffixes=("", "__rdup"),
             )
             yield out[left_cols + dsts]
@@ -380,9 +399,25 @@ def _asof_broadcast(left, right, entity, ts, pairs, schema, tolerance_s, allow_e
     return left.mapInPandas(merge, schema=schema)
 
 
+def _hot_predicate(ents: list[str], hot_keys):
+    """Row-is-hot predicate: membership for a single key, OR-of-AND over
+    value tuples (same column order as ``ents``) for composite keys."""
+    if len(ents) == 1:
+        return F.col(ents[0]).isin(list(hot_keys))
+    conds = [
+        F.struct(*[F.col(c) for c in ents])
+        == F.struct(*[F.lit(v) for v in tup])
+        for tup in hot_keys
+    ]
+    out = F.lit(False)
+    for c in conds:
+        out = out | c
+    return out
+
+
 def _asof_salted(left, right, entity, ts, pairs, schema, tolerance_s, allow_exact, n, salt, hot_keys):
-    hot = F.array(*[F.lit(k) for k in hot_keys])
-    is_hot = F.array_contains(hot, F.col(entity))
+    ents = _entity_cols(entity)
+    is_hot = _hot_predicate(ents, hot_keys)
     # left: hot rows spread deterministically across salts (hash of ts —
     # any stable per-row value works; correctness needs only that the
     # matching right rows exist under every salt).
@@ -396,10 +431,10 @@ def _asof_salted(left, right, entity, ts, pairs, schema, tolerance_s, allow_exac
         F.when(is_hot, F.sequence(F.lit(0), F.lit(salt - 1))).otherwise(F.array(F.lit(0))),
     ).withColumn(_SALT, F.explode("_salts")).drop("_salts")
 
-    rsel = [F.col(entity), F.col(ts), F.col(_SALT)] + [F.col(src) for src, _ in pairs]
+    rsel = [F.col(c) for c in ents] + [F.col(ts), F.col(_SALT)] + [F.col(src) for src, _ in pairs]
     rr = r.select(*rsel).withColumn(_SIDE, F.lit(0))
     ll = l.withColumn(_SIDE, F.lit(1))
     u = ll.unionByName(rr, allowMissingColumns=True)
-    u = u.repartition(n, entity, _SALT).sortWithinPartitions(ts, _SIDE)
-    kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, [entity, _SALT])
+    u = u.repartition(n, *ents, _SALT).sortWithinPartitions(ts, _SIDE)
+    kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, ents + [_SALT])
     return u.mapInPandas(kernel, schema=schema)

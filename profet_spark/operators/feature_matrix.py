@@ -43,13 +43,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from profet_spark.operators.asof import _entity_cols
+
 _SIDE = "__fm_side"
 
 
 def _output_names(
     spine: DataFrame,
     features: dict[str, DataFrame],
-    entity: str,
+    entity,
     ts: str,
     keep_feature_ts: bool,
 ) -> dict[str, list[tuple[str, str]]]:
@@ -61,7 +63,8 @@ def _output_names(
     """
     value_cols: dict[str, list[str]] = {}
     for name, df in features.items():
-        vcols = [c for c in df.columns if c not in (entity, ts)]
+        keys = set(_entity_cols(entity)) | {ts}
+        vcols = [c for c in df.columns if c not in keys]
         if not vcols:
             raise ValueError(
                 f"point_in_time_matrix: feature table {name!r} has no value "
@@ -120,7 +123,7 @@ def _tol_for(tolerance_s, name: str):
 def point_in_time_matrix(
     spine: DataFrame,
     features: dict[str, DataFrame],
-    entity: str = "image_id",
+    entity: str | list[str] = "image_id",
     ts: str = "ts",
     allow_exact_matches: bool = True,
     tolerance_s: dict[str, float] | float | None = None,
@@ -130,7 +133,8 @@ def point_in_time_matrix(
     """Attach the as-of row of every feature table to every spine row.
 
     ``features`` maps a table name to its DataFrame (``entity``/``ts``
-    plus value columns). Output = spine columns, then per table (dict
+    plus value columns); ``entity`` is one column name or a composite-key
+    list, exactly as in :func:`asof_join`. Output = spine columns, then per table (dict
     order) its value columns — kept under their own names when globally
     unambiguous, else prefixed ``<name>_`` — plus, with
     ``keep_feature_ts``, a ``<name>_asof_ts`` audit column carrying the
@@ -178,7 +182,7 @@ def point_in_time_matrix(
         pc = f"__pay_{name}"
         pay_cols[name] = pc
         tagged.append(fdf.select(
-            F.col(entity), F.col(ts),
+            *[F.col(c) for c in _entity_cols(entity)], F.col(ts),
             pay.alias(pc), F.lit(r_side).alias(_SIDE),
         ))
 
@@ -187,7 +191,7 @@ def point_in_time_matrix(
         u = u.unionByName(t, allowMissingColumns=True)
 
     # one spec -> Catalyst evaluates every carry in a single WindowExec
-    w = (Window.partitionBy(entity).orderBy(ts, _SIDE)
+    w = (Window.partitionBy(*_entity_cols(entity)).orderBy(ts, _SIDE)
          .rowsBetween(Window.unboundedPreceding, 0))
 
     # the window must run over the FULL union (feature rows included), so
@@ -226,7 +230,7 @@ def _pit_sequential(spine, features, pairs, entity, ts, allow_exact,
 
     out = spine
     for name, fdf in features.items():
-        sel = [F.col(entity), F.col(ts)]
+        sel = [F.col(c) for c in _entity_cols(entity)] + [F.col(ts)]
         sel += [F.col(src).alias(dst) for src, dst in pairs[name]]
         if keep_feature_ts:
             sel.append(F.col(ts).alias(f"{name}_asof_ts"))

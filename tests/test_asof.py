@@ -255,3 +255,58 @@ def test_asof_output_name_collision_raises(spark, fixture_dfs):
     left2 = ldf.withColumn("upd", F.lit(1.0)).withColumn("upd_r", F.lit(2.0))
     with pytest.raises(ValueError, match="collides"):
         asof_join(left2, rdf, strategy="sort_merge")
+
+
+# ---------------------------------------------------------- composite keys
+
+
+def _mk_composite_fixture(seed=23, n_entities=12):
+    """Two-column entity key (image_id, cam): per-(id, cam) histories that
+    would cross-contaminate if any strategy merged on image_id alone."""
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2025-01-01")
+    rows_l, rows_r = [], []
+    for e in range(n_entities):
+        for cam in ("a", "b"):
+            eid = f"e{e:03d}"
+            for _ in range(int(rng.integers(2, 10))):
+                rows_l.append((eid, cam, base + pd.Timedelta(
+                    seconds=int(rng.integers(0, 1_000_000))), float(rng.normal())))
+            for _ in range(int(rng.integers(0, 7))):
+                rows_r.append((eid, cam, base + pd.Timedelta(
+                    seconds=int(rng.integers(0, 1_000_000))), float(rng.normal())))
+    lp = pd.DataFrame(rows_l, columns=["image_id", "cam", "ts", "x"])
+    rp = pd.DataFrame(rows_r, columns=["image_id", "cam", "ts", "upd"]
+                      ).drop_duplicates(["image_id", "cam", "ts"])
+    # planted divergence: same image_id+ts exists under BOTH cams with
+    # different upd values — a single-key merge would pick the wrong one
+    lp.loc[0, ["image_id", "cam", "ts"]] = ["e000", "a", base]
+    return lp, rp.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["sort_merge", "broadcast", "salted", "window"])
+def test_asof_composite_key_matches_oracle(spark, strategy):
+    lp, rp = _mk_composite_fixture()
+    ldf, rdf = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    hot = [("e000", "a"), ("e001", "b")] if strategy == "salted" else None
+    out = asof_join(ldf, rdf, entity=["image_id", "cam"], ts="ts",
+                    strategy=strategy, hot_keys=hot).toPandas()
+    want = pd.merge_asof(
+        lp.sort_values("ts", kind="mergesort"),
+        rp.sort_values("ts", kind="mergesort"),
+        on="ts", by=["image_id", "cam"], direction="backward",
+    )
+    key = ["image_id", "cam", "ts", "x"]
+    out = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_detect_hot_keys_composite_returns_tuples(spark):
+    lp, _ = _mk_composite_fixture()
+    hot_half = pd.concat([lp, pd.DataFrame(
+        [("e000", "a", pd.Timestamp("2025-01-02"), 0.0)] * len(lp),
+        columns=lp.columns)], ignore_index=True)
+    hot = detect_hot_keys(spark.createDataFrame(hot_half),
+                          ["image_id", "cam"], frac=0.25)
+    assert hot == [("e000", "a")]

@@ -170,3 +170,25 @@ def test_matrix_empty_feature_table(spark, dfs):
                                ts="ts").toPandas()
     assert len(out) == sdf.count()
     assert out["fa_val"].isna().all()
+
+
+def test_matrix_composite_entity_key(spark):
+    """Composite (image_id, cam) key: the fused plan must partition on the
+    full tuple and agree with the pandas two-key merge_asof oracle."""
+    from tests.test_asof import _mk_composite_fixture
+    lp, rp = _mk_composite_fixture(seed=31)
+    sdf = spark.createDataFrame(lp)
+    fdf = spark.createDataFrame(rp)
+    out = point_in_time_matrix(
+        sdf, {"f": fdf}, entity=["image_id", "cam"], ts="ts",
+    ).toPandas()
+    want = pd.merge_asof(
+        lp.sort_values("ts", kind="mergesort"),
+        rp.sort_values("ts", kind="mergesort"),
+        on="ts", by=["image_id", "cam"], direction="backward",
+    )
+    key = ["image_id", "cam", "ts", "x"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False)
