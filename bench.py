@@ -146,8 +146,28 @@ def main():
         return (split.join(samp, "doc_id", "left")
                 .join(packed, "doc_id").join(scores, "doc_id"))
 
+    def training_matrix(spark, sf_dir):
+        """Feature-store spine join (round-3 flagship): three event-derived
+        feature tables attached point-in-time to the full event spine in
+        ONE Exchange + ONE WindowExec (operators/feature_matrix.py). Own
+        stage key, so earlier-round totals stay comparable by summing the
+        shared keys; the sequential-vs-fused delta is in PLANS.md §FM."""
+        from profet_spark.operators import feature_matrix as fm
+        typed = load_table(spark, sf_dir, "events").repartition(n_parts)
+        spine = typed.select("user_id", "ts", "event_id", "value")
+        feats = {
+            name: (typed.where(F.col("event_type") == et)
+                   .groupBy("user_id", "ts")
+                   .agg(F.max("value").alias(f"{name}_val")))
+            for name, et in (("purch", "purchase"), ("click", "click"),
+                             ("view", "view"))
+        }
+        return fm.point_in_time_matrix(spine, feats, entity="user_id",
+                                       ts="ts", keep_feature_ts=True)
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir),
+        "training_matrix": lambda: training_matrix(spark, sf_dir),
         "caption_descriptors": lambda: caption_descriptors(spark, snap_text),
         "image_pipeline": lambda: image_pipeline(spark, snap_img),
         "a9_pricing_summary": lambda: pricing_summary(spark, sf_dir),
