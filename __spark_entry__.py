@@ -1366,6 +1366,30 @@ def _q_stream_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id", "user_id", "value", "pv_asof")
 
 
+def _q_stream_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 FM streaming twin: the N-table feature-store spine join as one
+    applyInPandasWithState operator (per-column O(1) state), replayed with
+    availableNow and graded against chained DuckDB ASOF JOINs — the
+    streaming analog of fm_training_matrix."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_fm_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
+    tagged = (stream
+              .withColumn("pv", F.when(F.col("event_type") == "purchase",
+                                       F.col("value")))
+              .withColumn("cv", F.when(F.col("event_type") == "click",
+                                       F.col("value"))))
+    st.run_available_now(
+        st.stateful_matrix_attach(tagged, right_cols=["pv", "cv"]),
+        name, output_mode="append")
+    return spark.table(name).select("event_id", "user_id", "value",
+                                    "pv_asof", "cv_asof")
+
+
 def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 session-window streaming twin, driver-graded: F.session_window
     gap sessions drained via availableNow must equal the batch sessionize
@@ -1602,6 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D5 tiers individually (graded via d5_embedding_suite)
         "d5_embedding_dup": _q_embedding_dup,
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
+        # FM streaming twin (batch FM graded via fm_training_matrix)
+        "st_fm_matrix_stream": _q_stream_matrix,
         # merged-suite components (graded via the suites above)
         "a1_char_composition": _q_char_comp,
         "a2_bigram_composition": _q_bigram_comp,
@@ -2202,6 +2228,21 @@ def oracle_sql() -> dict[str, str]:
     # FM: chained DuckDB ASOF joins are the independent twin of the fused
     # single-window assembly; the *_asof_ts columns hash-grade the
     # zero-leakage invariant row by row
+    d["st_fm_matrix_stream"] = """
+        WITH purch AS (
+          SELECT user_id, ts, max(value) AS pv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        clicks AS (
+          SELECT user_id, ts, max(value) AS cv
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.value,
+               p.pv AS pv_asof, c.cv AS cv_asof
+        FROM events e
+        ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
+        ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """
     d["fm_training_matrix"] = """
         WITH purch AS (
           SELECT user_id, ts, max(value) AS purch_val

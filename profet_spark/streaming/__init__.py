@@ -10,5 +10,6 @@ from profet_spark.streaming.temporal_stream import (  # noqa: F401
     session_agg,
     sliding_counts,
     stateful_asof_attach,
+    stateful_matrix_attach,
     tumbling_counts,
 )

@@ -172,3 +172,90 @@ def stateful_asof_attach(stream: DataFrame, entity: str = "user_id",
         .applyInPandasWithState(attach, out_schema, state_schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def stateful_matrix_attach(stream: DataFrame, entity: str = "user_id",
+                           ts: str = "ts",
+                           right_cols: list[str] | tuple[str, ...] = ("pv",)):
+    """FM streaming twin — the feature-store spine join as ONE custom
+    stateful operator: N feature columns attached per entity with O(1)
+    state per (entity, table), the streaming analog of
+    ``operators.feature_matrix.point_in_time_matrix`` exactly as
+    :func:`stateful_asof_attach` is the analog of one ``asof_join``.
+
+    Contract per column ``c`` in ``right_cols``: rows where ``c`` is
+    non-null are that table's build rows (a row may be build for one
+    table and probe for the others); every row is emitted with
+    ``{c}_asof`` = the max build value among rows at the latest build ts
+    at-or-before its own ts — per column identical to a backward
+    ``allow_exact_matches`` as-of join (and to DuckDB ``ASOF JOIN``,
+    which the tests/oracle use).
+
+    Internals: each micro-batch builds, per column, the (ts, max-value)
+    build series MERGED with the stored per-column state row — so equal-ts
+    build rows straddling a micro-batch boundary max-merge exactly like
+    the batch ``groupBy(entity, ts).max`` — then attaches via a
+    ``merge_asof`` against that series (order-insensitive at equal ts,
+    unlike an ffill over a single global sort). State per entity:
+    ``(last_ts_us, last_val)`` per column — never row buffers. Same
+    per-entity time-monotonic micro-batch ordering contract as
+    :func:`stateful_asof_attach`.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType as ST,
+    )
+
+    cols = list(right_cols)
+    out_fields = [f"{c}_asof" for c in cols]
+    out_schema = ST(list(stream.schema.fields)
+                    + [StructField(f, DoubleType()) for f in out_fields])
+    state_fields = []
+    for i in range(len(cols)):
+        state_fields += [StructField(f"last_ts_us_{i}", LongType()),
+                         StructField(f"last_val_{i}", DoubleType())]
+    state_schema = ST(state_fields)
+    in_cols = stream.columns
+
+    def attach(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        stored = list(state.get) if state.exists else [None] * (2 * len(cols))
+        pdf["_ts_us"] = (pdf[ts].astype("datetime64[ns]").astype("int64")
+                         // 1000)
+        pdf = pdf.sort_values("_ts_us", kind="mergesort").reset_index(drop=True)
+        new_state = []
+        for i, c in enumerate(cols):
+            lt, lv = stored[2 * i], stored[2 * i + 1]
+            m = pdf[c].notna()
+            rc = pdf.loc[m, ["_ts_us", c]].copy()
+            rc[c] = rc[c].astype("float64")
+            if lt is not None:
+                rc = pd.concat(
+                    [pd.DataFrame({"_ts_us": [lt], c: [lv]}), rc],
+                    ignore_index=True)
+            if rc.empty:
+                pdf[f"{c}_asof"] = pd.Series(
+                    [None] * len(pdf), index=pdf.index, dtype="float64")
+                new_state += [lt, lv]
+                continue
+            rc = (rc.groupby("_ts_us", as_index=False)[c].max()
+                  .sort_values("_ts_us", kind="mergesort"))
+            asof = pd.merge_asof(
+                pdf[["_ts_us"]], rc.rename(columns={c: f"{c}_asof"}),
+                on="_ts_us", direction="backward")
+            pdf[f"{c}_asof"] = asof[f"{c}_asof"].to_numpy()
+            last = rc.iloc[-1]
+            new_state += [int(last["_ts_us"]), float(last[c])]
+        if any(v is not None for v in new_state):
+            state.update(tuple(new_state))
+        yield pdf[in_cols + out_fields]
+
+    return (
+        stream.groupBy(entity)
+        .applyInPandasWithState(attach, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )

@@ -293,3 +293,104 @@ def test_stream_corpus_split_sample_equal_batch(spark, sf_dir, tmp_path_factory)
         corpus.hash_split(docs, weights), 0.5).select(
         "doc_id", "split_bucket", "split")
     assert _pdf(got).equals(_pdf(want))
+
+
+def _batch_matrix_want(spark, sf_dir):
+    from profet_spark.operators import feature_matrix as fm
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pv")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("cv")))
+    out = fm.point_in_time_matrix(ev, {"p": purch, "c": clicks},
+                                  entity="user_id", ts="ts")
+    return out.select("event_id", "user_id", "value",
+                      F.col("pv").alias("pv_asof"),
+                      F.col("cv").alias("cv_asof"))
+
+
+def _tag_matrix(stream):
+    return (stream
+            .withColumn("pv", F.when(F.col("event_type") == "purchase",
+                                     F.col("value")))
+            .withColumn("cv", F.when(F.col("event_type") == "click",
+                                     F.col("value"))))
+
+
+def test_stateful_matrix_equals_batch_single_batch(spark, sf_dir, ev_dir,
+                                                   ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    st.run_available_now(
+        st.stateful_matrix_attach(_tag_matrix(stream),
+                                  right_cols=["pv", "cv"]),
+        "t_fm1", output_mode="append")
+    got = spark.table("t_fm1").select(
+        "event_id", "user_id", "value", "pv_asof", "cv_asof")
+    assert _pdf(got).equals(_pdf(_batch_matrix_want(spark, sf_dir)))
+
+
+def test_stateful_matrix_equals_batch_multi_batch(spark, sf_dir, ev_schema,
+                                                  tmp_path_factory):
+    """Per-column state must carry independently across micro-batches:
+    replay the same events split into two time-ordered files."""
+    out = str(tmp_path_factory.mktemp("events_fm_2batch"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    ev.where(us <= med).coalesce(1).write.mode("overwrite").parquet(out)
+    import time as _t
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    ev.where(us > med).coalesce(1).write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    st.run_available_now(
+        st.stateful_matrix_attach(_tag_matrix(stream),
+                                  right_cols=["pv", "cv"]),
+        "t_fm2", output_mode="append")
+    got = spark.table("t_fm2").select(
+        "event_id", "user_id", "value", "pv_asof", "cv_asof")
+    assert _pdf(got).equals(_pdf(_batch_matrix_want(spark, sf_dir)))
+
+
+def test_stateful_matrix_equal_ts_across_tables_and_batches(spark,
+                                                            tmp_path_factory):
+    """A build row for table A and a probe-at-equal-ts row of table B must
+    see each other regardless of intra-batch row order (merge_asof
+    attachment, not a single global ffill); equal-ts straddles max-merge
+    per column independently."""
+    import time as _t
+
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("events_fm_straddle"))
+    T = pd.Timestamp("2024-01-01 00:00:00")
+    cols = ["event_id", "user_id", "ts", "pv", "cv"]
+    b1 = pd.DataFrame([(1, 10, T, 5.0, None),       # pv build at T
+                       (2, 10, T, None, 7.0)],      # cv build at T (also pv probe)
+                      columns=cols)
+    b2 = pd.DataFrame([(3, 10, T, 3.0, None),       # smaller pv twin at T
+                       (4, 10, T + pd.Timedelta(seconds=1), None, None)],
+                      columns=cols)
+    # explicit schema: an all-null column would otherwise infer as void
+    ddl = ("event_id bigint, user_id bigint, ts timestamp, "
+           "pv double, cv double")
+    spark.createDataFrame(b1, ddl).coalesce(1).write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, ddl).coalesce(1).write.mode("append").parquet(out)
+    schema = spark.read.parquet(out).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    st.run_available_now(
+        st.stateful_matrix_attach(stream, right_cols=["pv", "cv"]),
+        "t_fm_straddle", output_mode="append")
+    got = (spark.table("t_fm_straddle")
+           .select("event_id", "pv_asof", "cv_asof").toPandas()
+           .set_index("event_id").sort_index())
+    # pv at T = max(5, 3) = 5 for every row; cv at T = 7 for every row
+    assert got["pv_asof"].tolist() == [5.0, 5.0, 5.0, 5.0]
+    assert got["cv_asof"].tolist() == [7.0, 7.0, 7.0, 7.0]
