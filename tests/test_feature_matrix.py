@@ -220,3 +220,18 @@ def test_matrix_checkpointed_materialization_roundtrip(spark, dfs, tmp_path):
     a = _norm(matrix.toPandas()).reset_index(drop=True)
     b = _norm(back.select(*matrix.columns).toPandas()).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_matrix_plan_window_count_independent_of_table_count(spark, dfs):
+    """Attaching 8 tables must still plan ONE WindowExec + ONE Exchange —
+    the N-independence claim of the module docstring."""
+    import re
+    sdf, adf, *_ = dfs
+    feats = {f"t{i}": adf.select(
+        "image_id", "ts", F.col("fa_val").alias(f"v{i}")) for i in range(8)}
+    out = point_in_time_matrix(sdf, feats, entity="image_id", ts="ts")
+    plan = formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert [c for c in out.columns if c.startswith("v")] == [
+        f"v{i}" for i in range(8)]
