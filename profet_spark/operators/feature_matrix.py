@@ -241,3 +241,53 @@ def _pit_sequential(spine, features, pairs, entity, ts, allow_exact,
             allow_exact_matches=allow_exact,
         )
     return out
+
+
+def leakage_audit(
+    matrix: DataFrame,
+    ts: str = "ts",
+    features: dict[str, str] | None = None,
+) -> DataFrame:
+    """FM2: per-feature zero-temporal-leakage audit over a training matrix.
+
+    Input: a matrix carrying matched feature timestamps (the
+    ``keep_feature_ts=True`` output of :func:`point_in_time_matrix`, or any
+    table with ``<feature>_asof_ts`` columns). ``features`` maps feature
+    name -> its asof-ts column; by default every ``*_asof_ts`` column is
+    audited. Returns one row per feature:
+
+    - ``n_rows`` / ``n_matched``: coverage (unmatched = NULL asof ts);
+    - ``n_violations``: rows where the feature timestamp is AFTER the
+      label timestamp — must be 0 for the north-rule zero-leakage
+      invariant; a non-zero count localizes the offending feature table;
+    - ``min/max/sum_staleness_us``: exact int64 microsecond lag between
+      label ts and feature ts (negative min = a violation's magnitude).
+
+    One narrow projection (two int64 columns per feature via a struct
+    explode) then a single hash aggregate with map-side partial
+    aggregation — output is |features| rows, so the shuffle is bytes at
+    any input scale. All statistics are exact integers (no float
+    accumulation), hence engine-portable and order-insensitive.
+    """
+    if features is None:
+        sfx = "_asof_ts"
+        features = {c[: -len(sfx)]: c for c in matrix.columns if c.endswith(sfx)}
+    if not features:
+        raise ValueError("leakage_audit: no *_asof_ts columns found and no "
+                         "features mapping given")
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("feature"), F.col(col).alias("fts"))
+        for name, col in sorted(features.items())
+    ])).alias("p")
+    base = matrix.select(F.col(ts).alias("_ts"), pairs).select(
+        "_ts", F.col("p.feature").alias("feature"), F.col("p.fts").alias("_fts"))
+    lag_us = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_fts"))
+    return base.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_fts").alias("n_matched"),
+        F.sum(F.when(F.col("_fts") > F.col("_ts"), 1).otherwise(0))
+        .cast("bigint").alias("n_violations"),
+        F.min(lag_us).alias("min_staleness_us"),
+        F.max(lag_us).alias("max_staleness_us"),
+        F.sum(lag_us).alias("sum_staleness_us"),
+    )

@@ -168,6 +168,152 @@ def sliding_time_window(
     )
 
 
+def resample_to_grid(
+    df: DataFrame,
+    value_cols: list[str],
+    entity: str | list[str] = "image_id",
+    ts: str = "ts",
+    every_seconds: int = 3600,
+    strategy: str = "window",
+    max_points_per_entity: int = 1_000_000,
+) -> DataFrame:
+    """W9: regularize an irregular snapshot stream onto a fixed time grid.
+
+    For each entity, emits one row per grid point (epoch-aligned multiples
+    of ``every_seconds`` spanning the entity's [min ts, max ts]) carrying
+    the as-of-latest value of each ``value_cols`` column — the standard
+    "asfreq + ffill" feature-store primitive, built as a composition:
+
+    1. grid generation: one hash aggregate (min/max per entity) then a
+       narrow ``sequence``+``explode`` over integer epochs — no Python;
+    2. value attachment: the engine's own :func:`asof.asof_join` (grid is
+       the probe side), inheriting its partitioning/skew machinery.
+
+    Duplicate (entity, ts) value rows are pre-reduced with ``max`` so the
+    attachment is deterministic regardless of physical row order.
+
+    At 100 TB: the grid explode materializes one int64 array per entity of
+    length span/every — a long-lived entity at a fine grid is a per-task
+    memory hazard, so ``max_points_per_entity`` fails LOUDLY (raise_error
+    in the plan, no extra scan) instead of OOM-ing an executor; widen
+    ``every_seconds`` or split the time range. Grid rows join as-of via one
+    union-window Exchange (strategy="window") — no per-grid-point probe.
+    """
+    keys = [entity] if isinstance(entity, str) else list(entity)
+    every = int(every_seconds)
+    if every <= 0:
+        raise ValueError("every_seconds must be a positive integer")
+    vals = df.groupBy(*keys, ts).agg(
+        *[F.max(c).alias(c) for c in value_cols])
+    span = df.groupBy(*keys).agg(F.min(ts).alias("_mn"), F.max(ts).alias("_mx"))
+    # NTZ-safe epoch seconds: hop through TIMESTAMP (session TZ pinned UTC
+    # in session.py ⇒ identity), same convention as feature_matrix._tol_for
+    ep = lambda c: F.unix_timestamp(F.col(c).cast("timestamp"))  # noqa: E731
+    start = (F.floor(ep("_mn") / every) * every).cast("bigint")
+    stop = ep("_mx").cast("bigint")
+    n_pts = (stop - start) / F.lit(every) + 1
+    start_checked = F.when(
+        n_pts > max_points_per_entity,
+        F.raise_error(F.concat(
+            F.lit(f"resample_to_grid: > {max_points_per_entity} grid points "
+                  f"for entity "),
+            F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            F.lit(f" at every_seconds={every} — widen the grid"),
+        )).cast("bigint"),
+    ).otherwise(start)
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(start_checked, stop, F.lit(every))).alias("_ge"),
+    ).select(*keys,
+             F.timestamp_seconds("_ge").cast(df.schema[ts].dataType).alias(ts))
+    from profet_spark.operators import asof as _asof  # lazy: avoid pkg-init cycle
+
+    return _asof.asof_join(grid, vals, entity=entity, ts=ts, strategy=strategy)
+
+
+def rolling_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    n: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    tiebreak: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W10: exact discrete rolling quantile over the last ``n`` rows per
+    entity — nearest-rank (inverse-CDF) convention: the 1-based rank is
+    ``ceil(q * count)`` over the sorted non-null window values, matching
+    DuckDB's ``quantile_disc`` (pinned empirically in tests/test_temporal).
+
+    Pure JVM: ``collect_list`` over a bounded row frame + ``array_sort`` +
+    ``element_at`` — a value COPY, never float interpolation, so the result
+    is bitwise engine-portable. NULLs are excluded from the window (both
+    engines agree); an all-null window yields NULL. Leakage-free: the frame
+    ends at the current row.
+
+    At 100 TB: per-row state is the bounded n-element array (n is a feature
+    parameter, typically <=100); one Exchange on the entity key, shared
+    with every other window op on the same (entity, ts) ordering. Exact
+    medians at unbounded window widths need a different algorithm
+    (two-heap sketch) — out of scope, n is bounded by contract.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = _w(entity, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    arr = F.array_sort(F.collect_list(col).over(w))
+    cnt = F.size(arr)
+    rank = F.ceil(F.lit(float(q)) * cnt).cast("int")
+    name = out_col or f"{col}_q{int(round(q * 100))}_{n}"
+    return df.withColumn(name, F.when(cnt > 0, F.element_at(arr, rank)))
+
+
+def hamming_drift(
+    df: DataFrame,
+    bits_col: str,
+    entity: str = "image_id",
+    ts: str = "ts",
+    tiebreak: list[str] | None = None,
+    mean_window: int = 4,
+) -> DataFrame:
+    """W11: temporal Hamming-drift profile over a perceptual-hash stream —
+    the north-star "sliding-window numeric property profile over a phash
+    stream". Per entity ordered by ts:
+
+    - ``{bits}_drift``: popcount(phash XOR previous phash) — bits flipped
+      since the last snapshot (NULL on the first snapshot);
+    - ``{bits}_drift_mean{k}``: mean drift over the last ``mean_window``
+      drift observations (exact int sums, one double division);
+    - ``{bits}_drift_cum``: total bits flipped since the entity appeared.
+
+    Two's-complement int64 phash values work unchanged: XOR and popcount
+    act on the raw 64-bit pattern identically in Spark and DuckDB
+    (verified in tests/test_temporal.py). Pure codegen'd column ops —
+    lag + bitwiseXOR + bit_count + two framed sums sharing ONE Exchange
+    (same partition/order spec). Leakage-free: all frames end at the
+    current row.
+    """
+    w = _w(entity, ts, tiebreak)
+    prev = F.lag(bits_col).over(w)
+    drift = F.when(
+        prev.isNotNull(),
+        F.bit_count(F.col(bits_col).bitwiseXOR(prev)).cast("bigint"))
+    dname = f"{bits_col}_drift"
+    out = df.withColumn(dname, drift)
+    wm = _w(entity, ts, tiebreak).rowsBetween(-(mean_window - 1), 0)
+    dsum = F.sum(dname).over(wm)
+    dcnt = F.count(dname).over(wm)
+    out = out.withColumn(
+        f"{dname}_mean{mean_window}",
+        F.when(dcnt > 0, dsum.cast("double") / dcnt.cast("double")))
+    wc = _w(entity, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn(
+        f"{dname}_cum",
+        F.coalesce(F.sum(dname).over(wc), F.lit(0)).cast("bigint"))
+
+
 def latest_snapshot(
     df: DataFrame, entity: str = "image_id", ts: str = "ts", k: int = 1, tiebreak: list[str] | None = None
 ) -> DataFrame:

@@ -235,3 +235,68 @@ def test_matrix_plan_window_count_independent_of_table_count(spark, dfs):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert [c for c in out.columns if c.startswith("v")] == [
         f"v{i}" for i in range(8)]
+
+
+def test_leakage_audit_clean_matrix(spark, dfs):
+    """A correctly assembled PIT matrix audits to zero violations and
+    non-negative staleness for every feature."""
+    from profet_spark.operators.feature_matrix import leakage_audit
+
+    sdf, adf, bdf, *_ = dfs
+    m = point_in_time_matrix(sdf, {"fa": adf, "fb": bdf},
+                             entity="image_id", keep_feature_ts=True)
+    audit = leakage_audit(m).toPandas().set_index("feature").sort_index()
+    assert list(audit.index) == ["fa", "fb"]
+    n = sdf.count()
+    assert (audit["n_rows"] == n).all()
+    assert (audit["n_violations"] == 0).all()
+    assert (audit["min_staleness_us"].dropna() >= 0).all()
+    assert (audit["n_matched"] <= audit["n_rows"]).all()
+    # sum/max consistency: max <= sum for non-negative lags with >=1 match
+    ok = audit["n_matched"] > 0
+    assert (audit.loc[ok, "max_staleness_us"]
+            <= audit.loc[ok, "sum_staleness_us"]).all()
+
+
+def test_leakage_audit_detects_planted_leak(spark):
+    """Shift one feature's asof-ts past the label ts: the audit must count
+    exactly the shifted rows as violations, with a negative min lag."""
+    import datetime as dt
+
+    from profet_spark.operators.feature_matrix import leakage_audit
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("e1", t0 + dt.timedelta(hours=h),
+             t0 + dt.timedelta(hours=h - 1),          # ok: 1h stale
+             t0 + dt.timedelta(hours=h + (1 if h < 2 else -1)))  # 2 leaks
+            for h in range(5)]
+    m = spark.createDataFrame(
+        rows, "image_id string, ts timestamp, good_asof_ts timestamp, "
+              "bad_asof_ts timestamp")
+    audit = leakage_audit(m).toPandas().set_index("feature")
+    assert audit.loc["good", "n_violations"] == 0
+    assert audit.loc["bad", "n_violations"] == 2
+    assert audit.loc["bad", "min_staleness_us"] == -3_600_000_000
+    assert audit.loc["good", "max_staleness_us"] == 3_600_000_000
+    # explicit mapping + no-columns error path
+    only_good = leakage_audit(m, features={"g": "good_asof_ts"}).toPandas()
+    assert only_good["feature"].tolist() == ["g"]
+    with pytest.raises(ValueError):
+        leakage_audit(m.select("image_id", "ts"))
+
+
+def test_leakage_audit_single_pass_plan(spark, dfs):
+    """Audit = one scan -> generate(explode) -> partial agg -> exchange of
+    |features| rows -> final agg. No join, no window, no Python."""
+    from profet_spark.operators.feature_matrix import leakage_audit
+
+    sdf, adf, bdf, *_ = dfs
+    m = point_in_time_matrix(sdf, {"fa": adf, "fb": bdf},
+                             entity="image_id", keep_feature_ts=True)
+    audit = leakage_audit(m)
+    assert is_python_free(audit)
+    plan = formatted_plan(audit)
+    assert "Generate" in plan and "HashAggregate" in plan
+    # no join is introduced above the matrix's own plan: the audit section
+    # (everything before the matrix's Window node) is join-free
+    assert "Join" not in plan.split("Window")[0]

@@ -125,3 +125,137 @@ def test_latest_snapshot(events):
           FROM events) WHERE snapshot_rank <= 2
     """)
     _cmp(got, want, ["user_id", "ts", "event_id"])
+
+
+def test_resample_to_grid(events):
+    got = temporal.resample_to_grid(
+        events.select("user_id", "ts", "value"), ["value"],
+        entity="user_id", every_seconds=21600,
+    ).toPandas()
+    want = _duck("""
+        WITH span AS (
+          SELECT user_id,
+                 CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) AS s,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+          FROM events GROUP BY 1),
+        grid AS (
+          SELECT user_id, TIMESTAMP '1970-01-01' + to_seconds(g) AS ts
+          FROM (SELECT user_id, unnest(generate_series(s, e, 21600)) AS g
+                FROM span)),
+        vals AS (SELECT user_id, ts, max(value) AS value
+                 FROM events GROUP BY 1, 2)
+        SELECT g.user_id, g.ts, v.value FROM grid g
+        ASOF LEFT JOIN vals v ON g.user_id = v.user_id AND g.ts >= v.ts
+    """)
+    _cmp(got, want, ["user_id", "ts"])
+
+
+def test_resample_grid_cap_raises(events):
+    import pyspark.errors
+
+    df = events.select("user_id", "ts", "value")
+    with pytest.raises(pyspark.errors.PySparkException):
+        temporal.resample_to_grid(
+            df, ["value"], entity="user_id", every_seconds=1,
+            max_points_per_entity=10,
+        ).collect()
+    with pytest.raises(ValueError):
+        temporal.resample_to_grid(df, ["value"], entity="user_id",
+                                  every_seconds=0)
+
+
+@pytest.mark.parametrize("q,n", [(0.5, 8), (0.25, 5), (1.0, 3)])
+def test_rolling_quantile_matches_quantile_disc(events, q, n):
+    got = temporal.rolling_quantile(
+        events.select("user_id", "ts", "event_id", "value"), "value",
+        q=q, n=n, entity="user_id", tiebreak=["event_id"], out_col="rq",
+    ).toPandas()
+    want = _duck(f"""
+        SELECT user_id, ts, event_id, value,
+               quantile_disc(value, {q}) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS rq
+        FROM events
+    """)
+    _cmp(got, want, ["user_id", "ts", "event_id"])
+
+
+def test_rolling_quantile_nulls_and_validation(spark):
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2025, 1, 1, 0, 0, i), i,
+             None if i % 2 else float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "e int, ts timestamp, k int, v double")
+    out = temporal.rolling_quantile(df, "v", q=0.5, n=3, entity="e",
+                                    tiebreak=["k"], out_col="m").toPandas()
+    # window of the 2nd row (i=1) holds [0.0] (null dropped) -> 0.0;
+    # an entity whose first row is null gets NULL (empty window)
+    by_k = out.set_index("k")["m"]
+    assert by_k[1] == 0.0
+    first_null = spark.createDataFrame(
+        [(2, dt.datetime(2025, 1, 1), 0, None)],
+        "e int, ts timestamp, k int, v double")
+    out2 = temporal.rolling_quantile(first_null, "v", q=0.5, n=3, entity="e",
+                                     out_col="m").toPandas()
+    assert pd.isna(out2["m"].iloc[0])
+    with pytest.raises(ValueError):
+        temporal.rolling_quantile(df, "v", q=0.0, n=3, entity="e")
+    with pytest.raises(ValueError):
+        temporal.rolling_quantile(df, "v", q=0.5, n=0, entity="e")
+
+
+def test_hamming_drift(events):
+    """Drift profile over a synthetic 64-bit phash stream derived from
+    props — two's-complement int64s (bit 63 set on ~half the rows), so
+    this also pins XOR/popcount parity on negative values."""
+    from profet_spark.functions import hashing as H
+
+    ph = ((H.h32("props") - F.lit(2**31)) * F.lit(2**32) + H.h32_hi("props"))
+    base = events.select("user_id", "ts", "event_id", ph.alias("ph"))
+    got = temporal.hamming_drift(base, "ph", entity="user_id",
+                                 tiebreak=["event_id"], mean_window=4).toPandas()
+    want = _duck(f"""
+        WITH base AS (
+          SELECT user_id, ts, event_id,
+                 ({H.h32_sql_duckdb('props')} - 2147483648) * 4294967296
+                   + {H.h32_hi_sql_duckdb('props')} AS ph
+          FROM events),
+        lagged AS (
+          SELECT *, lag(ph) OVER w AS prev_ph
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        d AS (
+          SELECT user_id, ts, event_id, ph,
+                 CASE WHEN prev_ph IS NOT NULL
+                      THEN CAST(bit_count(xor(ph, prev_ph)) AS BIGINT) END
+                   AS ph_drift
+          FROM lagged)
+        SELECT user_id, ts, event_id, ph, ph_drift,
+               CASE WHEN count(ph_drift) OVER wm > 0 THEN
+                 CAST(sum(ph_drift) OVER wm AS DOUBLE)
+                   / CAST(count(ph_drift) OVER wm AS DOUBLE) END
+                 AS ph_drift_mean4,
+               CAST(coalesce(sum(ph_drift) OVER wc, 0) AS BIGINT)
+                 AS ph_drift_cum
+        FROM d
+        WINDOW wm AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+               wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)
+    assert (got["ph"] < 0).any(), "fixture must exercise bit-63-set phashes"
+    _cmp(got, want, ["user_id", "ts", "event_id"])
+
+
+def test_profile_ops_share_one_exchange(events):
+    """W10+W11 on the same (entity, ts) ordering: every window frame reuses
+    ONE hash Exchange — the shared-partitioning contract in the module
+    docstring."""
+    base = events.select("user_id", "ts", "event_id", "value",
+                         (F.col("event_id") * 7).alias("ph"))
+    out = temporal.rolling_quantile(base, "value", q=0.5, n=8,
+                                    entity="user_id", tiebreak=["event_id"])
+    out = temporal.hamming_drift(out, "ph", entity="user_id",
+                                 tiebreak=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
