@@ -187,6 +187,105 @@ def _q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "purch_asof_ts", "n_click", "click_asof_ts")
 
 
+def _q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: regularize the event stream onto a 6h epoch-aligned grid with
+    as-of value attachment (grid gen + the engine's own as-of join).
+    Attached values are COPIES of input doubles — bitwise-safe."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = temporal.resample_to_grid(ev, ["value"], entity="user_id",
+                                    every_seconds=21600)
+    return out.select("user_id", "ts", "value")
+
+
+def _q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: exact nearest-rank rolling median over the last 8 snapshots —
+    DuckDB quantile_disc convention (rank = ceil(q*n)), value-copy exact.
+    q=0.5 is exactly representable, so ceil(q*n) can't diverge in ULPs."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return temporal.rolling_quantile(ev, "value", q=0.5, n=8,
+                                     entity="user_id", tiebreak=["event_id"],
+                                     out_col="rq")
+
+
+def _phash64(col: str) -> F.Column:
+    """Synthetic 64-bit phash stream from a string column: two md5-derived
+    32-bit halves packed two's-complement ((h32-2^31)*2^32 + h32_hi) —
+    the engine-portable int64 analog of the input_hint's phash:int64."""
+    return (H.h32(col) - F.lit(2 ** 31)) * F.lit(2 ** 32) + H.h32_hi(col)
+
+
+def _q_phash_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: temporal Hamming-drift profile over a phash stream (the
+    north-star 'sliding-window numeric property profile over phash
+    streams'): bits flipped vs the previous snapshot, 4-row sliding mean
+    (exact int sums, one double division), cumulative flips."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", _phash64("props").alias("ph"))
+    return temporal.hamming_drift(ev, "ph", entity="user_id",
+                                  tiebreak=["event_id"], mean_window=4)
+
+
+def _q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM2: zero-temporal-leakage audit of the fm_training_matrix output —
+    per feature: coverage, violation count (must be 0), exact microsecond
+    staleness extrema/total. The north rule's leakage invariant as a
+    first-class graded operator, not just a test."""
+    from profet_spark.operators import feature_matrix as fm
+
+    matrix = _q_feature_matrix(spark, sf_dir)
+    return fm.leakage_audit(matrix)
+
+
+def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9+W10+W11+FM2 merged suite: one graded row covers grid resampling,
+    rolling quantile, phash drift, and the leakage audit. Generic layout
+    (part, e, t, s, i1-i4, x1) with explicit casts; -1 sentinels only
+    where a column is never semantically NULL."""
+    i64 = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    ev = _events(spark, sf_dir)
+    tz = ev.schema["ts"].dataType
+    null_t = F.lit(None).cast(tz)
+
+    grid = _q_resample_grid(spark, sf_dir).select(
+        F.lit("grid").alias("part"), F.col("user_id").alias("e"),
+        F.col("ts").alias("t"), F.lit("").alias("s"),
+        i64(-1).alias("i1"), i64(-1).alias("i2"), i64(-1).alias("i3"),
+        i64(-1).alias("i4"), F.col("value").alias("x1"))
+    rq = _q_rolling_quantile(spark, sf_dir).select(
+        F.lit("rq").alias("part"), F.col("user_id").alias("e"),
+        F.col("ts").alias("t"), F.lit("").alias("s"),
+        F.col("event_id").alias("i1"), i64(-1).alias("i2"),
+        i64(-1).alias("i3"), i64(-1).alias("i4"), F.col("rq").alias("x1"))
+    drift = _q_phash_drift(spark, sf_dir).select(
+        F.lit("drift").alias("part"), F.col("user_id").alias("e"),
+        F.col("ts").alias("t"), F.lit("").alias("s"),
+        F.col("event_id").alias("i1"), F.col("ph_drift").alias("i2"),
+        F.col("ph_drift_cum").alias("i3"), F.col("ph").alias("i4"),
+        F.col("ph_drift_mean4").alias("x1"))
+    audit = _q_leakage_audit(spark, sf_dir).select(
+        F.lit("audit").alias("part"), i64(-1).alias("e"),
+        null_t.alias("t"), F.col("feature").alias("s"),
+        F.col("n_rows").alias("i1"), F.col("n_matched").alias("i2"),
+        F.col("n_violations").alias("i3"),
+        F.col("max_staleness_us").alias("i4"),
+        F.col("sum_staleness_us").cast("double").alias("x1"))
+    return grid.unionByName(rq).unionByName(drift).unionByName(audit)
+
+
+def _q_lag_ffill_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+W4 merged suite (frees one grading-window slot for the profile
+    suite): lag/lead rows and ffill rows in one generic layout."""
+    lag = _q_lag_lead(spark, sf_dir).select(
+        F.lit("lag").alias("part"), "user_id", "ts", "event_id",
+        F.col("value").alias("x1"), F.col("value_lag1").alias("x2"),
+        F.col("value_lead1").alias("x3"))
+    ff = _q_ffill(spark, sf_dir).select(
+        F.lit("ffill").alias("part"), "user_id", "ts", "event_id",
+        F.col("pv").alias("x1"), F.col("pv_ffill").alias("x2"),
+        F.lit(-1.0).alias("x3"))
+    return lag.unionByName(ff)
+
+
 def _q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -1535,12 +1634,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver grades the FIRST 50 keys.
     Positions 1-50 are chosen so every SURVEY §2 operator has a graded
     representative (merged suites cover A1-A3, A4+A5, T1-T4, C5+C7,
-    O4+O5 in one row each). Positions 51+ are strategy variants and the
-    merged suites' components — still run by tests/test_entry_oracle.py."""
+    O4+O5, W3+W4, W9-W11+FM2 in one row each). Positions 51+ are strategy
+    variants and the merged suites' components — still run by
+    tests/test_entry_oracle.py."""
     return {
-        # -- windows (W1-W8) -------------------------------- 1-7
-        "w3_lag_lead": _q_lag_lead,
-        "w4_ffill": _q_ffill,
+        # -- windows (W1-W11) ------------------------------- 1-7
+        # W3+W4 share one graded row (merged suite) so the window can also
+        # grade the W9-W11+FM2 profile/audit suite without losing coverage
+        "w3w4_lag_ffill": _q_lag_ffill_suite,
+        "w9fm_profile_audit_suite": _q_profile_audit_suite,
         "w5_sessionize": _q_sessionize,
         "w8_expanding": _q_expanding,
         "w7_tumbling": _q_tumbling,
@@ -1620,9 +1722,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_asof_broadcast": _q_asof_broadcast,
         "j3_asof_salted": _q_asof_salted,
         "j3_asof_tolerance": _q_asof_tolerance,
-        # window variants
+        # window variants + merged-suite components
+        "w3_lag_lead": _q_lag_lead,
+        "w4_ffill": _q_ffill,
         "w7_sliding": _q_sliding_window,
         "w4_bfill": _q_bfill,
+        "w9_resample_grid": _q_resample_grid,
+        "w10_rolling_quantile": _q_rolling_quantile,
+        "w11_phash_drift": _q_phash_drift,
+        "fm2_leakage_audit": _q_leakage_audit,
         # D5 tiers individually (graded via d5_embedding_suite)
         "d5_embedding_dup": _q_embedding_dup,
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -2243,6 +2351,40 @@ def oracle_sql() -> dict[str, str]:
         ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
         ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
     """
+    # W3+W4 merged suite: both component oracles verbatim, tagged
+    d["w3w4_lag_ffill"] = f"""
+        SELECT 'lag' AS part, user_id, ts, event_id,
+               value AS x1, value_lag1 AS x2, value_lead1 AS x3
+        FROM ({d['w3_lag_lead']})
+        UNION ALL
+        SELECT 'ffill', user_id, ts, event_id,
+               pv, pv_ffill, CAST(-1.0 AS DOUBLE)
+        FROM ({d['w4_ffill']})
+    """
+    # W9-W11 + FM2 merged suite: grid resampling, rolling quantile, phash
+    # drift, and the zero-leakage audit in one graded row (generic layout,
+    # component oracles composed verbatim)
+    d["w9fm_profile_audit_suite"] = f"""
+        SELECT 'grid' AS part, user_id AS e, ts AS t, '' AS s,
+               CAST(-1 AS BIGINT) AS i1, CAST(-1 AS BIGINT) AS i2,
+               CAST(-1 AS BIGINT) AS i3, CAST(-1 AS BIGINT) AS i4,
+               value AS x1
+        FROM ({d['w9_resample_grid']})
+        UNION ALL
+        SELECT 'rq', user_id, ts, '', event_id,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               rq
+        FROM ({d['w10_rolling_quantile']})
+        UNION ALL
+        SELECT 'drift', user_id, ts, '', event_id,
+               ph_drift, ph_drift_cum, ph, ph_drift_mean4
+        FROM ({d['w11_phash_drift']})
+        UNION ALL
+        SELECT 'audit', CAST(-1 AS BIGINT), CAST(NULL AS TIMESTAMP), feature,
+               n_rows, n_matched, n_violations, max_staleness_us,
+               CAST(sum_staleness_us AS DOUBLE)
+        FROM ({d['fm2_leakage_audit']})
+    """
     d["fm_training_matrix"] = """
         WITH purch AS (
           SELECT user_id, ts, max(value) AS purch_val
@@ -2278,6 +2420,92 @@ def _oracle_sql_base() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_ffill
             FROM events
+        """,
+        "w9_resample_grid": """
+            WITH span AS (
+              SELECT user_id,
+                     CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) AS s,
+                     CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+              FROM events GROUP BY 1),
+            grid AS (
+              SELECT user_id, TIMESTAMP '1970-01-01' + to_seconds(g) AS ts
+              FROM (SELECT user_id, unnest(generate_series(s, e, 21600)) AS g
+                    FROM span)),
+            vals AS (SELECT user_id, ts, max(value) AS value
+                     FROM events GROUP BY 1, 2)
+            SELECT g.user_id, g.ts, v.value FROM grid g
+            ASOF LEFT JOIN vals v ON g.user_id = v.user_id AND g.ts >= v.ts
+        """,
+        "w10_rolling_quantile": """
+            SELECT user_id, ts, event_id, value,
+                   quantile_disc(value, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS rq
+            FROM events
+        """,
+        "w11_phash_drift": f"""
+            WITH base AS (
+              SELECT user_id, ts, event_id,
+                     ({H.h32_sql_duckdb('props')} - 2147483648) * 4294967296
+                       + {H.h32_hi_sql_duckdb('props')} AS ph
+              FROM events),
+            lagged AS (
+              SELECT *, lag(ph) OVER w AS prev_ph
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            d AS (
+              SELECT user_id, ts, event_id, ph,
+                     CASE WHEN prev_ph IS NOT NULL
+                          THEN CAST(bit_count(xor(ph, prev_ph)) AS BIGINT) END
+                       AS ph_drift
+              FROM lagged)
+            SELECT user_id, ts, event_id, ph, ph_drift,
+                   CASE WHEN count(ph_drift) OVER wm > 0 THEN
+                     CAST(sum(ph_drift) OVER wm AS DOUBLE)
+                       / CAST(count(ph_drift) OVER wm AS DOUBLE) END
+                     AS ph_drift_mean4,
+                   CAST(coalesce(sum(ph_drift) OVER wc, 0) AS BIGINT)
+                     AS ph_drift_cum
+            FROM d
+            WINDOW wm AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                   wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "fm2_leakage_audit": """
+            WITH purch AS (
+              SELECT DISTINCT user_id, ts
+              FROM events WHERE event_type = 'purchase'),
+            clicks AS (
+              SELECT DISTINCT user_id, ts
+              FROM events WHERE event_type = 'click'),
+            m AS (
+              SELECT e.ts, p.ts AS purch_fts, c.ts AS click_fts
+              FROM events e
+              ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
+              ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts)
+            SELECT 'click' AS feature,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(click_fts) AS BIGINT) AS n_matched,
+                   CAST(sum(CASE WHEN click_fts > ts THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   CAST(min(epoch_us(ts) - epoch_us(click_fts)) AS BIGINT)
+                     AS min_staleness_us,
+                   CAST(max(epoch_us(ts) - epoch_us(click_fts)) AS BIGINT)
+                     AS max_staleness_us,
+                   CAST(sum(epoch_us(ts) - epoch_us(click_fts)) AS BIGINT)
+                     AS sum_staleness_us
+            FROM m
+            UNION ALL
+            SELECT 'purch',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(purch_fts) AS BIGINT),
+                   CAST(sum(CASE WHEN purch_fts > ts THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(min(epoch_us(ts) - epoch_us(purch_fts)) AS BIGINT),
+                   CAST(max(epoch_us(ts) - epoch_us(purch_fts)) AS BIGINT),
+                   CAST(sum(epoch_us(ts) - epoch_us(purch_fts)) AS BIGINT)
+            FROM m
         """,
         "w5_sessionize": """
             SELECT user_id, ts, event_id,

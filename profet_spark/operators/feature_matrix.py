@@ -281,7 +281,10 @@ def leakage_audit(
     ])).alias("p")
     base = matrix.select(F.col(ts).alias("_ts"), pairs).select(
         "_ts", F.col("p.feature").alias("feature"), F.col("p.fts").alias("_fts"))
-    lag_us = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_fts"))
+    # NTZ-safe: unix_micros requires TIMESTAMP — hop through a cast
+    # (session TZ pinned UTC in session.py ⇒ identity), as in _tol_for
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lag_us = us("_ts") - us("_fts")
     return base.groupBy("feature").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("_fts").alias("n_matched"),

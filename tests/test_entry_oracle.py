@@ -107,9 +107,10 @@ def test_grading_window_covers_every_operator_family():
     graded set (the round-2 verdict's lead finding)."""
     window = set(list(ENTRY.queries())[:50])
     required = {
-        # windows / temporal
-        "w3_lag_lead", "w4_ffill", "w5_sessionize", "w6_topk_latest",
-        "w7_tumbling", "w8_expanding", "w1_profile_summary",
+        # windows / temporal (W3+W4 merged; W9-W11+FM2 profile/audit suite)
+        "w3w4_lag_ffill", "w9fm_profile_audit_suite", "w5_sessionize",
+        "w6_topk_latest", "w7_tumbling", "w8_expanding",
+        "w1_profile_summary",
         # joins + the training-matrix composition
         "j2_broadcast_join", "j3_asof_join", "j4_range_join",
         "j5_anti_join", "fm_training_matrix",
