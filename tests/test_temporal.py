@@ -259,3 +259,39 @@ def test_profile_ops_share_one_exchange(events):
                                  tiebreak=["event_id"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hamming_drift_on_snapshot_fixture(spark):
+    """W11 on the north-star table shape (FIXTURES.md: real phash:int64 per
+    image snapshot, planted hot-phash cluster): numpy popcount cross-check
+    plus the hot-cluster invariant (identical phash stream => zero drift
+    after the first snapshot)."""
+    import numpy as np
+
+    from profet_spark import fixtures
+
+    pdf = fixtures.make_fixture(n_entities=50, with_images=False)[
+        ["image_id", "ts", "phash"]]
+    df = spark.createDataFrame(pdf, "image_id string, ts timestamp, phash long")
+    got = (temporal.hamming_drift(df, "phash", entity="image_id")
+           .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True))
+
+    want = pdf.sort_values(["image_id", "ts"]).reset_index(drop=True)
+    # exact-int reference (pandas shift would route int64 phashes through
+    # float64 and corrupt bits past 2^53)
+    drift, last = [], {}
+    for iid, ph in zip(want["image_id"], want["phash"]):
+        ph = int(ph)
+        drift.append(
+            bin((ph ^ last[iid]) & ((1 << 64) - 1)).count("1")
+            if iid in last else np.nan)
+        last[iid] = ph
+    drift = np.array(drift, dtype=float)
+    np.testing.assert_array_equal(
+        np.nan_to_num(got["phash_drift"].to_numpy(dtype=float), nan=-1),
+        np.nan_to_num(drift, nan=-1))
+
+    hot = got[got["image_id"] == "img00000000"]
+    assert len(hot) > 2
+    assert (hot["phash_drift"].dropna() == 0).all()
+    assert (hot["phash_drift_cum"] == 0).all()
