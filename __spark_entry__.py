@@ -1504,6 +1504,26 @@ def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "session_start", "n")
 
 
+def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 W11 streaming twin: the stateful Hamming-drift profile
+    (applyInPandasWithState; last-bits + cumulative + recent-history state)
+    replayed with availableNow and graded against the SAME DuckDB oracle
+    as the batch w11_phash_drift (restricted to the shared columns)."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_drift_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(
+        spark, _stream_events_dir(sf_dir), ev.schema
+    ).withColumn("ph", _phash64("props"))
+    st.run_available_now(st.stateful_drift_profile(stream, "ph"), name,
+                         output_mode="append")
+    return spark.table(name).select("event_id", "user_id", "ph", "ph_drift",
+                                    "ph_drift_mean4", "ph_drift_cum")
+
+
 # ------------------------------------------- merged coverage queries
 # The driver grades only the FIRST 50 keys of queries() (insertion order).
 # Full §2 operator coverage needs ~57 distinct queries, so closely-related
@@ -1768,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are graded in the top 50; these two are mirror-graded)
         "st_f3_dedup_stream": _q_stream_dedup,
         "st_w7_sliding_stream": _q_stream_sliding,
+        "st_w11_drift_stream": _q_stream_drift,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
         "n3_ivf_ann_distributed": _q_ivf_ann_distributed,
@@ -2350,6 +2371,12 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
         ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """
+    # §2.9 W11 streaming twin: SAME oracle as the batch drift profile,
+    # restricted to the stream query's column set
+    d["st_w11_drift_stream"] = f"""
+        SELECT event_id, user_id, ph, ph_drift, ph_drift_mean4, ph_drift_cum
+        FROM ({d['w11_phash_drift']})
     """
     # W3+W4 merged suite: both component oracles verbatim, tagged
     d["w3w4_lag_ffill"] = f"""

@@ -165,8 +165,29 @@ def main():
         return fm.point_in_time_matrix(spine, feats, entity="user_id",
                                        ts="ts", keep_feature_ts=True)
 
+    def profile_features(spark, sf_dir):
+        """W9-W11 profile tier (new in round 3): rolling quantile + phash
+        Hamming drift share ONE Exchange (same entity/ts window spec), plus
+        the 6h grid resample (one agg + sequence/explode + as-of attach).
+        Own stage key so earlier-round totals stay comparable."""
+        from profet_spark.functions import hashing as H
+        ev = load_table(spark, sf_dir, "events").repartition(n_parts)
+        ph = (H.h32("props") - F.lit(2 ** 31)) * F.lit(2 ** 32) + H.h32_hi("props")
+        base = ev.select("user_id", "ts", "event_id", "value", ph.alias("ph"))
+        prof = temporal.rolling_quantile(base, "value", q=0.5, n=8,
+                                         entity="user_id",
+                                         tiebreak=["event_id"], out_col="rq")
+        prof = temporal.hamming_drift(prof, "ph", entity="user_id",
+                                      tiebreak=["event_id"])
+        grid = temporal.resample_to_grid(ev.select("user_id", "ts", "value"),
+                                         ["value"], entity="user_id",
+                                         every_seconds=21600)
+        return prof.select("user_id", "ts", F.col("rq").alias("x")).unionByName(
+            grid.select("user_id", "ts", F.col("value").alias("x")))
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir),
+        "profile_features": lambda: profile_features(spark, sf_dir),
         "training_matrix": lambda: training_matrix(spark, sf_dir),
         "caption_descriptors": lambda: caption_descriptors(spark, snap_text),
         "image_pipeline": lambda: image_pipeline(spark, snap_img),

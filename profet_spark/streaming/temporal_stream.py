@@ -259,3 +259,93 @@ def stateful_matrix_attach(stream: DataFrame, entity: str = "user_id",
         .applyInPandasWithState(attach, out_schema, state_schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def stateful_drift_profile(stream: DataFrame, bits_col: str = "ph",
+                           entity: str = "user_id", ts: str = "ts",
+                           mean_window: int = 4) -> DataFrame:
+    """W11 streaming twin — per-entity Hamming-drift profile with O(1)
+    state via ``applyInPandasWithState``: popcount(bits XOR previous bits),
+    the ``mean_window``-row sliding mean of drift, and cumulative drift,
+    carried across micro-batches. Bit-identical to the batch
+    :func:`operators.temporal.hamming_drift` on the same rows (pytest +
+    oracle-mirror proven).
+
+    State per entity: ``(last_bits, cum_drift, recent)`` where ``recent``
+    holds the drift values of the last ``mean_window - 1`` ROWS with -1
+    encoding a null drift (an entity's first row) — drift is a popcount,
+    never negative, so the sentinel is unambiguous. Ordering contract as
+    :func:`stateful_asof_attach`: per-entity time-monotonic micro-batches.
+
+    All arithmetic is exact int64 (numpy XOR + unpackbits popcount — the
+    pandas ``shift`` float64 detour would corrupt bits past 2^53); the
+    sliding mean is one double division of exact int sums, matching the
+    batch plan's expression bit for bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType as ST,
+    )
+
+    dname = f"{bits_col}_drift"
+    out_schema = ST(list(stream.schema.fields) + [
+        StructField(dname, LongType()),
+        StructField(f"{dname}_mean{mean_window}", DoubleType()),
+        StructField(f"{dname}_cum", LongType()),
+    ])
+    state_schema = ST([
+        StructField("last_bits", LongType()),
+        StructField("cum", LongType()),
+        StructField("recent", ArrayType(LongType())),
+    ])
+    in_cols = stream.columns
+    keep = mean_window - 1
+
+    def profile(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        v = pdf[bits_col].to_numpy(np.int64)
+        prev = np.empty_like(v)
+        prev[1:] = v[:-1]
+        if state.exists:
+            last_bits, cum0, recent = state.get
+            prev[0] = last_bits
+            first_null = False
+        else:
+            cum0, recent = 0, []
+            prev[0] = v[0]  # xor = 0; masked below
+            first_null = True
+        xor = (v ^ prev).astype(np.int64)
+        d = np.unpackbits(xor.view(np.uint8).reshape(len(v), 8),
+                          axis=1).sum(axis=1).astype(np.int64)
+        dnull = np.zeros(len(v), dtype=bool)
+        if first_null:
+            dnull[0] = True
+        # sliding mean over the last mean_window ROWS' drifts (nulls
+        # excluded from both sum and count — the batch F.sum/F.count pair)
+        hist_vals = np.array(list(recent) + list(np.where(dnull, -1, d)),
+                             dtype=np.int64)
+        hv = pd.Series(np.where(hist_vals >= 0, hist_vals, 0), dtype="float64")
+        hn = pd.Series((hist_vals >= 0).astype("float64"))
+        rs = hv.rolling(mean_window, min_periods=1).sum()
+        rc = hn.rolling(mean_window, min_periods=1).sum()
+        mean = (rs / rc).where(rc > 0).to_numpy()[len(recent):]
+        cum = cum0 + np.cumsum(np.where(dnull, 0, d))
+        state.update((int(v[-1]), int(cum[-1]),
+                      [int(x) for x in hist_vals[-keep:]] if keep else []))
+        pdf[dname] = pd.array(np.where(dnull, pd.NA, d), dtype="Int64")
+        pdf[f"{dname}_mean{mean_window}"] = mean
+        pdf[f"{dname}_cum"] = cum
+        yield pdf[in_cols + [dname, f"{dname}_mean{mean_window}",
+                             f"{dname}_cum"]]
+
+    return (
+        stream.groupBy(entity)
+        .applyInPandasWithState(profile, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )

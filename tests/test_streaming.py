@@ -394,3 +394,55 @@ def test_stateful_matrix_equal_ts_across_tables_and_batches(spark,
     # pv at T = max(5, 3) = 5 for every row; cv at T = 7 for every row
     assert got["pv_asof"].tolist() == [5.0, 5.0, 5.0, 5.0]
     assert got["cv_asof"].tolist() == [7.0, 7.0, 7.0, 7.0]
+
+
+def _ph_col():
+    from profet_spark.functions import hashing as H
+    return (H.h32("props") - F.lit(2 ** 31)) * F.lit(2 ** 32) + H.h32_hi("props")
+
+
+def _batch_drift_want(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", _ph_col().alias("ph"))
+    out = temporal.hamming_drift(ev, "ph", entity="user_id", mean_window=4)
+    return out.select("event_id", "user_id", "ph", "ph_drift",
+                      "ph_drift_mean4", "ph_drift_cum")
+
+
+def test_stateful_drift_equals_batch_single_batch(spark, sf_dir, ev_dir,
+                                                  ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema).withColumn(
+        "ph", _ph_col())
+    st.run_available_now(st.stateful_drift_profile(stream, "ph"), "t_drift1",
+                         output_mode="append")
+    got = spark.table("t_drift1").select(
+        "event_id", "user_id", "ph", "ph_drift", "ph_drift_mean4",
+        "ph_drift_cum")
+    assert _pdf(got).equals(_pdf(_batch_drift_want(spark, sf_dir)))
+
+
+def test_stateful_drift_equals_batch_multi_batch(spark, sf_dir, ev_schema,
+                                                 tmp_path_factory):
+    """last_bits, cum, AND the recent-drift history must carry across
+    micro-batches: a median-time split puts the 4-row sliding-mean window
+    astride the trigger boundary for most entities."""
+    import time as _t
+
+    out = str(tmp_path_factory.mktemp("events_drift_2b"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    ev.where(us <= med).coalesce(1).write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    ev.where(us > med).coalesce(1).write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour")
+              .withColumn("ph", _ph_col()))
+    st.run_available_now(st.stateful_drift_profile(stream, "ph"), "t_drift2",
+                         output_mode="append")
+    got = spark.table("t_drift2").select(
+        "event_id", "user_id", "ph", "ph_drift", "ph_drift_mean4",
+        "ph_drift_cum")
+    assert _pdf(got).equals(_pdf(_batch_drift_want(spark, sf_dir)))
