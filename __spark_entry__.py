@@ -225,6 +225,57 @@ def _q_phash_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   tiebreak=["event_id"], mean_window=4)
 
 
+_W12_N, _W12_DECAY = 6, 0.6
+
+
+def _q_decayed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: bounded exponential-decay (half-life) sum/weight/mean over the
+    last 6 snapshots, decay 0.6 — deliberately NON-dyadic to exercise the
+    full portability contract (driver-computed weight literals + fixed
+    left-fold order ⇒ bitwise-equal doubles in Spark and DuckDB)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = temporal.decayed_stats(ev, "value", n=_W12_N, decay=_W12_DECAY,
+                                 entity="user_id", tiebreak=["event_id"])
+    return out.select("user_id", "ts", "event_id",
+                      f"value_dsum{_W12_N}", f"value_dwt{_W12_N}",
+                      f"value_dmean{_W12_N}")
+
+
+def _w12_oracle_sql() -> str:
+    """DuckDB twin of _q_decayed_stats: the SAME Python-computed weight
+    literals (repr round-trips to the identical double) in the SAME
+    left-fold operand order."""
+    n, decay = _W12_N, _W12_DECAY
+    lags = ",\n                 ".join(
+        f"lag(v, {k}) OVER w AS v{k}" for k in range(1, n))
+    term = lambda k: (  # noqa: E731
+        f"CASE WHEN v{k or ''} IS NOT NULL THEN v{k or ''} * {decay ** k!r} "
+        f"ELSE 0.0 END")
+    wgt = lambda k: (  # noqa: E731
+        f"CASE WHEN v{k or ''} IS NOT NULL THEN {decay ** k!r} ELSE 0.0 END")
+    dsum = " + ".join(term(k) for k in range(n))
+    dwt = " + ".join(wgt(k) for k in range(n))
+    return f"""
+        WITH b AS (
+          SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+          FROM events),
+        l AS (
+          SELECT user_id, ts, event_id, v,
+                 {lags}
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, event_id,
+                 {dsum} AS value_dsum{n},
+                 {dwt} AS value_dwt{n}
+          FROM l)
+        SELECT user_id, ts, event_id, value_dsum{n}, value_dwt{n},
+               CASE WHEN value_dwt{n} > 0.0
+                    THEN value_dsum{n} / value_dwt{n} END AS value_dmean{n}
+        FROM s
+    """
+
+
 def _q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FM2: zero-temporal-leakage audit of the fm_training_matrix output —
     per feature: coverage, violation count (must be 0), exact microsecond
@@ -269,7 +320,21 @@ def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").alias("i3"),
         F.col("max_staleness_us").alias("i4"),
         F.col("sum_staleness_us").cast("double").alias("x1"))
-    return grid.unionByName(rq).unionByName(drift).unionByName(audit)
+    dec = _q_decayed_stats(spark, sf_dir)
+    decay_parts = [
+        dec.select(
+            F.lit(tag).alias("part"), F.col("user_id").alias("e"),
+            F.col("ts").alias("t"), F.lit("").alias("s"),
+            F.col("event_id").alias("i1"), i64(-1).alias("i2"),
+            i64(-1).alias("i3"), i64(-1).alias("i4"),
+            F.col(c).alias("x1"))
+        for tag, c in [("dsum", f"value_dsum{_W12_N}"),
+                       ("dwt", f"value_dwt{_W12_N}"),
+                       ("dmean", f"value_dmean{_W12_N}")]]
+    out = grid.unionByName(rq).unionByName(drift).unionByName(audit)
+    for p in decay_parts:
+        out = out.unionByName(p)
+    return out
 
 
 def _q_lag_ffill_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1750,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w9_resample_grid": _q_resample_grid,
         "w10_rolling_quantile": _q_rolling_quantile,
         "w11_phash_drift": _q_phash_drift,
+        "w12_decayed": _q_decayed_stats,
         "fm2_leakage_audit": _q_leakage_audit,
         # D5 tiers individually (graded via d5_embedding_suite)
         "d5_embedding_dup": _q_embedding_dup,
@@ -2388,9 +2454,11 @@ def oracle_sql() -> dict[str, str]:
                pv, pv_ffill, CAST(-1.0 AS DOUBLE)
         FROM ({d['w4_ffill']})
     """
-    # W9-W11 + FM2 merged suite: grid resampling, rolling quantile, phash
-    # drift, and the zero-leakage audit in one graded row (generic layout,
-    # component oracles composed verbatim)
+    # W12 decayed stats: weights are the SAME Python floats on both sides
+    d["w12_decayed"] = _w12_oracle_sql()
+    # W9-W12 + FM2 merged suite: grid resampling, rolling quantile, phash
+    # drift, the zero-leakage audit, and the decayed stats in one graded
+    # row (generic layout, component oracles composed verbatim)
     d["w9fm_profile_audit_suite"] = f"""
         SELECT 'grid' AS part, user_id AS e, ts AS t, '' AS s,
                CAST(-1 AS BIGINT) AS i1, CAST(-1 AS BIGINT) AS i2,
@@ -2411,6 +2479,21 @@ def oracle_sql() -> dict[str, str]:
                n_rows, n_matched, n_violations, max_staleness_us,
                CAST(sum_staleness_us AS DOUBLE)
         FROM ({d['fm2_leakage_audit']})
+        UNION ALL
+        SELECT 'dsum', user_id, ts, '', event_id,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               value_dsum{_W12_N}
+        FROM ({d['w12_decayed']})
+        UNION ALL
+        SELECT 'dwt', user_id, ts, '', event_id,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               value_dwt{_W12_N}
+        FROM ({d['w12_decayed']})
+        UNION ALL
+        SELECT 'dmean', user_id, ts, '', event_id,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               value_dmean{_W12_N}
+        FROM ({d['w12_decayed']})
     """
     d["fm_training_matrix"] = """
         WITH purch AS (

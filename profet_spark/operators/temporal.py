@@ -314,6 +314,64 @@ def hamming_drift(
         F.coalesce(F.sum(dname).over(wc), F.lit(0)).cast("bigint"))
 
 
+def decayed_stats(
+    df: DataFrame,
+    col: str,
+    n: int = 8,
+    decay: float = 0.5,
+    entity: str = "image_id",
+    ts: str = "ts",
+    tiebreak: list[str] | None = None,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """W12: bounded exponential-decay (half-life) features over the last
+    ``n`` snapshots per entity — the classic recency-weighted PIT feature:
+
+    - ``{col}_dsum{n}``: Σ_k w_k · value(t-k) over present (non-null)
+      lags, w_k = decay**k, k = 0 the current row;
+    - ``{col}_dwt{n}``: Σ_k w_k over the same present lags (the exact
+      normalizer, so ragged entity heads and interior NULLs renormalize
+      instead of biasing toward 0);
+    - ``{col}_dmean{n}``: dsum / dwt (NULL when no lag is present).
+
+    Engine-portability contract: the weights are computed ONCE driver-side
+    (``decay**k``) and embedded as double literals in both this plan and
+    the DuckDB oracle; the term sum is an explicit LEFT-FOLD (fixed
+    operand order). Catalyst's ``ReorderAssociativeOperator`` only touches
+    integral types, so the double additions execute in the written order
+    and each `*`/`+`/`/` is correctly-rounded IEEE in both engines —
+    bitwise-equal results for ANY decay, not just dyadic ones (pinned in
+    tests/test_temporal.py and the w12 oracle row).
+
+    Pure codegen'd projection over ``lag`` columns sharing ONE window spec
+    — stacking onto any other (entity, ts) window op adds ZERO Exchanges.
+    Leakage-free: only lags (ts' <= ts) are read. ``n`` is a feature
+    parameter (weights below ~1e-5·w_0 add nothing; decay=0.5 ⇒ n=8 spans
+    it), so the per-row cost is a fixed n-term expression, not state.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    w = _w(entity, ts, tiebreak)
+    v0 = F.col(col).cast("double")
+    dsum: Column | None = None
+    dwt: Column | None = None
+    for k in range(n):
+        vk = v0 if k == 0 else F.lag(v0, k).over(w)
+        wk = F.lit(decay ** k)
+        term = F.when(vk.isNotNull(), vk * wk).otherwise(F.lit(0.0))
+        wgt = F.when(vk.isNotNull(), wk).otherwise(F.lit(0.0))
+        dsum = term if dsum is None else dsum + term
+        dwt = wgt if dwt is None else dwt + wgt
+    p = out_prefix or col
+    out = df.withColumn(f"{p}_dsum{n}", dsum).withColumn(f"{p}_dwt{n}", dwt)
+    return out.withColumn(
+        f"{p}_dmean{n}",
+        F.when(F.col(f"{p}_dwt{n}") > 0.0,
+               F.col(f"{p}_dsum{n}") / F.col(f"{p}_dwt{n}")))
+
+
 def latest_snapshot(
     df: DataFrame, entity: str = "image_id", ts: str = "ts", k: int = 1, tiebreak: list[str] | None = None
 ) -> DataFrame:

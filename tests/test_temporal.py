@@ -295,3 +295,72 @@ def test_hamming_drift_on_snapshot_fixture(spark):
     assert len(hot) > 2
     assert (hot["phash_drift"].dropna() == 0).all()
     assert (hot["phash_drift_cum"] == 0).all()
+
+
+def test_decayed_stats(events):
+    """W12 vs a Python recompute using the IDENTICAL left-fold: every float
+    op is correctly-rounded IEEE in the same order, so equality is EXACT
+    (no tolerance) — the same contract the DuckDB oracle row relies on."""
+    n, decay = 4, 0.6
+    got = (
+        temporal.decayed_stats(
+            events.select("user_id", "ts", "event_id", "value"),
+            "value", n=n, decay=decay, entity="user_id",
+            tiebreak=["event_id"])
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert got["value_dsum4"].notna().all()
+    for _, g in got.groupby("user_id", sort=False):
+        vals = g["value"].tolist()
+        for i, (_, row) in enumerate(g.iterrows()):
+            s, wt = 0.0, 0.0
+            for k in range(n):
+                j = i - k
+                present = j >= 0 and not pd.isna(vals[j])
+                s = s + (float(vals[j]) * decay ** k if present else 0.0)
+                wt = wt + (decay ** k if present else 0.0)
+            assert row["value_dsum4"] == s
+            assert row["value_dwt4"] == wt
+            if wt > 0.0:
+                assert row["value_dmean4"] == s / wt
+            else:
+                assert pd.isna(row["value_dmean4"])
+
+
+def test_decayed_stats_null_renormalization(spark):
+    """Interior NULLs drop out of BOTH the sum and the normalizer (no bias
+    toward 0); parameter validation raises."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0), ("a", 4, 40.0)],
+        "e string, ts int, v double")
+    got = (temporal.decayed_stats(df, "v", n=3, decay=0.5, entity="e")
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    last = got.iloc[3]
+    # at ts=4 with n=3: k=0 -> 40 (w=1), k=1 -> 30 (w=0.5), k=2 -> NULL
+    assert last["v_dsum3"] == 40.0 + 30.0 * 0.5
+    assert last["v_dwt3"] == 1.0 + 0.5
+    assert last["v_dmean3"] == (40.0 + 30.0 * 0.5) / 1.5
+    null_row = got.iloc[1]  # current value NULL, one present lag
+    assert null_row["v_dsum3"] == 10.0 * 0.5
+    assert null_row["v_dwt3"] == 0.5
+    with pytest.raises(ValueError):
+        temporal.decayed_stats(df, "v", n=0, entity="e")
+    with pytest.raises(ValueError):
+        temporal.decayed_stats(df, "v", decay=1.0, entity="e")
+
+
+def test_decayed_stats_shares_the_profile_exchange(events):
+    """Stacking W12 onto W10+W11 adds ZERO Exchanges — all three share the
+    (entity, ts) window spec."""
+    base = events.select("user_id", "ts", "event_id", "value",
+                         (F.col("event_id") * 7).alias("ph"))
+    out = temporal.rolling_quantile(base, "value", q=0.5, n=8,
+                                    entity="user_id", tiebreak=["event_id"])
+    out = temporal.hamming_drift(out, "ph", entity="user_id",
+                                 tiebreak=["event_id"])
+    out = temporal.decayed_stats(out, "value", n=8, decay=0.5,
+                                 entity="user_id", tiebreak=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
