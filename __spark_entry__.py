@@ -1589,6 +1589,27 @@ def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "ph_drift_mean4", "ph_drift_cum")
 
 
+def _q_stream_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 W12 streaming twin: bounded half-life decayed stats as a
+    stateful kernel ((n-1)-value history + presence mask per entity),
+    replayed with availableNow and graded against the SAME DuckDB oracle
+    as the batch w12_decayed — including its bitwise float contract."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_decay_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
+    st.run_available_now(
+        st.stateful_decayed_stats(stream, "value", n=_W12_N,
+                                  decay=_W12_DECAY),
+        name, output_mode="append")
+    return spark.table(name).select(
+        "user_id", "ts", "event_id", f"value_dsum{_W12_N}",
+        f"value_dwt{_W12_N}", f"value_dmean{_W12_N}")
+
+
 # ------------------------------------------- merged coverage queries
 # The driver grades only the FIRST 50 keys of queries() (insertion order).
 # Full §2 operator coverage needs ~57 distinct queries, so closely-related
@@ -1855,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_f3_dedup_stream": _q_stream_dedup,
         "st_w7_sliding_stream": _q_stream_sliding,
         "st_w11_drift_stream": _q_stream_drift,
+        "st_w12_decay_stream": _q_stream_decayed,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
         "n3_ivf_ann_distributed": _q_ivf_ann_distributed,
@@ -2456,6 +2478,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # W12 decayed stats: weights are the SAME Python floats on both sides
     d["w12_decayed"] = _w12_oracle_sql()
+    # §2.9 W12 streaming twin: SAME oracle as the batch decayed stats
+    d["st_w12_decay_stream"] = d["w12_decayed"]
     # W9-W12 + FM2 merged suite: grid resampling, rolling quantile, phash
     # drift, the zero-leakage audit, and the decayed stats in one graded
     # row (generic layout, component oracles composed verbatim)

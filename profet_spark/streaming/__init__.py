@@ -10,6 +10,7 @@ from profet_spark.streaming.temporal_stream import (  # noqa: F401
     session_agg,
     sliding_counts,
     stateful_asof_attach,
+    stateful_decayed_stats,
     stateful_drift_profile,
     stateful_matrix_attach,
     tumbling_counts,

@@ -349,3 +349,94 @@ def stateful_drift_profile(stream: DataFrame, bits_col: str = "ph",
         .applyInPandasWithState(profile, out_schema, state_schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def stateful_decayed_stats(stream: DataFrame, col: str = "value",
+                           n: int = 8, decay: float = 0.5,
+                           entity: str = "user_id", ts: str = "ts") -> DataFrame:
+    """W12 streaming twin — bounded exponential-decay (half-life)
+    sum/weight/mean with O(1) per-entity state via
+    ``applyInPandasWithState``: the state is the last ``n - 1`` values plus
+    their presence mask, carried across micro-batches. Bit-identical to the
+    batch :func:`operators.temporal.decayed_stats` on the same rows: the
+    weights are the SAME driver-computed Python floats and the term sum is
+    the SAME left fold, executed elementwise in ``k`` order (numpy float64
+    ``*``/``+`` are correctly-rounded IEEE like the JVM's).
+
+    NULL encoding contract: SQL NULL arrives as NaN in the Arrow batch and
+    is treated as absent (renormalized away) — a genuine NaN *value* would
+    diverge from the batch plan (which distinguishes NULL from NaN), so the
+    input contract is NaN-free, as for the other stateful kernels.
+    Ordering contract as :func:`stateful_asof_attach`: per-entity
+    time-monotonic micro-batches; equal-ts rows keep arrival order
+    (stable sort), matching the batch tiebreak when files are written in
+    tiebreak order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType as ST,
+    )
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    weights = [decay ** k for k in range(n)]
+    names = [f"{col}_dsum{n}", f"{col}_dwt{n}", f"{col}_dmean{n}"]
+    out_schema = ST(list(stream.schema.fields) +
+                    [StructField(x, DoubleType()) for x in names])
+    state_schema = ST([
+        StructField("vals", ArrayType(DoubleType())),
+        StructField("mask", ArrayType(LongType())),
+    ])
+    in_cols = stream.columns
+    keep = n - 1
+
+    def fold(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        v = pdf[col].to_numpy(np.float64)  # SQL NULL -> NaN
+        pres = ~np.isnan(v)
+        if state.exists:
+            hv, hm = state.get
+            hvals = np.asarray(hv, dtype=np.float64)
+            hmask = np.asarray(hm, dtype=np.int64).astype(bool)
+        else:
+            hvals = np.empty(0, dtype=np.float64)
+            hmask = np.empty(0, dtype=bool)
+        m, length = len(hvals), len(v)
+        full_v = np.concatenate([hvals, np.where(pres, v, 0.0)])
+        full_p = np.concatenate([hmask, pres])
+        base = m + np.arange(length)
+        dsum = dwt = None
+        for k, wk in enumerate(weights):
+            idx = base - k
+            ok = idx >= 0
+            safe = np.clip(idx, 0, None)
+            pk = ok & full_p[safe]
+            term = np.where(pk, full_v[safe] * wk, 0.0)
+            wgt = np.where(pk, wk, 0.0)
+            dsum = term if dsum is None else dsum + term
+            dwt = wgt if dwt is None else dwt + wgt
+        has = dwt > 0.0
+        mean = np.where(has, dsum / np.where(has, dwt, 1.0), np.nan)
+        if keep:
+            state.update(([float(x) for x in full_v[-keep:]],
+                          [int(x) for x in full_p[-keep:]]))
+        else:
+            state.update(([], []))
+        pdf[names[0]] = dsum
+        pdf[names[1]] = dwt
+        pdf[names[2]] = mean
+        yield pdf[in_cols + names]
+
+    return (
+        stream.groupBy(entity)
+        .applyInPandasWithState(fold, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )

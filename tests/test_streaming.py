@@ -446,3 +446,50 @@ def test_stateful_drift_equals_batch_multi_batch(spark, sf_dir, ev_schema,
         "event_id", "user_id", "ph", "ph_drift", "ph_drift_mean4",
         "ph_drift_cum")
     assert _pdf(got).equals(_pdf(_batch_drift_want(spark, sf_dir)))
+
+
+def _batch_decay_want(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    out = temporal.decayed_stats(ev, "value", n=6, decay=0.6,
+                                 entity="user_id")
+    return out.select("event_id", "user_id", "value_dsum6", "value_dwt6",
+                      "value_dmean6")
+
+
+def test_stateful_decayed_equals_batch_single_batch(spark, sf_dir, ev_dir,
+                                                    ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    st.run_available_now(
+        st.stateful_decayed_stats(stream, "value", n=6, decay=0.6),
+        "t_decay1", output_mode="append")
+    got = spark.table("t_decay1").select(
+        "event_id", "user_id", "value_dsum6", "value_dwt6", "value_dmean6")
+    assert _pdf(got).equals(_pdf(_batch_decay_want(spark, sf_dir)))
+
+
+def test_stateful_decayed_equals_batch_multi_batch(spark, sf_dir, ev_schema,
+                                                   tmp_path_factory):
+    """The (n-1)-value history must carry across micro-batches: a
+    median-time split puts the 6-term decay window astride the trigger
+    boundary for most entities — bitwise equality is the left-fold +
+    shared-weight-literal contract, not a tolerance."""
+    import time as _t
+
+    out = str(tmp_path_factory.mktemp("events_decay_2b"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    ev.where(us <= med).coalesce(1).write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    ev.where(us > med).coalesce(1).write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    st.run_available_now(
+        st.stateful_decayed_stats(stream, "value", n=6, decay=0.6),
+        "t_decay2", output_mode="append")
+    got = spark.table("t_decay2").select(
+        "event_id", "user_id", "value_dsum6", "value_dwt6", "value_dmean6")
+    assert _pdf(got).equals(_pdf(_batch_decay_want(spark, sf_dir)))
