@@ -187,6 +187,35 @@ def _q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "purch_asof_ts", "n_click", "click_asof_ts")
 
 
+def _q_embargo_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM embargo variant: the purchase features only become visible 30
+    minutes after their event time (label-maturation gap), clicks 10
+    minutes — per-table ``embargo_s``. The oracle shifts each feature
+    CTE's join ts by the same interval, so the hash check pins the
+    shifted-visibility semantics AND the unshifted *_asof_ts audit
+    columns (every match >= embargo stale)."""
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    typed = _events(spark, sf_dir)
+    purch = (
+        typed.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("purch_val"))
+    )
+    clicks = (
+        typed.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.count("*").cast("double").alias("n_click"))
+    )
+    out = fm.point_in_time_matrix(
+        ev, {"purch": purch, "click": clicks},
+        entity="user_id", ts="ts", keep_feature_ts=True,
+        embargo_s={"purch": 1800.0, "click": 600.0},
+    )
+    return out.select("user_id", "ts", "event_id", "value", "purch_val",
+                      "purch_asof_ts", "n_click", "click_asof_ts")
+
+
 def _q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9: regularize the event stream onto a 6h epoch-aligned grid with
     as-of value attachment (grid gen + the engine's own as-of join).
@@ -1877,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_w7_sliding_stream": _q_stream_sliding,
         "st_w11_drift_stream": _q_stream_drift,
         "st_w12_decay_stream": _q_stream_decayed,
+        "fm_embargo_matrix": _q_embargo_matrix,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
         "n3_ivf_ann_distributed": _q_ivf_ann_distributed,
@@ -2534,6 +2564,26 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
         ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """
+    # FM embargo variant: visibility joins on the SHIFTED feature ts
+    # (event ts + embargo); the audit columns keep the original ts
+    d["fm_embargo_matrix"] = """
+        WITH purch AS (
+          SELECT user_id, ts + INTERVAL '1800' SECOND AS vis_ts,
+                 ts AS fts, max(value) AS purch_val
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3
+        ),
+        clicks AS (
+          SELECT user_id, ts + INTERVAL '600' SECOND AS vis_ts,
+                 ts AS fts, CAST(count(*) AS DOUBLE) AS n_click
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3
+        )
+        SELECT e.user_id, e.ts, e.event_id, e.value,
+               p.purch_val, p.fts AS purch_asof_ts,
+               c.n_click, c.fts AS click_asof_ts
+        FROM events e
+        ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.vis_ts
+        ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.vis_ts
     """
     return d
 

@@ -120,6 +120,16 @@ def _tol_for(tolerance_s, name: str):
     return tolerance_s
 
 
+def _embargo_micros(embargo_s, name: str) -> int | None:
+    emb = _tol_for(embargo_s, name)
+    if emb is None:
+        return None
+    if emb < 0:
+        raise ValueError(
+            f"point_in_time_matrix: embargo_s for {name!r} must be >= 0")
+    return int(round(float(emb) * 1_000_000))
+
+
 def point_in_time_matrix(
     spine: DataFrame,
     features: dict[str, DataFrame],
@@ -127,6 +137,7 @@ def point_in_time_matrix(
     ts: str = "ts",
     allow_exact_matches: bool = True,
     tolerance_s: dict[str, float] | float | None = None,
+    embargo_s: dict[str, float] | float | None = None,
     keep_feature_ts: bool = False,
     strategy: str = "window",
 ) -> DataFrame:
@@ -144,6 +155,21 @@ def point_in_time_matrix(
     ``tolerance_s`` bounds the lookback per table (dict) or globally
     (scalar); ``allow_exact_matches=False`` makes every bound strict.
 
+    ``embargo_s`` (dict or scalar, seconds) is the label-maturation /
+    point-in-time-correctness gap of feature-store engines: a feature row
+    at ``ts_f`` only becomes visible to spine rows with
+    ``ts_spine >= ts_f + embargo`` (boundary inclusive iff
+    ``allow_exact_matches``) — guarding against features derived from data
+    that wasn't actually available until some delay after its event time
+    (late-arriving upstream pipelines, label look-ahead). Implementation:
+    the feature table's SORT timestamp is shifted by the embargo while the
+    ``__rts`` audit/tolerance timestamp keeps the original event time, so
+    the fused plan stays ONE Exchange + ONE WindowExec regardless of
+    per-table embargos, and ``tolerance_s`` still bounds true staleness
+    ``ts_spine - ts_f``. The shift is exact int64 microseconds. With an
+    embargo, :func:`leakage_audit`'s ``min_staleness_us`` is >= the
+    embargo for every matched row — the auditable invariant.
+
     ``strategy="window"`` (default) is the single-exchange fused plan
     documented in the module docstring; ``"sequential"`` chains one
     :func:`asof_join` per table (N exchanges) — the cross-check/fallback
@@ -156,7 +182,7 @@ def point_in_time_matrix(
 
     if strategy == "sequential":
         return _pit_sequential(spine, features, pairs, entity, ts,
-                               allow_exact_matches, tolerance_s,
+                               allow_exact_matches, tolerance_s, embargo_s,
                                keep_feature_ts)
     if strategy != "window":
         raise ValueError(f"unknown point_in_time_matrix strategy: {strategy}")
@@ -181,8 +207,14 @@ def point_in_time_matrix(
         )
         pc = f"__pay_{name}"
         pay_cols[name] = pc
+        # embargo: shift this table's SORT key only — __rts in the payload
+        # keeps the original event time for tolerance/audit
+        emb_us = _embargo_micros(embargo_s, name)
+        sort_ts = F.col(ts)
+        if emb_us:
+            sort_ts = F.col(ts) + F.expr(f"INTERVAL '{emb_us}' MICROSECOND")
         tagged.append(fdf.select(
-            *[F.col(c) for c in _entity_cols(entity)], F.col(ts),
+            *[F.col(c) for c in _entity_cols(entity)], sort_ts.alias(ts),
             pay.alias(pc), F.lit(r_side).alias(_SIDE),
         ))
 
@@ -222,22 +254,37 @@ def point_in_time_matrix(
 
 
 def _pit_sequential(spine, features, pairs, entity, ts, allow_exact,
-                    tolerance_s, keep_feature_ts):
+                    tolerance_s, embargo_s, keep_feature_ts):
     """N chained as-of joins — the reference plan the fused window path is
     tested bit-identical against. Each feature table is pre-projected to
-    its FINAL output names, so no suffixing can fire inside asof_join."""
+    its FINAL output names, so no suffixing can fire inside asof_join.
+    An embargo shifts the right ts (as in the window path); asof_join's
+    internal tolerance then sees the shifted gap (true staleness minus
+    embargo), so the true-staleness bound is restored by NARROWING it by
+    the same embargo — and a bound narrower than the embargo itself can
+    never match (every visible row is already >= embargo stale)."""
     from profet_spark.operators.asof import asof_join
 
     out = spine
     for name, fdf in features.items():
-        sel = [F.col(c) for c in _entity_cols(entity)] + [F.col(ts)]
+        emb_us = _embargo_micros(embargo_s, name)
+        jts = F.col(ts)
+        if emb_us:
+            jts = F.col(ts) + F.expr(f"INTERVAL '{emb_us}' MICROSECOND")
+        sel = [F.col(c) for c in _entity_cols(entity)] + [jts.alias(ts)]
         sel += [F.col(src).alias(dst) for src, dst in pairs[name]]
         if keep_feature_ts:
             sel.append(F.col(ts).alias(f"{name}_asof_ts"))
         right = fdf.select(*sel)
+        tol = _tol_for(tolerance_s, name)
+        if tol is not None and emb_us:
+            tol = float(tol) - emb_us / 1_000_000
+            if tol < 0:
+                right = right.where(F.lit(False))
+                tol = None
         out = asof_join(
             out, right, entity=entity, ts=ts, strategy="sort_merge",
-            tolerance_s=_tol_for(tolerance_s, name),
+            tolerance_s=tol,
             allow_exact_matches=allow_exact,
         )
     return out

@@ -300,3 +300,114 @@ def test_leakage_audit_single_pass_plan(spark, dfs):
     # no join is introduced above the matrix's own plan: the audit section
     # (everything before the matrix's Window node) is join-free
     assert "Join" not in plan.split("Window")[0]
+
+
+def _oracle_embargo(sp, ap, bp, emb_a=None, emb_b=None, allow_exact=True,
+                    tol_a=None, tol_b=None):
+    """merge_asof twin of the embargo semantics: shift the feature ts by
+    the embargo; the shifted gap is true staleness MINUS the embargo, so a
+    true-staleness tolerance narrows by the embargo on the shifted axis."""
+    out = sp.sort_values("ts", kind="mergesort")
+    for fp, emb, tol in ((ap, emb_a, tol_a), (bp, emb_b, tol_b)):
+        f = fp.copy()
+        if emb:
+            f["ts"] = f["ts"] + pd.Timedelta(seconds=emb)
+        t = (tol - (emb or 0)) if tol else None
+        assert t is None or t > 0  # fixture keeps the oracle in-range
+        out = pd.merge_asof(
+            out, f.sort_values("ts", kind="mergesort"),
+            on="ts", by="image_id", direction="backward",
+            allow_exact_matches=allow_exact,
+            tolerance=pd.Timedelta(seconds=t) if t else None,
+        )
+    return out.sort_values(["image_id", "ts", "x"]).reset_index(drop=True)
+
+
+def test_matrix_embargo_matches_shifted_oracle(spark, dfs):
+    sdf, adf, bdf, sp, ap, bp = dfs
+    out = point_in_time_matrix(
+        sdf, {"fa": adf, "fb": bdf}, entity="image_id", ts="ts",
+        embargo_s={"fa": 100_000.0},
+    ).toPandas()
+    exp = _oracle_embargo(sp, ap, bp, emb_a=100_000)
+    pd.testing.assert_frame_equal(_norm(out), exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_matrix_embargo_boundary(spark, allow_exact):
+    """A spine row exactly embargo seconds after the feature row sits ON
+    the shifted boundary: included iff allow_exact_matches."""
+    base = pd.Timestamp("2025-03-01")
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["a"], "ts": [base + pd.Timedelta(seconds=60)],
+         "x": [1.0]}))
+    fdf = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["a"], "ts": [base], "fv": [7.0]}))
+    out = point_in_time_matrix(
+        sdf, {"f": fdf}, entity="image_id", ts="ts",
+        embargo_s=60.0, allow_exact_matches=allow_exact,
+    ).toPandas()
+    if allow_exact:
+        assert out["fv"].tolist() == [7.0]
+    else:
+        assert pd.isna(out["fv"]).all()
+
+
+def test_matrix_embargo_strategies_bit_identical(spark, dfs):
+    sdf, adf, bdf, *_ = dfs
+    kw = dict(entity="image_id", ts="ts", keep_feature_ts=True,
+              embargo_s={"fa": 100_000.0, "fb": 33_333.5},
+              tolerance_s={"fa": 200_000.0})
+    win = point_in_time_matrix(sdf, {"fa": adf, "fb": bdf},
+                               strategy="window", **kw)
+    seq = point_in_time_matrix(sdf, {"fa": adf, "fb": bdf},
+                               strategy="sequential", **kw)
+    assert win.columns == seq.columns
+    pd.testing.assert_frame_equal(_norm(win.toPandas()),
+                                  _norm(seq.toPandas()))
+
+
+def test_matrix_embargo_auditable_min_staleness(spark, dfs):
+    """With an embargo, every matched feature is at least embargo seconds
+    stale — leakage_audit's min_staleness_us exposes the invariant."""
+    from profet_spark.operators.feature_matrix import leakage_audit
+
+    sdf, adf, bdf, *_ = dfs
+    emb = 50_000.0
+    m = point_in_time_matrix(
+        sdf, {"fa": adf, "fb": bdf}, entity="image_id", ts="ts",
+        embargo_s=emb, keep_feature_ts=True)
+    audit = leakage_audit(m).toPandas().set_index("feature")
+    for f in ("fa", "fb"):
+        assert audit.loc[f, "n_violations"] == 0
+        if audit.loc[f, "n_matched"] > 0:
+            assert audit.loc[f, "min_staleness_us"] >= emb * 1_000_000
+
+
+def test_matrix_embargo_plan_stays_fused(spark, dfs):
+    """Mixed per-table embargos must not break the one-Exchange
+    one-WindowExec fused plan (the sort-key shift is a projection)."""
+    import re
+
+    sdf, adf, bdf, *_ = dfs
+    out = point_in_time_matrix(
+        sdf, {"fa": adf, "fb": bdf}, entity="image_id", ts="ts",
+        embargo_s={"fa": 3600.0})
+    plan = formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert is_python_free(out)
+    with pytest.raises(ValueError):
+        point_in_time_matrix(sdf, {"fa": adf}, entity="image_id", ts="ts",
+                             embargo_s=-5.0)
+
+
+def test_matrix_tolerance_narrower_than_embargo_never_matches(spark, dfs):
+    """Every embargo-visible row is >= embargo stale, so a true-staleness
+    tolerance below the embargo can match nothing — both strategies."""
+    sdf, adf, *_ = dfs
+    for strat in ("window", "sequential"):
+        out = point_in_time_matrix(
+            sdf, {"fa": adf}, entity="image_id", ts="ts", strategy=strat,
+            embargo_s=100_000.0, tolerance_s=50_000.0)
+        assert out.where(F.col("fa_val").isNotNull()).count() == 0, strat
