@@ -166,10 +166,11 @@ def main():
                                        ts="ts", keep_feature_ts=True)
 
     def profile_features(spark, sf_dir):
-        """W9-W11 profile tier (new in round 3): rolling quantile + phash
-        Hamming drift share ONE Exchange (same entity/ts window spec), plus
-        the 6h grid resample (one agg + sequence/explode + as-of attach).
-        Own stage key so earlier-round totals stay comparable."""
+        """W9-W12 profile tier (new in round 3): rolling quantile + phash
+        Hamming drift + half-life decayed stats share ONE Exchange (same
+        entity/ts window spec), plus the 6h grid resample (one agg +
+        sequence/explode + as-of attach). Own stage key so earlier-round
+        totals stay comparable."""
         from profet_spark.functions import hashing as H
         ev = load_table(spark, sf_dir, "events").repartition(n_parts)
         ph = (H.h32("props") - F.lit(2 ** 31)) * F.lit(2 ** 32) + H.h32_hi("props")
@@ -179,11 +180,19 @@ def main():
                                          tiebreak=["event_id"], out_col="rq")
         prof = temporal.hamming_drift(prof, "ph", entity="user_id",
                                       tiebreak=["event_id"])
+        prof = temporal.decayed_stats(prof, "value", n=8, decay=0.5,
+                                      entity="user_id",
+                                      tiebreak=["event_id"])
         grid = temporal.resample_to_grid(ev.select("user_id", "ts", "value"),
                                          ["value"], entity="user_id",
                                          every_seconds=21600)
-        return prof.select("user_id", "ts", F.col("rq").alias("x")).unionByName(
-            grid.select("user_id", "ts", F.col("value").alias("x")))
+        # keep a decayed column in the projection or pruning removes W12
+        return prof.select(
+            "user_id", "ts", F.col("rq").alias("x"),
+            F.col("value_dmean8").alias("x2"),
+        ).unionByName(grid.select(
+            "user_id", "ts", F.col("value").alias("x"),
+            F.lit(None).cast("double").alias("x2")))
 
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir),
