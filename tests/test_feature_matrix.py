@@ -411,3 +411,103 @@ def test_matrix_tolerance_narrower_than_embargo_never_matches(spark, dfs):
             sdf, {"fa": adf}, entity="image_id", ts="ts", strategy=strat,
             embargo_s=100_000.0, tolerance_s=50_000.0)
         assert out.where(F.col("fa_val").isNotNull()).count() == 0, strat
+
+
+def _wagg_oracle(sp, fp, window_s, allow_exact=True):
+    rows = []
+    for _, r in sp.iterrows():
+        f = fp[fp.image_id == r.image_id]
+        lo = r.ts - pd.Timedelta(seconds=window_s)
+        if allow_exact:
+            m = f[(f.ts > lo) & (f.ts <= r.ts)]
+        else:
+            m = f[(f.ts >= lo) & (f.ts < r.ts)]
+        rows.append({
+            "image_id": r.image_id, "ts": r.ts, "x": r.x,
+            "n_fa": int(m["fa_val"].notna().sum()),
+            "sum_n": m["fa_n"].sum() if len(m) else None,
+            "max_fa": m["fa_val"].max() if len(m) else None,
+        })
+    out = pd.DataFrame(rows)
+    out["sum_n"] = out["sum_n"].astype("float64")
+    return out.sort_values(["image_id", "ts", "x"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_windowed_spine_agg_matches_oracle(spark, dfs, allow_exact):
+    from profet_spark.operators.feature_matrix import windowed_spine_agg
+
+    sdf, adf, _, sp, ap, _ = dfs
+    out = windowed_spine_agg(
+        sdf, adf,
+        {"n_fa": ("count", "fa_val"), "sum_n": ("sum", "fa_n"),
+         "max_fa": ("max", "fa_val")},
+        entity="image_id", ts="ts", window_s=100_000.0,
+        allow_exact_matches=allow_exact,
+    ).toPandas()
+    exp = _wagg_oracle(sp, ap, 100_000.0, allow_exact=allow_exact)
+    got = _norm(out)
+    got["sum_n"] = got["sum_n"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_windowed_spine_agg_boundaries(spark):
+    """Window edges: ts-w is OUT, ts is IN for allow_exact=True; mirrored
+    for False. Several feature rows at one ts all aggregate (unlike the
+    as-of attach)."""
+    from profet_spark.operators.feature_matrix import windowed_spine_agg
+
+    base = pd.Timestamp("2025-04-01")
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["a"], "ts": [base + pd.Timedelta(seconds=100)],
+         "x": [0.0]}))
+    fdf = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["a"] * 4,
+        "ts": [base, base + pd.Timedelta(seconds=40),
+               base + pd.Timedelta(seconds=40),
+               base + pd.Timedelta(seconds=100)],
+        "v": [1.0, 2.0, 3.0, 4.0]}))
+    inc = windowed_spine_agg(
+        sdf, fdf, {"n": ("count", "v"), "s": ("sum", "v")},
+        entity="image_id", ts="ts", window_s=100.0).toPandas()
+    # (ts-100, ts]: excludes the base row, includes both 40s rows + the
+    # exact-ts row
+    assert inc["n"].tolist() == [3] and inc["s"].tolist() == [9.0]
+    exc = windowed_spine_agg(
+        sdf, fdf, {"n": ("count", "v"), "s": ("sum", "v")},
+        entity="image_id", ts="ts", window_s=100.0,
+        allow_exact_matches=False).toPandas()
+    # [ts-100, ts): includes the base row, excludes the exact-ts row
+    assert exc["n"].tolist() == [3] and exc["s"].tolist() == [6.0]
+
+
+def test_windowed_spine_agg_plan_and_validation(spark, dfs):
+    import re
+
+    from profet_spark.operators.feature_matrix import windowed_spine_agg
+
+    sdf, adf, *_ = dfs
+    out = windowed_spine_agg(
+        sdf, adf,
+        {"n_fa": ("count", "fa_val"), "sum_n": ("sum", "fa_n"),
+         "max_fa": ("max", "fa_val"), "min_fa": ("min", "fa_val"),
+         "avg_n": ("avg", "fa_n")},
+        entity="image_id", ts="ts", window_s=50_000.0)
+    plan = formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert is_python_free(out)
+    with pytest.raises(ValueError, match="unknown agg"):
+        windowed_spine_agg(sdf, adf, {"n": ("median", "fa_val")},
+                           entity="image_id", ts="ts")
+    with pytest.raises(ValueError, match="not in the feature table"):
+        windowed_spine_agg(sdf, adf, {"n": ("count", "nope")},
+                           entity="image_id", ts="ts")
+    with pytest.raises(ValueError, match="collides"):
+        windowed_spine_agg(sdf, adf, {"x": ("count", "fa_val")},
+                           entity="image_id", ts="ts")
+    with pytest.raises(ValueError, match="window_s"):
+        windowed_spine_agg(sdf, adf, {"n": ("count", "fa_val")},
+                           entity="image_id", ts="ts", window_s=0)
+    with pytest.raises(ValueError, match="no aggregates"):
+        windowed_spine_agg(sdf, adf, {}, entity="image_id", ts="ts")
