@@ -13,5 +13,6 @@ from profet_spark.streaming.temporal_stream import (  # noqa: F401
     stateful_decayed_stats,
     stateful_drift_profile,
     stateful_matrix_attach,
+    stateful_windowed_agg,
     tumbling_counts,
 )

@@ -440,3 +440,116 @@ def stateful_decayed_stats(stream: DataFrame, col: str = "value",
         .applyInPandasWithState(fold, out_schema, state_schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def stateful_windowed_agg(stream: DataFrame, src_col: str,
+                          window_s: float = 3600.0,
+                          entity: str = "user_id", ts: str = "ts",
+                          prefix: str | None = None) -> DataFrame:
+    """FM3 streaming twin — trailing-window aggregation features with
+    bounded per-entity state: for every arriving row, count / int64-sum /
+    min / max of the non-null ``src_col`` values whose timestamp lies in
+    ``(ts - window_s, ts]`` (same inclusive-right convention as the batch
+    :func:`operators.feature_matrix.windowed_spine_agg` default).
+
+    ``src_col`` must be an integral (int64-representable) column — the
+    engine-portable convention: derive an exact-int column for float
+    sources (functions/hashing.py rationale). Output columns (all
+    bigint): ``{p}_n``, ``{p}_sum``, ``{p}_min``, ``{p}_max``, where
+    ``p`` is ``prefix`` or ``src_col``; sum/min/max are NULL on an empty
+    window, n is 0 — SQL aggregate semantics.
+
+    State per entity: the (ts_us, value) pairs of the non-null source rows
+    still inside any future row's window — bounded by arrival rate ×
+    ``window_s``, independent of history (the stream analog of the batch
+    rangeBetween frame). Window membership is resolved by binary search
+    over the ts-sorted feature rows, so equal-ts rows are ALL included
+    regardless of arrival order — exactly the batch rangeBetween
+    semantics, which a pandas positional rolling would get wrong.
+    min/max slice per row is a numpy view reduction; worst case
+    O(rows × window-rows) per micro-batch, the documented trade for exact
+    frame semantics (a monotone-deque O(rows) variant is the drop-in
+    upgrade if profiles ever show it).
+    Ordering contract as :func:`stateful_asof_attach`: per-entity
+    time-monotonic micro-batches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType as ST,
+    )
+
+    w_us = int(round(float(window_s) * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("window_s must be > 0")
+    p = prefix or src_col
+    names = [f"{p}_n", f"{p}_sum", f"{p}_min", f"{p}_max"]
+    out_schema = ST(list(stream.schema.fields) +
+                    [StructField(x, LongType()) for x in names])
+    state_schema = ST([
+        StructField("f_us", ArrayType(LongType())),
+        StructField("f_val", ArrayType(LongType())),
+    ])
+    in_cols = stream.columns
+
+    def agg(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        t_us = (pdf[ts].astype("datetime64[us]").astype("int64")
+                .to_numpy())
+        s = pdf[src_col]
+        if pd.api.types.is_extension_array_dtype(s.dtype):
+            # nullable Int64 bridge: stay integral, no float detour
+            pres = s.notna().to_numpy()
+            vi = s.fillna(0).astype("int64").to_numpy()
+        else:
+            # plain float64-with-NaN bridge (the usual Arrow conversion of
+            # a nullable bigint); exact up to 2^53 — same caveat as the
+            # other kernels' pandas bridges
+            v = s.to_numpy(np.float64)
+            pres = ~np.isnan(v)
+            vi = np.where(pres, v, 0).astype(np.int64)
+        if state.exists:
+            hus, hval = state.get
+            hus = np.asarray(hus, dtype=np.int64)
+            hval = np.asarray(hval, dtype=np.int64)
+        else:
+            hus = np.empty(0, dtype=np.int64)
+            hval = np.empty(0, dtype=np.int64)
+        f_us = np.concatenate([hus, t_us[pres]])
+        f_val = np.concatenate([hval, vi[pres]])
+        order = np.argsort(f_us, kind="stable")
+        f_us, f_val = f_us[order], f_val[order]
+        lo = np.searchsorted(f_us, t_us - w_us, side="right")
+        hi = np.searchsorted(f_us, t_us, side="right")
+        n = (hi - lo).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(f_val)])
+        ssum = csum[hi] - csum[lo]
+        mn = np.zeros(len(pdf), dtype=np.int64)
+        mx = np.zeros(len(pdf), dtype=np.int64)
+        for i in range(len(pdf)):
+            if hi[i] > lo[i]:
+                seg = f_val[lo[i]:hi[i]]
+                mn[i], mx[i] = seg.min(), seg.max()
+        cutoff = t_us[-1] - w_us
+        keepmask = f_us >= cutoff
+        state.update(([int(x) for x in f_us[keepmask]],
+                      [int(x) for x in f_val[keepmask]]))
+        has = n > 0
+        pdf[names[0]] = n
+        pdf[names[1]] = pd.array(np.where(has, ssum, 0), dtype="Int64")
+        pdf[names[2]] = pd.array(np.where(has, mn, 0), dtype="Int64")
+        pdf[names[3]] = pd.array(np.where(has, mx, 0), dtype="Int64")
+        for c in names[1:]:
+            pdf.loc[~has, c] = pd.NA
+        yield pdf[in_cols + names]
+
+    return (
+        stream.groupBy(entity)
+        .applyInPandasWithState(agg, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )

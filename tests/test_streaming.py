@@ -493,3 +493,62 @@ def test_stateful_decayed_equals_batch_multi_batch(spark, sf_dir, ev_schema,
     got = spark.table("t_decay2").select(
         "event_id", "user_id", "value_dsum6", "value_dwt6", "value_dmean6")
     assert _pdf(got).equals(_pdf(_batch_decay_want(spark, sf_dir)))
+
+
+def _batch_wagg_want(spark, sf_dir):
+    from profet_spark.operators.feature_matrix import windowed_spine_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.select("user_id", "ts", "event_id")
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts", F.col("event_id").alias("f_eid")))
+    out = windowed_spine_agg(
+        spine, purch,
+        {"f_eid_n": ("count", "f_eid"), "f_eid_sum": ("sum", "f_eid"),
+         "f_eid_min": ("min", "f_eid"), "f_eid_max": ("max", "f_eid")},
+        entity="user_id", ts="ts", window_s=7200.0)
+    return out.select("event_id", "user_id", "f_eid_n", "f_eid_sum",
+                      "f_eid_min", "f_eid_max")
+
+
+def test_stateful_windowed_agg_equals_batch_single_batch(spark, sf_dir,
+                                                         ev_dir, ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema).withColumn(
+        "f_eid", F.when(F.col("event_type") == "purchase", F.col("event_id")))
+    st.run_available_now(
+        st.stateful_windowed_agg(stream, "f_eid", window_s=7200.0),
+        "t_wagg1", output_mode="append")
+    got = spark.table("t_wagg1").select(
+        "event_id", "user_id", "f_eid_n", "f_eid_sum", "f_eid_min",
+        "f_eid_max")
+    assert _pdf(got).equals(_pdf(_batch_wagg_want(spark, sf_dir)))
+
+
+def test_stateful_windowed_agg_equals_batch_multi_batch(spark, sf_dir,
+                                                        ev_schema,
+                                                        tmp_path_factory):
+    """The in-window feature history must carry across micro-batches: a
+    median-time split puts many rows' trailing 2h window astride the
+    trigger boundary."""
+    import time as _t
+
+    out = str(tmp_path_factory.mktemp("events_wagg_2b"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    ev.where(us <= med).coalesce(1).write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    ev.where(us > med).coalesce(1).write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour")
+              .withColumn("f_eid", F.when(F.col("event_type") == "purchase",
+                                          F.col("event_id"))))
+    st.run_available_now(
+        st.stateful_windowed_agg(stream, "f_eid", window_s=7200.0),
+        "t_wagg2", output_mode="append")
+    got = spark.table("t_wagg2").select(
+        "event_id", "user_id", "f_eid_n", "f_eid_sum", "f_eid_min",
+        "f_eid_max")
+    assert _pdf(got).equals(_pdf(_batch_wagg_want(spark, sf_dir)))
