@@ -338,11 +338,146 @@ def _q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fm.leakage_audit(matrix)
 
 
+_FM4_SPLIT = "2024-01-16 00:00:00"
+_FM4_BINS = 10
+_FM5_KW = dict(n_folds=5, val_fold=2, embargo_s=86400.0, purge_s=43200.0)
+
+
+def _q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM4: distribution-drift histograms (PSI binning) between the first
+    and second half of the event stream, for two features. Graded columns
+    are exact ints plus single-division proportions and the identical-
+    formula bin edges; psi_term (ln) is allclose-tested in pytest, not
+    hash-graded."""
+    from profet_spark.operators import feature_matrix as fm
+
+    base = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("double").alias("value"),
+        F.length("props").cast("double").alias("plen"))
+    split = F.lit(_FM4_SPLIT).cast("timestamp")
+    out = fm.feature_drift(base.where(F.col("ts") < split),
+                           base.where(F.col("ts") >= split),
+                           ["value", "plen"], n_bins=_FM4_BINS)
+    return out.select("feature", "bin", "bin_lo", "bin_hi",
+                      "n_ref", "n_cur", "p_ref", "p_cur")
+
+
+def _fm4_oracle_sql() -> str:
+    """DuckDB twin of _q_feature_drift — identical IEEE expression text
+    for the bin id, edges, and proportions (exact-int counts, one
+    division each)."""
+    n, split = _FM4_BINS, _FM4_SPLIT
+    return f"""
+        WITH base AS (
+          SELECT ts, CAST(value AS DOUBLE) AS value,
+                 CAST(length(props) AS DOUBLE) AS plen
+          FROM events),
+        pairs AS (
+          SELECT 0 AS side, 'plen' AS feature, plen AS v FROM base
+          WHERE ts < TIMESTAMP '{split}' AND plen IS NOT NULL
+          UNION ALL
+          SELECT 0, 'value', value FROM base
+          WHERE ts < TIMESTAMP '{split}' AND value IS NOT NULL
+          UNION ALL
+          SELECT 1, 'plen', plen FROM base
+          WHERE ts >= TIMESTAMP '{split}' AND plen IS NOT NULL
+          UNION ALL
+          SELECT 1, 'value', value FROM base
+          WHERE ts >= TIMESTAMP '{split}' AND value IS NOT NULL),
+        edges AS (
+          SELECT feature, min(v) AS lo, max(v) AS hi
+          FROM pairs WHERE side = 0 GROUP BY 1),
+        binned AS (
+          SELECT p.side, p.feature,
+                 CASE WHEN e.hi = e.lo THEN CAST(1 AS BIGINT)
+                      ELSE least(CAST({n} AS BIGINT),
+                                 greatest(CAST(1 AS BIGINT),
+                                          1 + CAST(floor(((p.v - e.lo) * {float(n)!r})
+                                                         / (e.hi - e.lo)) AS BIGINT)))
+                 END AS bin
+          FROM pairs p JOIN edges e USING (feature)),
+        counts AS (
+          SELECT feature, bin,
+                 CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM binned GROUP BY 1, 2),
+        spine AS (
+          SELECT e.feature, e.lo, e.hi, CAST(b.bin AS BIGINT) AS bin
+          FROM edges e, (SELECT unnest(range(1, {n + 1})) AS bin) b),
+        hist AS (
+          SELECT s.feature, s.bin, s.lo, s.hi,
+                 coalesce(c.n_ref, CAST(0 AS BIGINT)) AS n_ref,
+                 coalesce(c.n_cur, CAST(0 AS BIGINT)) AS n_cur
+          FROM spine s LEFT JOIN counts c
+            ON s.feature = c.feature AND s.bin = c.bin),
+        tot AS (
+          SELECT *, CAST(sum(n_ref) OVER (PARTITION BY feature) AS BIGINT) AS tr,
+                 CAST(sum(n_cur) OVER (PARTITION BY feature) AS BIGINT) AS tc
+          FROM hist)
+        SELECT feature, bin,
+               lo + CAST(bin - 1 AS DOUBLE) * ((hi - lo) / {float(n)!r}) AS bin_lo,
+               CASE WHEN bin = {n} THEN hi
+                    ELSE lo + CAST(bin AS DOUBLE) * ((hi - lo) / {float(n)!r})
+               END AS bin_hi,
+               n_ref, n_cur,
+               CASE WHEN tr > 0
+                    THEN CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) END AS p_ref,
+               CASE WHEN tc > 0
+                    THEN CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) END AS p_cur
+        FROM tot
+    """
+
+
+def _q_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM5: purged k-fold time-series CV roles with embargo over the event
+    spine — fold 2 validation, 12h label purge, 24h embargo. Pure int64
+    microsecond arithmetic end-to-end, so fold AND role hash-grade."""
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    out = fm.purged_cv_roles(ev, ts="ts", **_FM5_KW)
+    return out.select("user_id", "ts", "event_id", "fold", "cv_role")
+
+
+def _fm5_oracle_sql() -> str:
+    """DuckDB twin of _q_purged_cv: same exact-int fold grid; `//` floors
+    but every numerator is clamped non-negative, so it agrees with
+    Spark's truncating DIV bit-for-bit."""
+    n, k = _FM5_KW["n_folds"], _FM5_KW["val_fold"]
+    emb = int(round(_FM5_KW["embargo_s"] * 1_000_000))
+    pur = int(round(_FM5_KW["purge_s"] * 1_000_000))
+    fold = lambda shift: (  # noqa: E731
+        f"least(CAST({n - 1} AS BIGINT), "
+        f"(greatest(us + CAST({shift} AS BIGINT), lo) - lo) * {n} "
+        f"// (hi - lo + 1))")
+    return f"""
+        WITH b AS (
+          SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events),
+        r AS (
+          SELECT user_id, ts, event_id, epoch_us(ts) AS us, b.lo, b.hi
+          FROM events, b),
+        f AS (
+          SELECT user_id, ts, event_id,
+                 {fold(0)} AS fold,
+                 {fold(pur)} AS fold_p,
+                 {fold(-emb)} AS fold_e
+          FROM r)
+        SELECT user_id, ts, event_id, fold,
+               CASE WHEN fold = {k} THEN 'val'
+                    WHEN fold < {k} AND fold_p >= {k} THEN 'purged'
+                    WHEN fold > {k} AND fold_e <= {k} THEN 'purged'
+                    ELSE 'train' END AS cv_role
+        FROM f
+    """
+
+
 def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W9+W10+W11+FM2 merged suite: one graded row covers grid resampling,
-    rolling quantile, phash drift, and the leakage audit. Generic layout
-    (part, e, t, s, i1-i4, x1) with explicit casts; -1 sentinels only
-    where a column is never semantically NULL."""
+    """W9-W12+FM2-FM5 merged suite: one graded row covers grid resampling,
+    rolling quantile, phash drift, the leakage audit, decayed stats, the
+    trailing-window aggregates, the drift histograms, and the purged CV
+    roles. Generic layout (part, e, t, s, i1-i4, x1) with explicit casts;
+    -1 sentinels only where a column is never semantically NULL."""
     i64 = lambda v: F.lit(v).cast("bigint")  # noqa: E731
     ev = _events(spark, sf_dir)
     tz = ev.schema["ts"].dataType
@@ -388,8 +523,22 @@ def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("i1"), F.col("n_purch").alias("i2"),
         F.col("sum_eid").alias("i3"), i64(-1).alias("i4"),
         F.col("max_val").alias("x1"))
+    fd = _q_feature_drift(spark, sf_dir)
+    fd_parts = [
+        fd.select(F.lit(tag).alias("part"), i64(-1).alias("e"),
+                  null_t.alias("t"), F.col("feature").alias("s"),
+                  F.col("bin").alias("i1"), F.col("n_ref").alias("i2"),
+                  F.col("n_cur").alias("i3"), i64(-1).alias("i4"),
+                  F.col(c).alias("x1"))
+        for tag, c in [("fdr", "p_ref"), ("fdc", "p_cur")]]
+    cv = _q_purged_cv(spark, sf_dir).select(
+        F.lit("cv").alias("part"), F.col("user_id").alias("e"),
+        F.col("ts").alias("t"), F.col("cv_role").alias("s"),
+        F.col("event_id").alias("i1"), F.col("fold").alias("i2"),
+        i64(-1).alias("i3"), i64(-1).alias("i4"),
+        F.lit(-1.0).alias("x1"))
     out = grid.unionByName(rq).unionByName(drift).unionByName(audit)
-    for p in decay_parts + [wagg]:
+    for p in decay_parts + [wagg] + fd_parts + [cv]:
         out = out.unionByName(p)
     return out
 
@@ -1961,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm_embargo_matrix": _q_embargo_matrix,
         "fm3_windowed_agg": _q_windowed_agg,
         "st_fm3_wagg_stream": _q_stream_wagg,
+        "fm4_feature_drift": _q_feature_drift,
+        "fm5_purged_cv": _q_purged_cv,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
         "n3_ivf_ann_distributed": _q_ivf_ann_distributed,
@@ -2562,6 +2713,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # W12 decayed stats: weights are the SAME Python floats on both sides
     d["w12_decayed"] = _w12_oracle_sql()
+    d["fm4_feature_drift"] = _fm4_oracle_sql()
+    d["fm5_purged_cv"] = _fm5_oracle_sql()
     # FM3 trailing-window aggregates: inequality join + group twin of the
     # rangeBetween window (count + int64 sum exact; min/max value copies)
     d["fm3_windowed_agg"] = """
@@ -2640,6 +2793,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'wagg', user_id, ts, '', event_id,
                n_purch, sum_eid, CAST(-1 AS BIGINT), max_val
         FROM ({d['fm3_windowed_agg']})
+        UNION ALL
+        SELECT 'fdr', CAST(-1 AS BIGINT), CAST(NULL AS TIMESTAMP), feature,
+               bin, n_ref, n_cur, CAST(-1 AS BIGINT), p_ref
+        FROM ({d['fm4_feature_drift']})
+        UNION ALL
+        SELECT 'fdc', CAST(-1 AS BIGINT), CAST(NULL AS TIMESTAMP), feature,
+               bin, n_ref, n_cur, CAST(-1 AS BIGINT), p_cur
+        FROM ({d['fm4_feature_drift']})
+        UNION ALL
+        SELECT 'cv', user_id, ts, cv_role, event_id,
+               fold, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1.0 AS DOUBLE)
+        FROM ({d['fm5_purged_cv']})
     """
     d["fm_training_matrix"] = """
         WITH purch AS (

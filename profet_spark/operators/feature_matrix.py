@@ -427,3 +427,249 @@ def windowed_spine_agg(
     res = u.select(F.col(_SIDE), *[F.col(c) for c in spine.columns
                                    if c != _SIDE], *outs)
     return res.where(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def feature_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    features: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """FM4: per-feature distribution-drift histogram between a reference
+    slice and a current slice — the monitoring companion to
+    :func:`leakage_audit`. For each feature the reference slice defines
+    ``n_bins`` equal-width bins over its [min, max]; both slices are
+    binned (out-of-range current values clamp to the edge bins, the PSI
+    convention) and counted. Output is one row per (feature, bin):
+
+    ``(feature, bin, bin_lo, bin_hi, n_ref, n_cur, p_ref, p_cur,
+    psi_term)``
+
+    - ``n_ref``/``n_cur``: exact non-null counts (NULLs are excluded);
+    - ``p_ref``/``p_cur``: bin proportions — one IEEE division of exact
+      int64 counts, so they are engine-portable bit-for-bit;
+    - ``psi_term``: the population-stability-index term
+      ``(p_cur' - p_ref') * ln(p_cur'/p_ref')`` under add-half Laplace
+      smoothing (``p' = (n + 0.5) / (tot + 0.5*n_bins)``), never NULL or
+      infinite even for empty bins. ``sum(psi_term)`` per feature is the
+      PSI (rule of thumb: <0.1 stable, >0.25 drifted). ``ln`` is not
+      guaranteed bitwise-identical across engines, so graded oracles
+      should hash the count/proportion columns and leave ``psi_term`` to
+      allclose tests.
+
+    Empty bins are emitted (count 0) — PSI over a sparse histogram is
+    meaningless otherwise. A feature that is constant in the reference
+    slice (min == max) puts every value in bin 1. A feature with an empty
+    reference slice has undefined edges and is dropped (0 output rows);
+    callers should treat a missing feature in the output as "no baseline".
+
+    Scale shape: each side collapses through a narrow
+    ``explode(feature, value)`` projection into ONE hash aggregate keyed
+    (feature, bin, side) with map-side partials — the shuffle carries
+    O(features × bins) rows regardless of input size. The edge table
+    (|features| rows) and the bin spine (|features| × n_bins rows) are
+    broadcast. Two passes over the reference slice (edges, then counts):
+    at 10^12 scale, persist or checkpoint the narrow ref projection if
+    the input scan dominates.
+    """
+    if n_bins < 1:
+        raise ValueError("feature_drift: n_bins must be >= 1")
+    if not features:
+        raise ValueError("feature_drift: no features given")
+    for side_name, df in (("ref", ref), ("cur", cur)):
+        missing = [c for c in features if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"feature_drift: {missing} not in the {side_name} slice")
+
+    def narrow(df: DataFrame, side: int) -> DataFrame:
+        pairs = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("feature"),
+                     F.col(c).cast("double").alias("v"))
+            for c in sorted(features)
+        ])).alias("p")
+        return (df.select(pairs)
+                .select(F.lit(side).alias("_side"),
+                        F.col("p.feature").alias("feature"),
+                        F.col("p.v").alias("v"))
+                .where(F.col("v").isNotNull()))
+
+    r, c = narrow(ref, 0), narrow(cur, 1)
+    edges = r.groupBy("feature").agg(F.min("v").alias("lo"),
+                                     F.max("v").alias("hi"))
+
+    nb = F.lit(float(n_bins))
+    # clamped equal-width binning; identical expression text in the SQL
+    # oracle so the IEEE arithmetic (and therefore the bin id) matches
+    # bit-for-bit
+    raw = F.floor(((F.col("v") - F.col("lo")) * nb) /
+                  (F.col("hi") - F.col("lo"))).cast("bigint")
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(1).cast("bigint")) \
+            .otherwise(F.least(F.lit(n_bins).cast("bigint"),
+                               F.greatest(F.lit(1).cast("bigint"),
+                                          F.lit(1) + raw)))
+    binned = (r.unionByName(c)
+              .join(F.broadcast(edges), "feature")
+              .select("_side", "feature", bin_.alias("bin")))
+    counts = binned.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_cur"),
+    )
+    spine = edges.select(
+        "feature", "lo", "hi",
+        F.explode(F.sequence(F.lit(1).cast("bigint"),
+                             F.lit(n_bins).cast("bigint"))).alias("bin"))
+    hist = (spine.join(counts, ["feature", "bin"], "left")
+            .select("feature", "bin", "lo", "hi",
+                    F.coalesce("n_ref", F.lit(0).cast("bigint")).alias("n_ref"),
+                    F.coalesce("n_cur", F.lit(0).cast("bigint")).alias("n_cur")))
+    wf = Window.partitionBy("feature")
+    tot_r = F.sum("n_ref").over(wf)
+    tot_c = F.sum("n_cur").over(wf)
+    width = (F.col("hi") - F.col("lo")) / nb
+    p_ref = F.when(tot_r > 0, F.col("n_ref").cast("double") /
+                   tot_r.cast("double"))
+    p_cur = F.when(tot_c > 0, F.col("n_cur").cast("double") /
+                   tot_c.cast("double"))
+    half = F.lit(0.5)
+    smooth = lambda n, tot: ((n.cast("double") + half) /  # noqa: E731
+                             (tot.cast("double") + half * nb))
+    ps_r = smooth(F.col("n_ref"), tot_r)
+    ps_c = smooth(F.col("n_cur"), tot_c)
+    return hist.select(
+        "feature", "bin",
+        (F.col("lo") + (F.col("bin") - 1).cast("double") * width)
+        .alias("bin_lo"),
+        F.when(F.col("bin") == n_bins, F.col("hi"))
+        .otherwise(F.col("lo") + F.col("bin").cast("double") * width)
+        .alias("bin_hi"),
+        "n_ref", "n_cur",
+        p_ref.alias("p_ref"), p_cur.alias("p_cur"),
+        ((ps_c - ps_r) * F.log(ps_c / ps_r)).alias("psi_term"),
+    )
+
+
+def assign_time_folds(
+    df: DataFrame,
+    ts: str = "ts",
+    n_folds: int = 5,
+    bounds: tuple | None = None,
+    out_col: str = "fold",
+) -> DataFrame:
+    """FM5a: equal-time-width fold assignment for time-series cross
+    validation. Adds ``out_col`` ∈ [0, n_folds): fold k covers the k-th
+    equal slice of [min(ts), max(ts)] (the last fold owns the upper
+    boundary). All arithmetic is exact int64 microseconds —
+    ``(us - lo) * n DIV span`` with ``span = hi - lo + 1`` — clamped
+    non-negative before the division so truncating (Spark ``DIV``) and
+    flooring (DuckDB ``//``) integer division agree: the fold id is
+    engine-portable bit-for-bit, no float boundary jitter.
+
+    ``bounds=(lo_ts, hi_ts)`` pins the fold grid explicitly (two
+    timestamp-coercible literals). Required for streaming (a stream has
+    no global min/max) — with bounds given, the operator is a stateless
+    per-row projection, trivially stream-safe and shuffle-free. Without
+    it the bounds come from ONE 1-row global aggregate broadcast back
+    via crossJoin — no driver collect, no second scan of a wide plan
+    (only ``ts`` is read). Rows outside explicit bounds clamp into the
+    edge folds.
+    """
+    if n_folds < 1:
+        raise ValueError("assign_time_folds: n_folds must be >= 1")
+    if out_col in df.columns:
+        raise ValueError(f"assign_time_folds: {out_col!r} already exists")
+    base = _with_cv_bounds(df, ts, bounds)
+    return (base.withColumn(out_col, _fold_expr("__cv_us", n_folds))
+            .drop("__cv_us", "__cv_lo", "__cv_hi"))
+
+
+def _with_cv_bounds(df: DataFrame, ts: str, bounds) -> DataFrame:
+    """Attach ``__cv_us`` (exact int64 µs of ts) and the fold-grid bounds
+    ``__cv_lo``/``__cv_hi`` — from literals, or from ONE broadcast 1-row
+    global aggregate (no driver collect)."""
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    if bounds is not None:
+        base = (df.withColumn("__cv_lo",
+                              F.unix_micros(F.lit(bounds[0]).cast("timestamp")))
+                .withColumn("__cv_hi",
+                            F.unix_micros(F.lit(bounds[1]).cast("timestamp"))))
+    else:
+        b = df.select(F.min(us).alias("__cv_lo"), F.max(us).alias("__cv_hi"))
+        base = df.crossJoin(F.broadcast(b))
+    return base.withColumn("__cv_us", us)
+
+
+def _fold_expr(us_col: str, n_folds: int, shift_us: int = 0):
+    """``clamp((max(us+shift, lo) - lo) * n DIV (hi - lo + 1), 0, n-1)``
+    over the ``__cv_*`` columns — pure int64 (SQL ``DIV``), numerator
+    clamped non-negative so truncating (Spark) and flooring (DuckDB
+    ``//``) integer division coincide: bit-portable, no float hop."""
+    n = n_folds
+    return F.expr(
+        f"least(CAST({n - 1} AS BIGINT), "
+        f"(greatest({us_col} + CAST({shift_us} AS BIGINT), __cv_lo) - __cv_lo)"
+        f" * {n} DIV (__cv_hi - __cv_lo + 1))")
+
+
+def purged_cv_roles(
+    df: DataFrame,
+    ts: str = "ts",
+    n_folds: int = 5,
+    val_fold: int = 0,
+    embargo_s: float = 0.0,
+    purge_s: float = 0.0,
+    bounds: tuple | None = None,
+    out_col: str = "cv_role",
+) -> DataFrame:
+    """FM5b: purged k-fold time-series CV roles with embargo (the López
+    de Prado construction) — the zero-leakage split that matches this
+    engine's point-in-time training matrices. Adds ``fold`` plus
+    ``out_col`` ∈ {'val', 'purged', 'train'} for validation fold
+    ``val_fold``:
+
+    - ``val``: the row's fold IS ``val_fold``;
+    - ``purged``: a non-val row whose label window or feature window
+      overlaps the validation slice —
+      * *purge* (look-ahead): a row before the slice whose label matures
+        inside it — ``fold(us + purge_s) >= val_fold`` (interval overlap,
+        not equality: a purge horizon longer than one fold still purges);
+      * *embargo* (serial correlation): a row after the slice whose
+        trailing features still read validation-period data —
+        ``fold(us - embargo_s) <= val_fold``;
+    - ``train``: everything else. Training on ``role = 'train'`` and
+      evaluating on ``'val'`` is leakage-free by construction for labels
+      maturing within ``purge_s`` and features looking back at most
+      ``embargo_s`` (set them to the matrix's windows, e.g. FM3's
+      ``window_s``).
+
+    Same exact-int64 fold grid as :func:`assign_time_folds` (equal time
+    width; explicit ``bounds`` for streaming/stateless use). The whole
+    operator is one projection over the broadcast 1-row bounds — no
+    shuffle of the input, stream-safe with explicit bounds, and every
+    comparison is integer, so the role is engine-portable bit-for-bit.
+    """
+    if not (0 <= val_fold < n_folds):
+        raise ValueError(
+            f"purged_cv_roles: val_fold {val_fold} outside [0, {n_folds})")
+    for name, v in (("embargo_s", embargo_s), ("purge_s", purge_s)):
+        if v < 0:
+            raise ValueError(f"purged_cv_roles: {name} must be >= 0")
+    for c in ("fold", out_col):
+        if c in df.columns:
+            raise ValueError(f"purged_cv_roles: column {c!r} already exists")
+    emb_us = int(round(float(embargo_s) * 1_000_000))
+    pur_us = int(round(float(purge_s) * 1_000_000))
+    base = _with_cv_bounds(df, ts, bounds)
+    fold = _fold_expr("__cv_us", n_folds)
+    k = F.lit(val_fold).cast("bigint")
+    purged = ((fold < k) &
+              (_fold_expr("__cv_us", n_folds, shift_us=pur_us) >= k)) | \
+             ((fold > k) &
+              (_fold_expr("__cv_us", n_folds, shift_us=-emb_us) <= k))
+    role = (F.when(fold == k, F.lit("val"))
+            .when(purged, F.lit("purged"))
+            .otherwise(F.lit("train")))
+    return (base.withColumn("fold", fold).withColumn(out_col, role)
+            .drop("__cv_us", "__cv_lo", "__cv_hi"))

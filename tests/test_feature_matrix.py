@@ -511,3 +511,205 @@ def test_windowed_spine_agg_plan_and_validation(spark, dfs):
                            entity="image_id", ts="ts", window_s=0)
     with pytest.raises(ValueError, match="no aggregates"):
         windowed_spine_agg(sdf, adf, {}, entity="image_id", ts="ts")
+
+
+# ---------------------------------------------------------------- FM4 drift
+
+
+def _drift_fixture(seed=7):
+    rng = np.random.default_rng(seed)
+    n = 600
+    ref = pd.DataFrame({
+        "a": rng.normal(10.0, 3.0, n),
+        "b": rng.exponential(2.0, n),
+    })
+    cur = pd.DataFrame({
+        "a": rng.normal(12.5, 4.0, n),          # shifted → drift
+        "b": rng.exponential(2.1, n) + 50.0,    # mostly out of ref range
+    })
+    ref.loc[rng.choice(n, 25, replace=False), "a"] = np.nan
+    cur.loc[rng.choice(n, 40, replace=False), "b"] = np.nan
+    return ref, cur
+
+
+def _np_drift(ref, cur, feats, n_bins):
+    """Independent numpy recompute of feature_drift (same binning rule)."""
+    rows = {}
+    for f in feats:
+        r = ref[f].dropna().to_numpy(float)
+        c = cur[f].dropna().to_numpy(float)
+        lo, hi = r.min(), r.max()
+
+        def binify(v):
+            if hi == lo:
+                return np.ones(len(v), dtype=np.int64)
+            raw = np.floor(((v - lo) * float(n_bins)) / (hi - lo)).astype(np.int64)
+            return np.clip(1 + raw, 1, n_bins)
+
+        nr = np.bincount(binify(r), minlength=n_bins + 1)[1:]
+        nc = np.bincount(binify(c), minlength=n_bins + 1)[1:]
+        pr = nr / nr.sum() if nr.sum() else np.full(n_bins, np.nan)
+        pc = nc / nc.sum() if nc.sum() else np.full(n_bins, np.nan)
+        sr = (nr + 0.5) / (nr.sum() + 0.5 * n_bins)
+        sc = (nc + 0.5) / (nc.sum() + 0.5 * n_bins)
+        psi = (sc - sr) * np.log(sc / sr)
+        rows[f] = (nr, nc, pr, pc, psi)
+    return rows
+
+
+def test_feature_drift_matches_numpy(spark):
+    from profet_spark.operators.feature_matrix import feature_drift
+
+    ref, cur = _drift_fixture()
+    n_bins = 7
+    out = feature_drift(spark.createDataFrame(ref), spark.createDataFrame(cur),
+                        ["a", "b"], n_bins=n_bins).toPandas()
+    exp = _np_drift(ref, cur, ["a", "b"], n_bins)
+    assert len(out) == 2 * n_bins
+    for f in ("a", "b"):
+        got = out[out.feature == f].sort_values("bin").reset_index(drop=True)
+        nr, nc, pr, pc, psi = exp[f]
+        assert (got.n_ref.to_numpy() == nr).all()
+        assert (got.n_cur.to_numpy() == nc).all()
+        np.testing.assert_array_equal(got.p_ref.to_numpy(float), pr)
+        np.testing.assert_array_equal(got.p_cur.to_numpy(float), pc)
+        np.testing.assert_allclose(got.psi_term.to_numpy(float), psi,
+                                   rtol=1e-12)
+        # PSI of the planted mean shift must scream
+        if f == "a":
+            assert got.psi_term.sum() > 0.1
+    # out-of-range current values clamp into the edge bins, none lost
+    b = out[out.feature == "b"]
+    assert b.n_cur.sum() == cur["b"].notna().sum()
+    assert b[b.bin == n_bins].n_cur.iloc[0] > 0
+
+
+def test_feature_drift_constant_and_empty_ref(spark):
+    from profet_spark.operators.feature_matrix import feature_drift
+
+    ref = pd.DataFrame({"k": [5.0] * 20, "gone": [np.nan] * 20})
+    cur = pd.DataFrame({"k": [5.0, 7.0, 3.0], "gone": [1.0, 2.0, 3.0]})
+    out = feature_drift(spark.createDataFrame(ref), spark.createDataFrame(cur),
+                        ["k", "gone"], n_bins=4).toPandas()
+    # 'gone' has an empty reference slice → no baseline → dropped
+    assert set(out.feature) == {"k"}
+    k = out.sort_values("bin")
+    # constant reference: everything (both sides) lands in bin 1
+    assert k.n_ref.tolist() == [20, 0, 0, 0]
+    assert k.n_cur.tolist() == [3, 0, 0, 0]
+    assert k.p_ref.tolist()[0] == 1.0
+
+
+def test_feature_drift_validation_and_plan(spark):
+    from profet_spark.operators.feature_matrix import feature_drift
+
+    ref, cur = _drift_fixture()
+    rdf, cdf = spark.createDataFrame(ref), spark.createDataFrame(cur)
+    with pytest.raises(ValueError, match="n_bins"):
+        feature_drift(rdf, cdf, ["a"], n_bins=0)
+    with pytest.raises(ValueError, match="no features"):
+        feature_drift(rdf, cdf, [])
+    with pytest.raises(ValueError, match="not in the cur"):
+        feature_drift(rdf, cdf.drop("b"), ["a", "b"])
+    d = feature_drift(rdf, cdf, ["a", "b"], n_bins=5)
+    assert is_python_free(d)
+    plan = formatted_plan(d)
+    # the edge table and bin spine ride broadcast; the only wide shuffle
+    # is the O(features × bins) hash aggregate
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- FM5 CV
+
+
+def _cv_fixture(seed=13, n=400):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2025-03-01") + pd.to_timedelta(
+        rng.integers(0, 40 * 86400, n), unit="s")
+    return pd.DataFrame({
+        "image_id": [f"e{int(i):03d}" for i in rng.integers(0, 25, n)],
+        "ts": ts, "y": rng.normal(n)})
+
+
+def _np_fold(us, lo, hi, n_folds, shift=0):
+    span = hi - lo + 1
+    pos = np.maximum(us + shift, lo) - lo
+    return np.minimum(n_folds - 1, (pos * n_folds) // span)
+
+
+@pytest.mark.parametrize("n_folds,val_fold,emb_s,pur_s", [
+    (5, 2, 86400.0, 43200.0),
+    (5, 0, 3600.0, 0.0),
+    (4, 3, 0.0, 7200.0),
+    (3, 1, 0.0, 20 * 86400.0),   # purge horizon wider than a whole fold
+])
+def test_purged_cv_roles_brute_force(spark, n_folds, val_fold, emb_s, pur_s):
+    from profet_spark.operators.feature_matrix import purged_cv_roles
+
+    pdf = _cv_fixture()
+    out = purged_cv_roles(spark.createDataFrame(pdf), ts="ts",
+                          n_folds=n_folds, val_fold=val_fold,
+                          embargo_s=emb_s, purge_s=pur_s
+                          ).toPandas().sort_values(["ts", "image_id"])
+    us = pdf.sort_values(["ts", "image_id"]).ts.astype("int64").to_numpy() // 1000
+    lo, hi = us.min(), us.max()
+    fold = _np_fold(us, lo, hi, n_folds)
+    fp = _np_fold(us, lo, hi, n_folds, shift=int(pur_s * 1e6))
+    fe = _np_fold(us, lo, hi, n_folds, shift=-int(emb_s * 1e6))
+    role = np.where(
+        fold == val_fold, "val",
+        np.where(((fold < val_fold) & (fp >= val_fold)) |
+                 ((fold > val_fold) & (fe <= val_fold)), "purged", "train"))
+    assert (out.fold.to_numpy() == fold).all()
+    assert (out.cv_role.to_numpy() == role).all()
+    # independent interval-overlap invariant: no train row's label window
+    # [us, us+purge] or feature window [us-embargo, us] touches the
+    # validation slice {t : fold(t) == k}
+    span = hi - lo + 1
+    val_start = lo + -(-val_fold * span // n_folds)            # ceil div
+    val_end = lo + -(-(val_fold + 1) * span // n_folds) - 1
+    tr = us[role == "train"]
+    before = tr[fold[role == "train"] < val_fold]
+    after = tr[fold[role == "train"] > val_fold]
+    assert (before + int(pur_s * 1e6) < val_start).all()
+    assert (after - int(emb_s * 1e6) > val_end).all()
+
+
+def test_assign_time_folds_bounds_and_edges(spark):
+    from profet_spark.operators.feature_matrix import assign_time_folds
+
+    pdf = _cv_fixture(seed=3, n=100)
+    sdf = spark.createDataFrame(pdf)
+    # explicit bounds: stateless projection — no Exchange anywhere
+    f = assign_time_folds(sdf, ts="ts", n_folds=4,
+                          bounds=("2025-03-05 00:00:00", "2025-03-20 00:00:00"))
+    assert "Exchange" not in formatted_plan(f)
+    got = f.toPandas()
+    lo = pd.Timestamp("2025-03-05").value // 1000
+    hi = pd.Timestamp("2025-03-20").value // 1000
+    us = got.ts.astype("int64").to_numpy() // 1000
+    np.testing.assert_array_equal(got.fold.to_numpy(),
+                                  _np_fold(us, lo, hi, 4))
+    # rows outside the bounds clamp into the edge folds
+    assert got[got.ts < "2025-03-05"].fold.eq(0).all()
+    assert got[got.ts >= "2025-03-20"].fold.eq(3).all()
+    # degenerate: one distinct timestamp → everything fold 0
+    one = spark.createDataFrame(pdf.assign(ts=pd.Timestamp("2025-03-01")))
+    assert assign_time_folds(one, n_folds=5).toPandas().fold.eq(0).all()
+
+
+def test_purged_cv_validation(spark):
+    from profet_spark.operators.feature_matrix import (assign_time_folds,
+                                                       purged_cv_roles)
+
+    sdf = spark.createDataFrame(_cv_fixture(seed=5, n=50))
+    with pytest.raises(ValueError, match="val_fold"):
+        purged_cv_roles(sdf, n_folds=3, val_fold=3)
+    with pytest.raises(ValueError, match="embargo_s"):
+        purged_cv_roles(sdf, val_fold=1, embargo_s=-1.0)
+    with pytest.raises(ValueError, match="already exists"):
+        purged_cv_roles(sdf.withColumn("fold", F.lit(1)), val_fold=0)
+    with pytest.raises(ValueError, match="already exists"):
+        assign_time_folds(sdf.withColumn("fold", F.lit(1)))
+    with pytest.raises(ValueError, match="n_folds"):
+        assign_time_folds(sdf, n_folds=0)
