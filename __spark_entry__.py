@@ -472,6 +472,132 @@ def _fm5_oracle_sql() -> str:
     """
 
 
+_FE2_M, _FE2_PRIOR = 8.0, 50.0
+
+
+def _q_split_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE1 (×FM5 composition): purged-CV roles → fit standardization
+    stats on the TRAIN slice only → apply z-scores to every row. The
+    leakage-safe scaler end-to-end: stats are exact decimal sums, the
+    z/mean/std derivations are mirrored IEEE text, so the whole
+    composition hash-grades."""
+    from profet_spark.operators import encoding as enc
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", F.col("value").cast("double").alias("value"),
+        F.length("props").cast("double").alias("plen"))
+    roles = fm.purged_cv_roles(ev, ts="ts", **_FM5_KW)
+    fit = enc.fit_feature_scaler(
+        roles.where(F.col("cv_role") == "train"), ["value", "plen"])
+    out = enc.apply_feature_scaler(roles, fit, ["value", "plen"])
+    return out.select("event_id", "ts", "cv_role", "value_z", "plen_z")
+
+
+def _fe1_oracle_sql() -> str:
+    """DuckDB twin of _q_split_scaler: same fold/role CTEs as FM5, fit
+    CTE over exact DECIMAL(18,6) sums, mirrored mean/var/std/z text
+    (sqrt is correctly rounded ⇒ bit-portable)."""
+    n, k = _FM5_KW["n_folds"], _FM5_KW["val_fold"]
+    emb = int(round(_FM5_KW["embargo_s"] * 1_000_000))
+    pur = int(round(_FM5_KW["purge_s"] * 1_000_000))
+    fold = lambda shift: (  # noqa: E731
+        f"least(CAST({n - 1} AS BIGINT), "
+        f"(greatest(us + CAST({shift} AS BIGINT), lo) - lo) * {n} "
+        f"// (hi - lo + 1))")
+    stats = lambda c: (  # noqa: E731
+        f"count({c}) AS n_{c}, "
+        f"CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c}, "
+        f"CAST(sum(CAST({c} AS DECIMAL(18,6)) * CAST({c} AS DECIMAL(18,6)))"
+        f" AS DOUBLE) AS ss_{c}")
+    # mirrored text of encoding.fit_feature_scaler's mean/var/std chain
+    std = lambda c: (  # noqa: E731
+        f"CASE WHEN n_{c} >= 2 THEN sqrt(greatest("
+        f"(ss_{c} - s_{c} * (s_{c} / CAST(n_{c} AS DOUBLE)))"
+        f" / (CAST(n_{c} AS DOUBLE) - 1.0), 0.0)) END")
+    z = lambda c: (  # noqa: E731
+        f"CASE WHEN sd_{c} > 0 THEN ({c} - m_{c}) / sd_{c} END")
+    return f"""
+        WITH b AS (
+          SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events),
+        r AS (
+          SELECT event_id, ts, CAST(value AS DOUBLE) AS value,
+                 CAST(length(props) AS DOUBLE) AS plen,
+                 epoch_us(ts) AS us, b.lo, b.hi
+          FROM events, b),
+        f AS (
+          SELECT *, {fold(0)} AS fold, {fold(pur)} AS fold_p,
+                 {fold(-emb)} AS fold_e
+          FROM r),
+        roled AS (
+          SELECT event_id, ts, value, plen,
+                 CASE WHEN fold = {k} THEN 'val'
+                      WHEN fold < {k} AND fold_p >= {k} THEN 'purged'
+                      WHEN fold > {k} AND fold_e <= {k} THEN 'purged'
+                      ELSE 'train' END AS cv_role
+          FROM f),
+        fit AS (
+          SELECT {stats('value')}, {stats('plen')}
+          FROM roled WHERE cv_role = 'train'),
+        sc AS (
+          SELECT n_value, s_value / CAST(n_value AS DOUBLE) AS m_value,
+                 {std('value')} AS sd_value,
+                 n_plen, s_plen / CAST(n_plen AS DOUBLE) AS m_plen,
+                 {std('plen')} AS sd_plen
+          FROM fit)
+        SELECT event_id, ts, cv_role,
+               {z('value')} AS value_z,
+               {z('plen')} AS plen_z
+        FROM roled, sc
+    """
+
+
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE2: time-aware target encoding of event_type by value — expanding
+    strictly-prior category mean (no self, no future), raw and smoothed
+    (m=8 toward prior 50). Exact decimal sums; the encoding is one
+    mirrored division, so both variants hash-grade."""
+    from profet_spark.operators import encoding as enc
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type",
+                                       "value")
+    out = enc.time_aware_target_encode(
+        ev, "event_type", "value", ts="ts", tiebreak=["event_id"],
+        out_col="te_raw")
+    out = enc.time_aware_target_encode(
+        out, "event_type", "value", ts="ts", tiebreak=["event_id"],
+        smoothing=_FE2_M, prior=_FE2_PRIOR, out_col="te_smooth")
+    return out.select("event_id", "ts", "event_type", "value",
+                      "te_raw", "te_smooth")
+
+
+def _fe2_oracle_sql() -> str:
+    """DuckDB twin of _q_target_encode — same strictly-prior frame over
+    the same total order, exact decimal sums, mirrored encoding text
+    (the m=0 variant keeps the algebraically-dead `+ 0.0 * prior` term
+    so the expression text stays identical)."""
+    m, p = _FE2_M, _FE2_PRIOR
+    enc = lambda mm, pp: (  # noqa: E731
+        f"CASE WHEN CAST(n_prev AS DOUBLE) + {mm!r} > 0 THEN "
+        f"(coalesce(s_prev, 0.0) + {mm!r} * {pp!r})"
+        f" / (CAST(n_prev AS DOUBLE) + {mm!r}) END")
+    return f"""
+        WITH w AS (
+          SELECT event_id, ts, event_type, value,
+                 count(CAST(value AS DECIMAL(18,6))) OVER win AS n_prev,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE)
+                   AS s_prev
+          FROM events
+          WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id, ts, event_type, value,
+               {enc(0.0, 0.0)} AS te_raw,
+               {enc(m, p)} AS te_smooth
+        FROM w
+    """
+
+
 def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9-W12+FM2-FM5 merged suite: one graded row covers grid resampling,
     rolling quantile, phash drift, the leakage audit, decayed stats, the
@@ -537,8 +663,24 @@ def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("i1"), F.col("fold").alias("i2"),
         i64(-1).alias("i3"), i64(-1).alias("i4"),
         F.lit(-1.0).alias("x1"))
+    scal = _q_split_scaler(spark, sf_dir)
+    sc_parts = [
+        scal.select(F.lit(tag).alias("part"), F.col("event_id").alias("e"),
+                    F.col("ts").alias("t"), F.col("cv_role").alias("s"),
+                    i64(-1).alias("i1"), i64(-1).alias("i2"),
+                    i64(-1).alias("i3"), i64(-1).alias("i4"),
+                    F.col(c).alias("x1"))
+        for tag, c in [("scv", "value_z"), ("scp", "plen_z")]]
+    te = _q_target_encode(spark, sf_dir)
+    te_parts = [
+        te.select(F.lit(tag).alias("part"), F.col("event_id").alias("e"),
+                  F.col("ts").alias("t"), F.col("event_type").alias("s"),
+                  i64(-1).alias("i1"), i64(-1).alias("i2"),
+                  i64(-1).alias("i3"), i64(-1).alias("i4"),
+                  F.col(c).alias("x1"))
+        for tag, c in [("te", "te_raw"), ("tes", "te_smooth")]]
     out = grid.unionByName(rq).unionByName(drift).unionByName(audit)
-    for p in decay_parts + [wagg] + fd_parts + [cv]:
+    for p in decay_parts + [wagg] + fd_parts + [cv] + sc_parts + te_parts:
         out = out.unionByName(p)
     return out
 
@@ -2112,6 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_fm3_wagg_stream": _q_stream_wagg,
         "fm4_feature_drift": _q_feature_drift,
         "fm5_purged_cv": _q_purged_cv,
+        "fe1_split_scaler": _q_split_scaler,
+        "fe2_target_encode": _q_target_encode,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
         "n2_lsh_ann_distributed": _q_lsh_ann_distributed,
         "n3_ivf_ann_distributed": _q_ivf_ann_distributed,
@@ -2715,6 +2859,8 @@ def oracle_sql() -> dict[str, str]:
     d["w12_decayed"] = _w12_oracle_sql()
     d["fm4_feature_drift"] = _fm4_oracle_sql()
     d["fm5_purged_cv"] = _fm5_oracle_sql()
+    d["fe1_split_scaler"] = _fe1_oracle_sql()
+    d["fe2_target_encode"] = _fe2_oracle_sql()
     # FM3 trailing-window aggregates: inequality join + group twin of the
     # rangeBetween window (count + int64 sum exact; min/max value copies)
     d["fm3_windowed_agg"] = """
@@ -2806,6 +2952,26 @@ def oracle_sql() -> dict[str, str]:
                fold, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1.0 AS DOUBLE)
         FROM ({d['fm5_purged_cv']})
+        UNION ALL
+        SELECT 'scv', event_id, ts, cv_role, CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               value_z
+        FROM ({d['fe1_split_scaler']})
+        UNION ALL
+        SELECT 'scp', event_id, ts, cv_role, CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               plen_z
+        FROM ({d['fe1_split_scaler']})
+        UNION ALL
+        SELECT 'te', event_id, ts, event_type, CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               te_raw
+        FROM ({d['fe2_target_encode']})
+        UNION ALL
+        SELECT 'tes', event_id, ts, event_type, CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               te_smooth
+        FROM ({d['fe2_target_encode']})
     """
     d["fm_training_matrix"] = """
         WITH purch AS (
