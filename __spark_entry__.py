@@ -1982,6 +1982,29 @@ def _q_stream_wagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_eid_max")
 
 
+def _q_stream_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 FE2 streaming twin: online time-aware target encoding —
+    O(1) per-category (count, exact micro-unit sum) state, each row
+    encoded strictly before its own label folds in. Replayed with
+    availableNow and graded against the SAME mirrored-decimal DuckDB
+    oracle as the batch fe2 (smoothed variant)."""
+    import uuid
+
+    from profet_spark import streaming as st
+
+    ev = _events(spark, sf_dir)
+    name = f"st_te_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir),
+                                    ev.schema)
+    st.run_available_now(
+        st.stateful_target_encode(stream, "event_type", "value",
+                                  smoothing=_FE2_M, prior=_FE2_PRIOR,
+                                  out_col="te_smooth"),
+        name, output_mode="append")
+    return spark.table(name).select("event_id", "ts", "event_type",
+                                    "value", "te_smooth")
+
+
 # ------------------------------------------- merged coverage queries
 # The driver grades only the FIRST 50 keys of queries() (insertion order).
 # Full §2 operator coverage needs ~57 distinct queries, so closely-related
@@ -2252,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm_embargo_matrix": _q_embargo_matrix,
         "fm3_windowed_agg": _q_windowed_agg,
         "st_fm3_wagg_stream": _q_stream_wagg,
+        "st_fe2_te_stream": _q_stream_target_encode,
         "fm4_feature_drift": _q_feature_drift,
         "fm5_purged_cv": _q_purged_cv,
         "fe1_split_scaler": _q_split_scaler,
@@ -2861,6 +2885,11 @@ def oracle_sql() -> dict[str, str]:
     d["fm5_purged_cv"] = _fm5_oracle_sql()
     d["fe1_split_scaler"] = _fe1_oracle_sql()
     d["fe2_target_encode"] = _fe2_oracle_sql()
+    # streaming twin grades against the same mirrored-decimal window SQL
+    d["st_fe2_te_stream"] = f"""
+        SELECT event_id, ts, event_type, value, te_smooth
+        FROM ({_fe2_oracle_sql()})
+    """
     # FM3 trailing-window aggregates: inequality join + group twin of the
     # rangeBetween window (count + int64 sum exact; min/max value copies)
     d["fm3_windowed_agg"] = """

@@ -13,6 +13,7 @@ from profet_spark.streaming.temporal_stream import (  # noqa: F401
     stateful_decayed_stats,
     stateful_drift_profile,
     stateful_matrix_attach,
+    stateful_target_encode,
     stateful_windowed_agg,
     tumbling_counts,
 )

@@ -553,3 +553,82 @@ def stateful_windowed_agg(stream: DataFrame, src_col: str,
         .applyInPandasWithState(agg, out_schema, state_schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def stateful_target_encode(stream: DataFrame, category: str, label: str,
+                           ts: str = "ts", smoothing: float = 0.0,
+                           prior: float = 0.0,
+                           out_col: str | None = None) -> DataFrame:
+    """FE2 streaming twin — time-aware target encoding with O(1)
+    per-category state: ``(n_prior, sum_prior)`` carried across
+    micro-batches, each row encoded from the state BEFORE its own label
+    is folded in (strictly prior, so the online encoder emits exactly
+    what the batch operator backfills).
+
+    Bitwise parity with :func:`operators.encoding.time_aware_target_encode`:
+    the batch side sums an exact ``decimal(18,6)`` projection and casts
+    once to double, so the state here is the exact integer micro-unit sum
+    (``Decimal(repr(v)).quantize(1e-6, HALF_UP)`` — the same shortest-
+    repr + HALF_UP rounding Spark's double→decimal cast applies) and the
+    encoding is the same mirrored IEEE expression over (exact sum, exact
+    count). NULL labels (NaN in Arrow) contribute to neither but are
+    still encoded. Ordering contract as the other stateful kernels:
+    per-category time-monotonic micro-batches, equal-ts rows in arrival
+    (tiebreak) order.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType as ST,
+    )
+
+    if smoothing < 0:
+        raise ValueError("stateful_target_encode: smoothing must be >= 0")
+    out_col = out_col or f"{category}_te"
+    if out_col in stream.columns:
+        raise ValueError(f"stateful_target_encode: {out_col!r} exists")
+    out_schema = ST(list(stream.schema.fields) +
+                    [StructField(out_col, DoubleType())])
+    state_schema = ST([StructField("n", LongType()),
+                       StructField("s_micro", LongType())])
+    in_cols = stream.columns
+    m = float(smoothing)
+    mp = m * float(prior)  # same constant product Catalyst folds
+    q6 = Decimal("0.000001")
+
+    def fold(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        n0, s0 = state.get if state.exists else (0, 0)
+        v = pdf[label].to_numpy(np.float64)
+        pres = ~np.isnan(v)
+        micro = np.array([
+            int(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
+                .scaleb(6)) if p else 0
+            for x, p in zip(v.tolist(), pres.tolist())], dtype=np.int64)
+        # strictly-prior exclusive prefix over (count, exact micro sum)
+        n_prev = n0 + np.concatenate(([0], np.cumsum(pres.astype(np.int64))[:-1]))
+        s_prev_micro = s0 + np.concatenate(([0], np.cumsum(micro)[:-1]))
+        # one correctly-rounded decimal->double per row (the batch's
+        # CAST(sum AS DOUBLE)), then the mirrored encoding expression
+        s_prev = np.array([float(Decimal(int(sm)).scaleb(-6))
+                           for sm in s_prev_micro], dtype=np.float64)
+        denom = n_prev.astype(np.float64) + m
+        with np.errstate(divide="ignore", invalid="ignore"):
+            enc = np.where(denom > 0, (s_prev + mp) / denom, np.nan)
+        state.update((int(n_prev[-1] + int(pres[-1])),
+                      int(s_prev_micro[-1] + int(micro[-1]))))
+        pdf[out_col] = enc
+        yield pdf[in_cols + [out_col]]
+
+    return (
+        stream.groupBy(category)
+        .applyInPandasWithState(fold, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )

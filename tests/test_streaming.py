@@ -552,3 +552,53 @@ def test_stateful_windowed_agg_equals_batch_multi_batch(spark, sf_dir,
         "event_id", "user_id", "f_eid_n", "f_eid_sum", "f_eid_min",
         "f_eid_max")
     assert _pdf(got).equals(_pdf(_batch_wagg_want(spark, sf_dir)))
+
+
+def _batch_te_want(spark, sf_dir):
+    from profet_spark.operators.encoding import time_aware_target_encode
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    out = time_aware_target_encode(ev, "event_type", "value", ts="ts",
+                                   tiebreak=["event_id"], smoothing=8.0,
+                                   prior=50.0, out_col="te")
+    return out.select("event_id", "event_type", "te")
+
+
+def test_stateful_target_encode_equals_batch_single_batch(spark, sf_dir,
+                                                          ev_dir, ev_schema):
+    stream = st.read_parquet_stream(spark, ev_dir, ev_schema)
+    st.run_available_now(
+        st.stateful_target_encode(stream, "event_type", "value",
+                                  smoothing=8.0, prior=50.0, out_col="te"),
+        "t_te1", output_mode="append")
+    got = spark.table("t_te1").select("event_id", "event_type", "te")
+    assert _pdf(got).equals(_pdf(_batch_te_want(spark, sf_dir)))
+
+
+def test_stateful_target_encode_equals_batch_multi_batch(spark, sf_dir,
+                                                         ev_schema,
+                                                         tmp_path_factory):
+    """The (count, exact micro-sum) state must carry across micro-batches:
+    a median-time split makes every category's later encodings depend on
+    pre-boundary history — equality is bitwise (the exact-decimal sum +
+    mirrored-division contract), not a tolerance."""
+    import time as _t
+
+    out = str(tmp_path_factory.mktemp("events_te_2b"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    ev.where(us <= med).coalesce(1).write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    ev.where(us > med).coalesce(1).write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    st.run_available_now(
+        st.stateful_target_encode(stream, "event_type", "value",
+                                  smoothing=8.0, prior=50.0, out_col="te"),
+        "t_te2", output_mode="append")
+    got = spark.table("t_te2").select("event_id", "event_type", "te")
+    assert _pdf(got).equals(_pdf(_batch_te_want(spark, sf_dir)))
