@@ -194,6 +194,26 @@ def main():
             "user_id", "ts", F.col("value").alias("x"),
             F.lit(None).cast("double").alias("x2")))
 
+    def feature_encoding(spark, sf_dir):
+        """Leakage-safe encoding tier (new in round 3): purged-CV roles →
+        standardization fit on the train slice only → broadcast z-score
+        apply, plus strictly-prior target encoding of the category
+        column. Own stage key so earlier-round totals stay comparable."""
+        from profet_spark.operators import encoding as enc
+        from profet_spark.operators import feature_matrix as fm
+        ev = (load_table(spark, sf_dir, "events").repartition(n_parts)
+              .select("event_id", "ts", "event_type",
+                      F.col("value").cast("double").alias("value"),
+                      F.length("props").cast("double").alias("plen")))
+        roles = fm.purged_cv_roles(ev, ts="ts", n_folds=5, val_fold=2,
+                                   embargo_s=86400.0, purge_s=43200.0)
+        fit = enc.fit_feature_scaler(
+            roles.where(F.col("cv_role") == "train"), ["value", "plen"])
+        out = enc.apply_feature_scaler(roles, fit, ["value", "plen"])
+        return enc.time_aware_target_encode(
+            out, "event_type", "value", ts="ts", tiebreak=["event_id"],
+            smoothing=8.0, prior=50.0)
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir),
         "profile_features": lambda: profile_features(spark, sf_dir),
@@ -204,6 +224,7 @@ def main():
         "curation_dedup_quality": lambda: curation_ops(spark, sf_dir),
         "ann_cosine_topk": lambda: ann_topk(spark, sf_dir),
         "corpus_pipeline": lambda: corpus_pipeline(spark, sf_dir),
+        "feature_encoding": lambda: feature_encoding(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start
