@@ -2005,6 +2005,81 @@ def _q_stream_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "value", "te_smooth")
 
 
+def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 FM4 streaming twin: the production drift monitor — per-6h
+    tumbling window drift histograms of the streamed 'current' half
+    against the STATIC reference edges (stream-static broadcast join +
+    windowed count). Replayed with availableNow; the oracle recomputes
+    the same bins and windows over the same slice in DuckDB."""
+    import uuid
+
+    from profet_spark import streaming as st
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir)
+    split = F.lit(_FM4_SPLIT).cast("timestamp")
+    base = ev.select(
+        "ts", F.col("value").cast("double").alias("value"),
+        F.length("props").cast("double").alias("plen"))
+    edges = fm.drift_edges(base.where(F.col("ts") < split),
+                           ["value", "plen"])
+    name = f"st_drift_{uuid.uuid4().hex[:8]}"
+    stream = (st.read_parquet_stream(spark, _stream_events_dir(sf_dir),
+                                     ev.schema)
+              .where(F.col("ts") >= F.lit(_FM4_SPLIT).cast("timestamp"))
+              .select("ts", F.col("value").cast("double").alias("value"),
+                      F.length("props").cast("double").alias("plen")))
+    st.run_available_now(
+        st.windowed_drift_counts(stream, edges, ["value", "plen"],
+                                 n_bins=_FM4_BINS, window="6 hours"),
+        name)
+    return spark.table(name).select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        F.col("win_end").cast("timestamp_ntz").alias("win_end"),
+        "feature", "bin", "n_cur")
+
+
+def _st_fm4_oracle_sql() -> str:
+    """DuckDB twin of _q_stream_drift: identical edge/bin expressions
+    (shared with _fm4_oracle_sql), time_bucket tumbling windows."""
+    n, split = _FM4_BINS, _FM4_SPLIT
+    return f"""
+        WITH base AS (
+          SELECT ts, CAST(value AS DOUBLE) AS value,
+                 CAST(length(props) AS DOUBLE) AS plen
+          FROM events),
+        refp AS (
+          SELECT 'plen' AS feature, plen AS v FROM base
+          WHERE ts < TIMESTAMP '{split}' AND plen IS NOT NULL
+          UNION ALL
+          SELECT 'value', value FROM base
+          WHERE ts < TIMESTAMP '{split}' AND value IS NOT NULL),
+        edges AS (
+          SELECT feature, min(v) AS lo, max(v) AS hi
+          FROM refp GROUP BY 1),
+        cur AS (
+          SELECT ts, 'plen' AS feature, plen AS v FROM base
+          WHERE ts >= TIMESTAMP '{split}' AND plen IS NOT NULL
+          UNION ALL
+          SELECT ts, 'value', value FROM base
+          WHERE ts >= TIMESTAMP '{split}' AND value IS NOT NULL),
+        binned AS (
+          SELECT time_bucket(INTERVAL '6 hours', c.ts) AS win_start,
+                 c.feature,
+                 CASE WHEN e.hi = e.lo THEN CAST(1 AS BIGINT)
+                      ELSE least(CAST({n} AS BIGINT),
+                                 greatest(CAST(1 AS BIGINT),
+                                          1 + CAST(floor(((c.v - e.lo) * {float(n)!r})
+                                                         / (e.hi - e.lo)) AS BIGINT)))
+                 END AS bin
+          FROM cur c JOIN edges e USING (feature))
+        SELECT win_start, win_start + INTERVAL '6 hours' AS win_end,
+               feature, bin, CAST(count(*) AS BIGINT) AS n_cur
+        FROM binned
+        GROUP BY win_start, feature, bin
+    """
+
+
 # ------------------------------------------- merged coverage queries
 # The driver grades only the FIRST 50 keys of queries() (insertion order).
 # Full §2 operator coverage needs ~57 distinct queries, so closely-related
@@ -2276,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm3_windowed_agg": _q_windowed_agg,
         "st_fm3_wagg_stream": _q_stream_wagg,
         "st_fe2_te_stream": _q_stream_target_encode,
+        "st_fm4_drift_stream": _q_stream_drift,
         "fm4_feature_drift": _q_feature_drift,
         "fm5_purged_cv": _q_purged_cv,
         "fe1_split_scaler": _q_split_scaler,
@@ -2890,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, ts, event_type, value, te_smooth
         FROM ({_fe2_oracle_sql()})
     """
+    d["st_fm4_drift_stream"] = _st_fm4_oracle_sql()
     # FM3 trailing-window aggregates: inequality join + group twin of the
     # rangeBetween window (count + int64 sum exact; min/max value copies)
     d["fm3_windowed_agg"] = """

@@ -429,6 +429,44 @@ def windowed_spine_agg(
     return res.where(F.col(_SIDE) == 1).drop(_SIDE)
 
 
+def _drift_narrow(df: DataFrame, features: list[str], side: int,
+                  extra: list[str] | None = None) -> DataFrame:
+    """Narrow (feature, value) explode projection, non-null values only."""
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("feature"),
+                 F.col(c).cast("double").alias("v"))
+        for c in sorted(features)
+    ])).alias("p")
+    return (df.select(*(extra or []), pairs)
+            .select(*(extra or []), F.lit(side).alias("_side"),
+                    F.col("p.feature").alias("feature"),
+                    F.col("p.v").alias("v"))
+            .where(F.col("v").isNotNull()))
+
+
+def drift_bin_expr(n_bins: int) -> F.Column:
+    """Clamped equal-width bin id over columns (v, lo, hi) — identical
+    expression text in the SQL oracle, so the IEEE arithmetic (and
+    therefore the bin id) matches bit-for-bit."""
+    nb = F.lit(float(n_bins))
+    raw = F.floor(((F.col("v") - F.col("lo")) * nb) /
+                  (F.col("hi") - F.col("lo"))).cast("bigint")
+    return F.when(F.col("hi") == F.col("lo"), F.lit(1).cast("bigint")) \
+            .otherwise(F.least(F.lit(n_bins).cast("bigint"),
+                               F.greatest(F.lit(1).cast("bigint"),
+                                          F.lit(1) + raw)))
+
+
+def drift_edges(ref: DataFrame, features: list[str]) -> DataFrame:
+    """FM4 helper: the reference slice's per-feature bin edges
+    ``(feature, lo, hi)`` — materialize this small table once (S7 sink /
+    checkpoint) and feed it to the streaming drift monitor, whose static
+    side it becomes."""
+    return (_drift_narrow(ref, features, 0)
+            .groupBy("feature").agg(F.min("v").alias("lo"),
+                                    F.max("v").alias("hi")))
+
+
 def feature_drift(
     ref: DataFrame,
     cur: DataFrame,
@@ -482,35 +520,16 @@ def feature_drift(
             raise ValueError(
                 f"feature_drift: {missing} not in the {side_name} slice")
 
-    def narrow(df: DataFrame, side: int) -> DataFrame:
-        pairs = F.explode(F.array(*[
-            F.struct(F.lit(c).alias("feature"),
-                     F.col(c).cast("double").alias("v"))
-            for c in sorted(features)
-        ])).alias("p")
-        return (df.select(pairs)
-                .select(F.lit(side).alias("_side"),
-                        F.col("p.feature").alias("feature"),
-                        F.col("p.v").alias("v"))
-                .where(F.col("v").isNotNull()))
-
-    r, c = narrow(ref, 0), narrow(cur, 1)
+    r, c = (_drift_narrow(df, features, side)
+            for side, df in ((0, ref), (1, cur)))
     edges = r.groupBy("feature").agg(F.min("v").alias("lo"),
                                      F.max("v").alias("hi"))
 
     nb = F.lit(float(n_bins))
-    # clamped equal-width binning; identical expression text in the SQL
-    # oracle so the IEEE arithmetic (and therefore the bin id) matches
-    # bit-for-bit
-    raw = F.floor(((F.col("v") - F.col("lo")) * nb) /
-                  (F.col("hi") - F.col("lo"))).cast("bigint")
-    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(1).cast("bigint")) \
-            .otherwise(F.least(F.lit(n_bins).cast("bigint"),
-                               F.greatest(F.lit(1).cast("bigint"),
-                                          F.lit(1) + raw)))
     binned = (r.unionByName(c)
               .join(F.broadcast(edges), "feature")
-              .select("_side", "feature", bin_.alias("bin")))
+              .select("_side", "feature",
+                      drift_bin_expr(n_bins).alias("bin")))
     counts = binned.groupBy("feature", "bin").agg(
         F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
         .cast("bigint").alias("n_ref"),

@@ -16,4 +16,5 @@ from profet_spark.streaming.temporal_stream import (  # noqa: F401
     stateful_target_encode,
     stateful_windowed_agg,
     tumbling_counts,
+    windowed_drift_counts,
 )

@@ -632,3 +632,35 @@ def stateful_target_encode(stream: DataFrame, category: str, label: str,
         .applyInPandasWithState(fold, out_schema, state_schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def windowed_drift_counts(stream: DataFrame, edges: DataFrame,
+                          features: list[str], n_bins: int = 10,
+                          ts: str = "ts", window: str = "1 hour") -> DataFrame:
+    """FM4 streaming twin — per-tumbling-window drift histograms against a
+    STATIC reference: the production drift monitor. ``edges`` is the
+    materialized :func:`operators.feature_matrix.drift_edges` table of the
+    reference slice (broadcast as the static side of a stream-static
+    join); incoming rows collapse through the same narrow (feature,
+    value) explode, bin with the same clamped equal-width expression, and
+    count per ``(window, feature, bin)``.
+
+    Output: ``(win_start, win_end, feature, bin, n_cur)`` — exact int64
+    counts, append-mode emission once the watermark passes each window.
+    State is the open windows' count map (O(windows × features × bins)),
+    never the rows. Downstream PSI against the reference proportions is a
+    broadcast join away; alerts are a filter.
+    """
+    from profet_spark.operators.feature_matrix import (_drift_narrow,
+                                                       drift_bin_expr)
+
+    narrow = _drift_narrow(stream, features, 1, extra=[ts])
+    binned = (narrow.join(F.broadcast(edges), "feature")
+              .select(F.col(ts), "feature",
+                      drift_bin_expr(n_bins).alias("bin")))
+    win = F.window(F.col(ts), window)
+    return (binned.groupBy(win.alias("w"), "feature", "bin")
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"),
+                    "feature", "bin", "n_cur"))

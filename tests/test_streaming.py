@@ -3,6 +3,7 @@ exactly the batch operator's result when replayed over the same rows."""
 
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -602,3 +603,38 @@ def test_stateful_target_encode_equals_batch_multi_batch(spark, sf_dir,
         "t_te2", output_mode="append")
     got = spark.table("t_te2").select("event_id", "event_type", "te")
     assert _pdf(got).equals(_pdf(_batch_te_want(spark, sf_dir)))
+
+
+def test_windowed_drift_counts_sum_to_batch_histogram(spark, sf_dir, ev_dir,
+                                                      ev_schema):
+    """FM4 twin: tumbling windows partition the current slice, so summing
+    the streamed per-window counts per (feature, bin) must reproduce the
+    batch feature_drift histogram exactly; windows also respect the
+    split boundary."""
+    from profet_spark.operators.feature_matrix import (drift_edges,
+                                                       feature_drift)
+
+    split = "2024-01-05 00:00:00"
+    base = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("double").alias("value"))
+    ref = base.where(F.col("ts") < F.lit(split).cast("timestamp"))
+    cur = base.where(F.col("ts") >= F.lit(split).cast("timestamp"))
+    want = (feature_drift(ref, cur, ["value"], n_bins=6)
+            .select("feature", "bin", "n_cur").toPandas()
+            .sort_values(["feature", "bin"]).reset_index(drop=True))
+
+    stream = (st.read_parquet_stream(spark, ev_dir, ev_schema)
+              .where(F.col("ts") >= F.lit(split).cast("timestamp"))
+              .select("ts", F.col("value").cast("double").alias("value")))
+    st.run_available_now(
+        st.windowed_drift_counts(stream, drift_edges(ref, ["value"]),
+                                 ["value"], n_bins=6, window="6 hours"),
+        "t_drifthist")
+    got_w = spark.table("t_drifthist").toPandas()
+    assert (got_w.win_start >= pd.Timestamp(split)).all()
+    got = (got_w.groupby(["feature", "bin"], as_index=False).n_cur.sum()
+           .sort_values(["feature", "bin"]).reset_index(drop=True))
+    merged = want.merge(got, on=["feature", "bin"], how="left",
+                        suffixes=("_b", "_s"))
+    merged["n_cur_s"] = merged.n_cur_s.fillna(0).astype(int)
+    assert (merged.n_cur_b == merged.n_cur_s).all()
