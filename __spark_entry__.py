@@ -1156,7 +1156,52 @@ def _q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("i5"),
         F.lit(-1).cast("bigint").alias("i6"),
         F.col("tfidf").alias("x"))
-    return doc_rows.unionByName(term_rows)
+    neg_rows = _q_hash_negatives(spark, sf_dir).select(
+        F.lit("neg").alias("part"), "doc_id", F.lit("").alias("s"),
+        F.col("r").alias("i1"),
+        F.coalesce(F.col("neg_id"), F.lit(-1).cast("bigint")).alias("i2"),
+        F.lit(-1).cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"),
+        F.lit(-1).cast("bigint").alias("i5"),
+        F.lit(-1).cast("bigint").alias("i6"),
+        F.lit(-1.0).alias("x"))
+    return doc_rows.unionByName(term_rows).unionByName(neg_rows)
+
+
+_P5_K, _P5_BUCKETS = 3, 16
+
+
+def _q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: deterministic contrastive negative sampling — k salted-hash
+    ring successors per doc within hash buckets (operators/corpus.py).
+    Pure function of (salt, id): hash-grades bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.hash_ring_negatives(docs, "doc_id", k=_P5_K,
+                                      n_buckets=_P5_BUCKETS)
+
+
+def _p5_oracle_sql() -> str:
+    """DuckDB twin of _q_hash_negatives: same salted h32 ring positions,
+    same (r, bucket) window with wrap via first_value."""
+    h = H.h32_sql_duckdb(
+        "'neg:' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH rep AS (
+          SELECT doc_id, r
+          FROM documents, (SELECT unnest(range(1, {_P5_K + 1})) AS r) _r),
+        b AS (
+          SELECT doc_id, r, {h} AS h, {h} % {_P5_BUCKETS} AS bucket
+          FROM rep),
+        s AS (
+          SELECT doc_id, r,
+                 coalesce(lead(doc_id) OVER w, first_value(doc_id) OVER w)
+                   AS neg
+          FROM b
+          WINDOW w AS (PARTITION BY r, bucket ORDER BY h, doc_id))
+        SELECT doc_id, r,
+               CASE WHEN neg = doc_id THEN NULL ELSE neg END AS neg_id
+        FROM s
+    """
 
 
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2365,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_pack_chunks": _q_pack_chunks,
         "p3_pack_chunks_sharded": _q_pack_chunks_sharded,
         "p4_tfidf": _q_tfidf,
+        "p5_hash_negatives": _q_hash_negatives,
     }
 
 
@@ -2895,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         FROM tf JOIN dfq USING (word) CROSS JOIN n
     """
     # P1-P4 merged suite: all four component oracles verbatim, tagged
+    d["p5_hash_negatives"] = _p5_oracle_sql()
     d["p1p4_corpus_suite"] = f"""
         SELECT 'doc' AS part, s.doc_id, s.split AS s,
                s.split_bucket AS i1,
@@ -2911,6 +2958,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), tfidf
         FROM ({d['p4_tfidf']})
+        UNION ALL
+        SELECT 'neg', doc_id, '', r,
+               coalesce(neg_id, CAST(-1 AS BIGINT)),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+        FROM ({d['p5_hash_negatives']})
     """
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"

@@ -362,3 +362,52 @@ def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return (tf.join(dfreq, "word")
             .select("doc_id", "word", "tf", "df",
                     score.alias("tfidf")))
+
+
+def hash_ring_negatives(df: DataFrame, id_col: str = "doc_id", k: int = 4,
+                        n_buckets: int = 64,
+                        salt: str = "neg") -> DataFrame:
+    """P5: deterministic negative sampling for contrastive training —
+    ``k`` pseudo-random partners per id, reproducible across runs,
+    engines, and corpus repartitioning. For each round ``r`` in [1, k],
+    every id gets a salted ring position ``h32('{salt}:r:' || id)``; its
+    negative is the NEXT id on the ring (wrapping), restricted to the
+    id's hash bucket. Buckets are themselves hash-uniform, so the
+    within-bucket wrap preserves the uniform-random pairing while making
+    the op fully distributed: the only shuffle carries ``(r, bucket, h,
+    id)`` — ~24 bytes/row × k — and each window partition holds
+    ~|ids| × k / n_buckets rows. No per-row Python, no driver collect.
+
+    Returns one row per (id, round): ``(id_col, r, neg_id)``. ``neg_id``
+    is NULL when the id is alone in its bucket for that round (rare for
+    |ids| ≫ n_buckets; raise ``n_buckets`` only as the corpus grows).
+    Ids must be non-null and unique (the usual corpus contract); rounds
+    use independent salts, so the k negatives of an anchor are
+    independent draws (collisions across rounds possible, as in any
+    with-replacement sampler).
+    """
+    if k < 1:
+        raise ValueError("hash_ring_negatives: k must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("hash_ring_negatives: n_buckets must be >= 1")
+    guarded = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"hash_ring_negatives: NULL {id_col} — negatives are a pure "
+            "function of the id")).cast("string"),
+    ).otherwise(F.col(id_col).cast("string"))
+    rep = (df.select(F.col(id_col),
+                     F.explode(F.sequence(F.lit(1), F.lit(k))).alias("r"))
+           .withColumn("r", F.col("r").cast("bigint")))
+    h = H.h32(F.concat(F.lit(f"{salt}:"), F.col("r").cast("string"),
+                       F.lit(":"), guarded))
+    b = rep.select(id_col, "r", h.alias("h")) \
+           .withColumn("bucket", F.col("h") % n_buckets)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("r", "bucket").orderBy("h", id_col)
+    neg = F.coalesce(F.lead(id_col).over(w), F.first(id_col).over(w))
+    return (b.withColumn("_neg", neg)
+            .select(id_col, "r",
+                    F.when(F.col("_neg") == F.col(id_col), F.lit(None))
+                    .otherwise(F.col("_neg")).alias("neg_id")))

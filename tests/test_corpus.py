@@ -272,3 +272,54 @@ def test_corpus_tier_on_string_id_snapshot_table(spark):
     for i, t in enumerate(ordered.cap_len):
         assert int(packed.start_offset[i]) == acc
         acc += int(t)
+
+
+# ------------------------------------------------------------- P5 negatives
+
+
+def test_hash_ring_negatives_bijection_and_determinism(spark):
+    ids = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    sdf = spark.createDataFrame(ids)
+    out = corpus.hash_ring_negatives(sdf, "doc_id", k=3, n_buckets=8)
+    pdf = out.toPandas()
+    assert len(pdf) == 3000
+    # never self; with 1000 ids over 8 buckets no singleton buckets
+    assert pdf.neg_id.notna().all()
+    assert (pdf.neg_id != pdf.doc_id).all()
+    # the ring successor is a bijection: per round, every id is the
+    # negative of exactly one anchor — perfectly balanced usage
+    for r, g in pdf.groupby("r"):
+        assert g.neg_id.is_unique
+        assert set(g.neg_id) == set(ids.doc_id)
+    # rounds are independent draws (not all identical pairings)
+    byr = pdf.pivot(index="doc_id", columns="r", values="neg_id")
+    assert (byr[1] != byr[2]).any()
+    # deterministic across invocations
+    again = corpus.hash_ring_negatives(sdf, "doc_id", k=3, n_buckets=8)
+    assert sorted(map(tuple, pdf.itertuples(index=False))) == \
+        sorted(map(tuple, again.toPandas().itertuples(index=False)))
+
+
+def test_hash_ring_negatives_singleton_and_guards(spark):
+    one = spark.createDataFrame(pd.DataFrame({"doc_id": [42]}))
+    pdf = corpus.hash_ring_negatives(one, "doc_id", k=2).toPandas()
+    # alone in every bucket: NULL negative, loudly absent — never self
+    assert len(pdf) == 2 and pdf.neg_id.isna().all()
+    with pytest.raises(ValueError, match="k must be"):
+        corpus.hash_ring_negatives(one, "doc_id", k=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        corpus.hash_ring_negatives(one, "doc_id", n_buckets=0)
+    null_id = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.array([1, None], dtype="Int64")}))
+    with pytest.raises(Exception, match="NULL doc_id"):
+        corpus.hash_ring_negatives(null_id, "doc_id").collect()
+
+
+def test_hash_ring_negatives_plan_one_exchange(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)}))
+    out = corpus.hash_ring_negatives(sdf, "doc_id", k=4, n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only shuffle is the narrow (r, bucket) hash exchange
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
