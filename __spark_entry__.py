@@ -2050,7 +2050,7 @@ def _q_stream_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "value", "te_smooth")
 
 
-def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 FM4 streaming twin: the production drift monitor — per-6h
     tumbling window drift histograms of the streamed 'current' half
     against the STATIC reference edges (stream-static broadcast join +
@@ -2085,7 +2085,7 @@ def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _st_fm4_oracle_sql() -> str:
-    """DuckDB twin of _q_stream_drift: identical edge/bin expressions
+    """DuckDB twin of _q_stream_drift_monitor: identical edge/bin expressions
     (shared with _fm4_oracle_sql), time_bucket tumbling windows."""
     n, split = _FM4_BINS, _FM4_SPLIT
     return f"""
@@ -2396,7 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm3_windowed_agg": _q_windowed_agg,
         "st_fm3_wagg_stream": _q_stream_wagg,
         "st_fe2_te_stream": _q_stream_target_encode,
-        "st_fm4_drift_stream": _q_stream_drift,
+        "st_fm4_drift_stream": _q_stream_drift_monitor,
         "fm4_feature_drift": _q_feature_drift,
         "fm5_purged_cv": _q_purged_cv,
         "fe1_split_scaler": _q_split_scaler,

@@ -137,3 +137,17 @@ def test_grading_window_covers_every_operator_family():
     assert len(required) == 50
     missing = required - window
     assert not missing, f"graded window lost operator coverage: {missing}"
+
+
+def test_entry_module_has_no_shadowed_definitions():
+    """A duplicated top-level def in __spark_entry__.py silently rebinds
+    every earlier queries() registration to the later body (this bit the
+    FM4/W11 stream twins — both briefly served the same DataFrame).
+    Parse, don't import: shadowing is invisible at runtime."""
+    import ast
+
+    tree = ast.parse(open(ENTRY.__file__).read())
+    names = [n.name for n in tree.body
+             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"shadowed top-level defs: {sorted(dupes)}"
