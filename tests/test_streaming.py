@@ -638,3 +638,26 @@ def test_windowed_drift_counts_sum_to_batch_histogram(spark, sf_dir, ev_dir,
                         suffixes=("_b", "_s"))
     merged["n_cur_s"] = merged.n_cur_s.fillna(0).astype(int)
     assert (merged.n_cur_b == merged.n_cur_s).all()
+
+
+def test_stream_cv_roles_with_bounds_equal_batch(spark, sf_dir,
+                                                 tmp_path_factory):
+    """FM5 with explicit bounds is a stateless Exchange-free projection,
+    so purged-CV fold/role assignment streams unchanged — the online
+    labeling a serving pipeline applies row-by-row equals the batch
+    split exactly."""
+    from profet_spark.operators.feature_matrix import purged_cv_roles
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                    "ts")
+    out = str(tmp_path_factory.mktemp("events_cv_stream"))
+    ev.coalesce(2).write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(ev.schema).parquet(out)
+    kw = dict(ts="ts", n_folds=4, val_fold=1, embargo_s=43200.0,
+              purge_s=21600.0,
+              bounds=("2024-01-01 00:00:00", "2024-01-31 00:00:00"))
+    st.run_available_now(purged_cv_roles(stream, **kw), "t_cv_stream",
+                         output_mode="append")
+    got = spark.table("t_cv_stream").select("event_id", "fold", "cv_role")
+    want = purged_cv_roles(ev, **kw).select("event_id", "fold", "cv_role")
+    assert _pdf(got).equals(_pdf(want))
