@@ -439,10 +439,21 @@ def _q_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "event_id", "fold", "cv_role")
 
 
-def _fm5_oracle_sql() -> str:
-    """DuckDB twin of _q_purged_cv: same exact-int fold grid; `//` floors
-    but every numerator is clamped non-negative, so it agrees with
-    Spark's truncating DIV bit-for-bit."""
+def _q_walk_forward_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM5 walk-forward variant: the classic backtest split — train
+    strictly on the past, post-val folds marked 'future'. Same exact
+    int64 fold grid, hash-graded."""
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    out = fm.purged_cv_roles(ev, ts="ts", scheme="walk_forward", **_FM5_KW)
+    return out.select("user_id", "ts", "event_id", "fold", "cv_role")
+
+
+def _fm5_oracle_sql(walk_forward: bool = False) -> str:
+    """DuckDB twin of _q_purged_cv / _q_walk_forward_cv: same exact-int
+    fold grid; `//` floors but every numerator is clamped non-negative,
+    so it agrees with Spark's truncating DIV bit-for-bit."""
     n, k = _FM5_KW["n_folds"], _FM5_KW["val_fold"]
     emb = int(round(_FM5_KW["embargo_s"] * 1_000_000))
     pur = int(round(_FM5_KW["purge_s"] * 1_000_000))
@@ -450,6 +461,7 @@ def _fm5_oracle_sql() -> str:
         f"least(CAST({n - 1} AS BIGINT), "
         f"(greatest(us + CAST({shift} AS BIGINT), lo) - lo) * {n} "
         f"// (hi - lo + 1))")
+    future_arm = (f"WHEN fold > {k} THEN 'future'" if walk_forward else "")
     return f"""
         WITH b AS (
           SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
@@ -467,6 +479,7 @@ def _fm5_oracle_sql() -> str:
                CASE WHEN fold = {k} THEN 'val'
                     WHEN fold < {k} AND fold_p >= {k} THEN 'purged'
                     WHEN fold > {k} AND fold_e <= {k} THEN 'purged'
+                    {future_arm}
                     ELSE 'train' END AS cv_role
         FROM f
     """
@@ -2399,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_fm4_drift_stream": _q_stream_drift_monitor,
         "fm4_feature_drift": _q_feature_drift,
         "fm5_purged_cv": _q_purged_cv,
+        "fm5_walk_forward": _q_walk_forward_cv,
         "fe1_split_scaler": _q_split_scaler,
         "fe2_target_encode": _q_target_encode,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
@@ -3012,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
     d["w12_decayed"] = _w12_oracle_sql()
     d["fm4_feature_drift"] = _fm4_oracle_sql()
     d["fm5_purged_cv"] = _fm5_oracle_sql()
+    d["fm5_walk_forward"] = _fm5_oracle_sql(walk_forward=True)
     d["fe1_split_scaler"] = _fe1_oracle_sql()
     d["fe2_target_encode"] = _fe2_oracle_sql()
     # streaming twin grades against the same mirrored-decimal window SQL

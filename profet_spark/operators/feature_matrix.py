@@ -570,6 +570,17 @@ def feature_drift(
     )
 
 
+def psi_summary(drift: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """FM4 rollup: one row per feature from a :func:`feature_drift`
+    histogram — ``(feature, psi, drifted)`` with the conventional
+    alerting thresholds (psi < 0.1 stable, 0.1–0.25 moderate, > 0.25
+    drifted). A |features|-row aggregate; wire ``where(drifted)`` into
+    the pipeline as the alert condition."""
+    return (drift.groupBy("feature")
+            .agg(F.sum("psi_term").alias("psi"))
+            .withColumn("drifted", F.col("psi") > threshold))
+
+
 def assign_time_folds(
     df: DataFrame,
     ts: str = "ts",
@@ -641,6 +652,7 @@ def purged_cv_roles(
     purge_s: float = 0.0,
     bounds: tuple | None = None,
     out_col: str = "cv_role",
+    scheme: str = "kfold",
 ) -> DataFrame:
     """FM5b: purged k-fold time-series CV roles with embargo (the López
     de Prado construction) — the zero-leakage split that matches this
@@ -663,6 +675,11 @@ def purged_cv_roles(
       ``embargo_s`` (set them to the matrix's windows, e.g. FM3's
       ``window_s``).
 
+    ``scheme='walk_forward'`` is the classic backtest variant: rows in
+    folds AFTER the validation slice become ``'future'`` (never trained
+    on — train strictly on the past); the immediate post-val embargo
+    band still reads ``'purged'`` so its exclusion reason stays visible.
+
     Same exact-int64 fold grid as :func:`assign_time_folds` (equal time
     width; explicit ``bounds`` for streaming/stateless use). The whole
     operator is one projection over the broadcast 1-row bounds — no
@@ -678,6 +695,10 @@ def purged_cv_roles(
     for c in ("fold", out_col):
         if c in df.columns:
             raise ValueError(f"purged_cv_roles: column {c!r} already exists")
+    if scheme not in ("kfold", "walk_forward"):
+        raise ValueError(
+            f"purged_cv_roles: unknown scheme {scheme!r} "
+            "(kfold | walk_forward)")
     emb_us = int(round(float(embargo_s) * 1_000_000))
     pur_us = int(round(float(purge_s) * 1_000_000))
     base = _with_cv_bounds(df, ts, bounds)
@@ -687,8 +708,13 @@ def purged_cv_roles(
               (_fold_expr("__cv_us", n_folds, shift_us=pur_us) >= k)) | \
              ((fold > k) &
               (_fold_expr("__cv_us", n_folds, shift_us=-emb_us) <= k))
-    role = (F.when(fold == k, F.lit("val"))
-            .when(purged, F.lit("purged"))
-            .otherwise(F.lit("train")))
+    role = F.when(fold == k, F.lit("val")).when(purged, F.lit("purged"))
+    if scheme == "walk_forward":
+        # the classic backtest: train strictly on the PAST — rows after
+        # the validation slice never enter training (no embargo needed
+        # on that side; it still marks the immediate post-val band so
+        # the caller sees why those rows aren't 'future' by distance)
+        role = role.when(fold > k, F.lit("future"))
+    role = role.otherwise(F.lit("train"))
     return (base.withColumn("fold", fold).withColumn(out_col, role)
             .drop("__cv_us", "__cv_lo", "__cv_hi"))

@@ -713,3 +713,40 @@ def test_purged_cv_validation(spark):
         assign_time_folds(sdf.withColumn("fold", F.lit(1)))
     with pytest.raises(ValueError, match="n_folds"):
         assign_time_folds(sdf, n_folds=0)
+
+
+def test_walk_forward_roles_and_psi_summary(spark):
+    from profet_spark.operators.feature_matrix import (feature_drift,
+                                                       psi_summary,
+                                                       purged_cv_roles)
+
+    pdf = _cv_fixture(seed=41)
+    out = purged_cv_roles(spark.createDataFrame(pdf), ts="ts", n_folds=5,
+                          val_fold=2, embargo_s=86400.0, purge_s=43200.0,
+                          scheme="walk_forward"
+                          ).toPandas().sort_values(["ts", "image_id"])
+    us = pdf.sort_values(["ts", "image_id"]).ts.astype("int64").to_numpy() // 1000
+    lo, hi = us.min(), us.max()
+    fold = _np_fold(us, lo, hi, 5)
+    fp = _np_fold(us, lo, hi, 5, shift=43_200_000_000)
+    fe = _np_fold(us, lo, hi, 5, shift=-86_400_000_000)
+    role = np.where(fold == 2, "val",
+            np.where(((fold < 2) & (fp >= 2)) | ((fold > 2) & (fe <= 2)),
+                     "purged",
+                     np.where(fold > 2, "future", "train")))
+    assert (out.cv_role.to_numpy() == role).all()
+    # walk-forward trains strictly on the past
+    assert (fold[out.cv_role.to_numpy() == "train"] < 2).all()
+    with pytest.raises(ValueError, match="scheme"):
+        purged_cv_roles(spark.createDataFrame(pdf), scheme="bogus")
+
+    # PSI rollup: sum of per-bin terms, thresholded
+    ref, cur = _drift_fixture()
+    d = feature_drift(spark.createDataFrame(ref), spark.createDataFrame(cur),
+                      ["a", "b"], n_bins=7)
+    s = psi_summary(d, threshold=0.1).toPandas().set_index("feature")
+    exp = _np_drift(ref, cur, ["a", "b"], 7)
+    for f in ("a", "b"):
+        np.testing.assert_allclose(s.loc[f, "psi"], exp[f][4].sum(),
+                                   rtol=1e-12)
+    assert bool(s.loc["b", "drifted"])  # the planted +50 shift screams
