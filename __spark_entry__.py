@@ -390,10 +390,9 @@ def _fm4_oracle_sql() -> str:
         binned AS (
           SELECT p.side, p.feature,
                  CASE WHEN e.hi = e.lo THEN CAST(1 AS BIGINT)
-                      ELSE least(CAST({n} AS BIGINT),
-                                 greatest(CAST(1 AS BIGINT),
-                                          1 + CAST(floor(((p.v - e.lo) * {float(n)!r})
-                                                         / (e.hi - e.lo)) AS BIGINT)))
+                      ELSE 1 + CAST(floor(least(greatest(
+                               ((p.v - e.lo) * {float(n)!r}) / (e.hi - e.lo),
+                               0.0), {float(n - 1)!r})) AS BIGINT)
                  END AS bin
           FROM pairs p JOIN edges e USING (feature)),
         counts AS (
@@ -2125,10 +2124,9 @@ def _st_fm4_oracle_sql() -> str:
           SELECT time_bucket(INTERVAL '6 hours', c.ts) AS win_start,
                  c.feature,
                  CASE WHEN e.hi = e.lo THEN CAST(1 AS BIGINT)
-                      ELSE least(CAST({n} AS BIGINT),
-                                 greatest(CAST(1 AS BIGINT),
-                                          1 + CAST(floor(((c.v - e.lo) * {float(n)!r})
-                                                         / (e.hi - e.lo)) AS BIGINT)))
+                      ELSE 1 + CAST(floor(least(greatest(
+                               ((c.v - e.lo) * {float(n)!r}) / (e.hi - e.lo),
+                               0.0), {float(n - 1)!r})) AS BIGINT)
                  END AS bin
           FROM cur c JOIN edges e USING (feature))
         SELECT win_start, win_start + INTERVAL '6 hours' AS win_end,

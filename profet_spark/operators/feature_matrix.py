@@ -447,14 +447,19 @@ def _drift_narrow(df: DataFrame, features: list[str], side: int,
 def drift_bin_expr(n_bins: int) -> F.Column:
     """Clamped equal-width bin id over columns (v, lo, hi) — identical
     expression text in the SQL oracle, so the IEEE arithmetic (and
-    therefore the bin id) matches bit-for-bit."""
+    therefore the bin id) matches bit-for-bit.
+
+    The clamp happens in the DOUBLE domain BEFORE the int64 cast: a
+    current value astronomically outside a tiny reference range (e.g.
+    ref span 1e-300, v = 1.0) makes the quotient overflow int64, which
+    under ANSI mode is a hard error — clamping to [0, n_bins-1] first is
+    semantically identical for in-range quotients (found by the
+    hypothesis portability test)."""
     nb = F.lit(float(n_bins))
-    raw = F.floor(((F.col("v") - F.col("lo")) * nb) /
-                  (F.col("hi") - F.col("lo"))).cast("bigint")
+    q = ((F.col("v") - F.col("lo")) * nb) / (F.col("hi") - F.col("lo"))
+    qc = F.least(F.greatest(q, F.lit(0.0)), F.lit(float(n_bins - 1)))
     return F.when(F.col("hi") == F.col("lo"), F.lit(1).cast("bigint")) \
-            .otherwise(F.least(F.lit(n_bins).cast("bigint"),
-                               F.greatest(F.lit(1).cast("bigint"),
-                                          F.lit(1) + raw)))
+            .otherwise(F.lit(1) + F.floor(qc).cast("bigint"))
 
 
 def drift_edges(ref: DataFrame, features: list[str]) -> DataFrame:

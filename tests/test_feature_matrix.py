@@ -543,8 +543,9 @@ def _np_drift(ref, cur, feats, n_bins):
         def binify(v):
             if hi == lo:
                 return np.ones(len(v), dtype=np.int64)
-            raw = np.floor(((v - lo) * float(n_bins)) / (hi - lo)).astype(np.int64)
-            return np.clip(1 + raw, 1, n_bins)
+            q = ((v - lo) * float(n_bins)) / (hi - lo)
+            qc = np.minimum(np.maximum(q, 0.0), float(n_bins - 1))
+            return 1 + np.floor(qc).astype(np.int64)
 
         nr = np.bincount(binify(r), minlength=n_bins + 1)[1:]
         nc = np.bincount(binify(c), minlength=n_bins + 1)[1:]

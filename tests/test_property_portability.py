@@ -1,0 +1,139 @@
+"""Hypothesis property tests for the cross-engine bitwise claims of the
+exact-arithmetic operators (SURVEY.md §5.2): the FM5 fold grid and the
+FM4 drift binning promise Spark == DuckDB bit-for-bit BY CONSTRUCTION
+(clamped-numerator integer division; identical IEEE expression text).
+These tests attack those claims with adversarial randomized inputs —
+degenerate spans, boundary timestamps, shifts wider than the span,
+denormal-ish doubles, constant features — comparing against DuckDB
+directly, not against a reimplementation."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+from profet_spark.operators.feature_matrix import (feature_drift,
+                                                   purged_cv_roles)
+
+
+@hst.composite
+def cv_case(draw):
+    n = draw(hst.integers(2, 40))
+    # microsecond offsets: tiny spans (0, 1) through multi-day, with
+    # clustering on exact boundaries
+    span_pool = draw(hst.sampled_from([1, 7, 1000, 86_400_000_000]))
+    offs = [draw(hst.integers(0, span_pool)) for _ in range(n)]
+    n_folds = draw(hst.integers(1, 7))
+    val_fold = draw(hst.integers(0, n_folds - 1))
+    emb = draw(hst.sampled_from([0.0, 0.000001, 1.0, 3600.0, 10 * 86400.0]))
+    pur = draw(hst.sampled_from([0.0, 0.000001, 0.5, 7200.0, 20 * 86400.0]))
+    return offs, n_folds, val_fold, emb, pur
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cv_case())
+def test_fold_grid_matches_duckdb_bitwise(spark, case):
+    offs, n_folds, val_fold, emb, pur = case
+    base = pd.Timestamp("2024-06-01")
+    pdf = pd.DataFrame({
+        "event_id": np.arange(len(offs), dtype=np.int64),
+        "ts": [base + pd.Timedelta(microseconds=o) for o in offs],
+    })
+    got = (purged_cv_roles(spark.createDataFrame(pdf), ts="ts",
+                           n_folds=n_folds, val_fold=val_fold,
+                           embargo_s=emb, purge_s=pur)
+           .toPandas().sort_values("event_id").reset_index(drop=True))
+    emb_us, pur_us = int(round(emb * 1e6)), int(round(pur * 1e6))
+    fold = lambda shift: (  # noqa: E731
+        f"least(CAST({n_folds - 1} AS BIGINT), "
+        f"(greatest(us + CAST({shift} AS BIGINT), lo) - lo) * {n_folds} "
+        f"// (hi - lo + 1))")
+    want = duckdb.connect().execute(f"""
+        WITH b AS (SELECT min(epoch_us(ts)) lo, max(epoch_us(ts)) hi
+                   FROM pdf),
+        r AS (SELECT event_id, epoch_us(ts) us, lo, hi FROM pdf, b),
+        f AS (SELECT event_id, {fold(0)} AS fold, {fold(pur_us)} AS fp,
+                     {fold(-emb_us)} AS fe
+              FROM r)
+        SELECT event_id, fold,
+               CASE WHEN fold = {val_fold} THEN 'val'
+                    WHEN fold < {val_fold} AND fp >= {val_fold}
+                      THEN 'purged'
+                    WHEN fold > {val_fold} AND fe <= {val_fold}
+                      THEN 'purged'
+                    ELSE 'train' END AS cv_role
+        FROM f ORDER BY event_id
+    """).df()
+    assert got.fold.tolist() == want.fold.tolist()
+    assert got.cv_role.tolist() == want.cv_role.tolist()
+
+
+@hst.composite
+def drift_case(draw):
+    n_ref = draw(hst.integers(1, 30))
+    n_cur = draw(hst.integers(0, 30))
+    # adversarial doubles: huge magnitude spread, negatives, near-ties,
+    # exact-boundary repeats; occasionally a constant feature
+    pool = [0.0, -0.0, 1.0, -1.0, 1e-300, -1e-300, 1e300, 0.1, 0.2, 0.3,
+            1 / 3, 2 / 3, np.pi, -np.e, 1e6 + 0.5, 1e6 - 0.5]
+    const = draw(hst.booleans())
+    ref = [pool[0] if const else draw(hst.sampled_from(pool))
+           for _ in range(n_ref)]
+    cur = [draw(hst.sampled_from(pool)) for _ in range(n_cur)]
+    n_bins = draw(hst.integers(1, 12))
+    return ref, cur, n_bins
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(drift_case())
+def test_drift_bins_match_duckdb_bitwise(spark, case):
+    ref_v, cur_v, n_bins = case
+    ref = pd.DataFrame({"v": ref_v})
+    cur = pd.DataFrame({"v": cur_v}) if cur_v else \
+        pd.DataFrame({"v": pd.array([], dtype="float64")})
+    got = (feature_drift(spark.createDataFrame(ref, schema="v double"),
+                         spark.createDataFrame(cur, schema="v double"),
+                         ["v"], n_bins=n_bins)
+           .select("bin", "n_ref", "n_cur", "p_ref", "p_cur")
+           .toPandas().sort_values("bin").reset_index(drop=True))
+    want = duckdb.connect().execute(f"""
+        WITH pairs AS (
+          SELECT 0 AS side, v FROM ref WHERE v IS NOT NULL
+          UNION ALL SELECT 1, v FROM cur WHERE v IS NOT NULL),
+        edges AS (SELECT min(v) lo, max(v) hi FROM pairs WHERE side = 0),
+        binned AS (
+          SELECT side,
+                 CASE WHEN e.hi = e.lo THEN CAST(1 AS BIGINT)
+                      ELSE 1 + CAST(floor(least(greatest(
+                               ((p.v - e.lo) * {float(n_bins)!r}) / (e.hi - e.lo),
+                               0.0), {float(n_bins - 1)!r})) AS BIGINT)
+                 END AS bin
+          FROM pairs p, edges e),
+        counts AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) n_ref,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) n_cur
+          FROM binned GROUP BY 1),
+        spine AS (SELECT unnest(range(1, {n_bins + 1})) AS bin),
+        hist AS (
+          SELECT s.bin, coalesce(c.n_ref, 0) n_ref, coalesce(c.n_cur, 0) n_cur
+          FROM spine s LEFT JOIN counts c USING (bin)),
+        tot AS (SELECT CAST(sum(n_ref) AS BIGINT) tr,
+                       CAST(sum(n_cur) AS BIGINT) tc FROM hist)
+        SELECT bin, n_ref, n_cur,
+               CASE WHEN tr > 0 THEN CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) END p_ref,
+               CASE WHEN tc > 0 THEN CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) END p_cur
+        FROM hist, tot ORDER BY bin
+    """).df()
+    assert got.bin.tolist() == want.bin.tolist()
+    assert got.n_ref.tolist() == want.n_ref.tolist()
+    assert got.n_cur.tolist() == want.n_cur.tolist()
+    # proportions bitwise: exact-int division only
+    np.testing.assert_array_equal(got.p_ref.to_numpy(float),
+                                  want.p_ref.to_numpy(float))
+    np.testing.assert_array_equal(got.p_cur.to_numpy(float),
+                                  want.p_cur.to_numpy(float))
