@@ -137,3 +137,54 @@ def test_drift_bins_match_duckdb_bitwise(spark, case):
                                   want.p_ref.to_numpy(float))
     np.testing.assert_array_equal(got.p_cur.to_numpy(float),
                                   want.p_cur.to_numpy(float))
+
+
+@hst.composite
+def te_case(draw):
+    n = draw(hst.integers(1, 35))
+    cats = ["a", "b", "c"]
+    # heavy timestamp ties within categories + NULL labels
+    ts_pool = [pd.Timestamp("2025-02-01") + pd.Timedelta(minutes=m)
+               for m in range(6)]
+    rows = [{
+        "event_id": i,
+        "cat": draw(hst.sampled_from(cats)),
+        "ts": draw(hst.sampled_from(ts_pool)),
+        "y": draw(hst.sampled_from(
+            [None, 0.0, 1.25, -3.5, 100.07, 0.333333, 1e6 - 0.25])),
+    } for i in range(n)]
+    m = draw(hst.sampled_from([0.0, 1.0, 12.5]))
+    prior = draw(hst.sampled_from([0.0, 50.0, -2.25]))
+    return pd.DataFrame(rows), m, prior
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(te_case())
+def test_target_encode_matches_duckdb_bitwise(spark, case):
+    from profet_spark.operators.encoding import time_aware_target_encode
+
+    pdf, m, prior = case
+    got = (time_aware_target_encode(
+        spark.createDataFrame(pdf, schema="event_id long, cat string, "
+                                          "ts timestamp_ntz, y double"),
+        "cat", "y", ts="ts", tiebreak=["event_id"], smoothing=m,
+        prior=prior, out_col="te")
+        .toPandas().sort_values("event_id").reset_index(drop=True))
+    want = duckdb.connect().execute(f"""
+        WITH w AS (
+          SELECT event_id,
+                 count(CAST(y AS DECIMAL(18,6))) OVER win AS n_prev,
+                 CAST(sum(CAST(y AS DECIMAL(18,6))) OVER win AS DOUBLE)
+                   AS s_prev
+          FROM pdf
+          WINDOW win AS (PARTITION BY cat ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id,
+               CASE WHEN CAST(n_prev AS DOUBLE) + {m!r} > 0 THEN
+                 (coalesce(s_prev, 0.0) + {m!r} * {prior!r})
+                   / (CAST(n_prev AS DOUBLE) + {m!r}) END AS te
+        FROM w ORDER BY event_id
+    """).df()
+    np.testing.assert_array_equal(got.te.to_numpy(float),
+                                  want.te.to_numpy(float))
