@@ -128,8 +128,11 @@ def apply_feature_scaler(
                     ignorenulls=True).alias(f"__m_{c}"),
             F.first(F.when(F.col("feature") == c, F.col("std")),
                     ignorenulls=True).alias(f"__sd_{c}"),
-            F.max(F.when(F.col("feature") == c, F.lit(1)).otherwise(0))
-            .alias(f"__has_{c}"),
+            # coalesce: a global agg over an EMPTY scaler yields one row
+            # of NULLs — the guard must read 0, not slip through as NULL
+            F.coalesce(
+                F.max(F.when(F.col("feature") == c, F.lit(1)).otherwise(0)),
+                F.lit(0)).alias(f"__has_{c}"),
         )
     ])
     out = df.crossJoin(F.broadcast(one))

@@ -172,3 +172,14 @@ def test_target_encode_plan_and_validation(spark):
     with pytest.raises(ValueError, match="exists"):
         time_aware_target_encode(sdf.withColumn("cat_te", F.lit(0.0)),
                                  "cat", "x")
+
+
+def test_apply_scaler_empty_scaler_raises(spark):
+    """A fully-empty scaler table must hit the loud in-plan guard — the
+    global pivot aggregate yields one all-NULL row, which must read as
+    'feature missing', never as silent NULL z-scores."""
+    pdf = _fe_fixture(seed=3, n=50)
+    sdf = spark.createDataFrame(pdf)
+    empty = fit_feature_scaler(sdf, ["x"]).where(F.lit(False))
+    with pytest.raises(Exception, match="missing from the scaler"):
+        apply_feature_scaler(sdf, empty, ["x"]).collect()
