@@ -1812,6 +1812,31 @@ def _q_checkpoint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket int, rows bigint, checksum bigint")
 
 
+def _q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 incremental upsert, driver-graded end to end: materialize the
+    pre-Jan-20 events into a hidden-partitioned store (fresh temp dir),
+    merge a batch covering Jan-10-onward with shifted values (dynamic
+    partition overwrite — only touched (day, bucket) partitions rewritten,
+    byte-identity of the rest pinned in tests/test_partitioned.py), and
+    return the merged table. The oracle recomputes the merge from the raw
+    table: every event, value shifted iff it is in the batch window."""
+    import tempfile
+
+    from profet_spark.sources import partitioned as P
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("val"))
+    out = tempfile.mkdtemp(prefix="s8_upsert_")
+    P.write_partitioned(ev.where(F.col("ts") < F.lit("2024-01-20")), out,
+                        ts_col="ts", entity_col="user_id", n_buckets=8)
+    batch = (ev.where(F.col("ts") >= F.lit("2024-01-10"))
+             .withColumn("val", F.col("val") + 1000.0))
+    P.upsert_partitioned(spark, batch, out, key_cols=["event_id"])
+    return (spark.read.parquet(out)
+            .select("event_id", "user_id", "ts", "val"))
+
+
 def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 Iceberg-style hidden partitioning, driver-graded end to end:
     write events through the days(ts) x bucket(8, user_id) partition spec
@@ -2349,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_w5_session_stream": _q_stream_session,
         # ==== position 51+: ungraded by the driver, mirror-tested ====
         # as-of strategy variants (J3 graded via j3_asof_join)
+        "s8_upsert_merge": _q_upsert_merge,
         "j3_asof_strict": _q_asof_strict,
         "j3_asof_window": _q_asof_window,
         "j3_asof_broadcast": _q_asof_broadcast,
@@ -3933,5 +3959,15 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events)
             SELECT bucket, count(*) AS rows, CAST(sum(rh) AS BIGINT) AS checksum
             FROM b GROUP BY bucket
+        """,
+        # S8: the merged store equals "every event, value shifted iff in
+        # the batch window" — partition-level rewrite mechanics cannot
+        # change content
+        "s8_upsert_merge": """
+            SELECT event_id, user_id, ts,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                        THEN CAST(value AS DOUBLE) + 1000.0
+                        ELSE CAST(value AS DOUBLE) END AS val
+            FROM events
         """,
     }

@@ -182,3 +182,80 @@ def test_zoned_timestamp_days_are_utc(spark, tmp_path):
         assert got.count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+# -------------------------------------------------------------- S8 upsert
+
+
+def _upsert_fixture(spark):
+    from profet_spark.sources import load_table
+    return load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("val"))
+
+
+def test_upsert_merges_and_only_rewrites_touched_partitions(spark, tmp_path):
+    ev = _upsert_fixture(spark)
+    d = str(tmp_path / "store")
+    P.write_partitioned(ev.where(F.col("ts") < F.lit("2024-01-20")), d,
+                        ts_col="ts", entity_col="user_id", n_buckets=4)
+    # snapshot the data files of partitions the batch will NOT touch
+    untouched = {}
+    for root, _, files in os.walk(d):
+        if "_p_day=2024-01-0" in root:  # batch starts Jan 10
+            day = root.split("_p_day=")[1].split(os.sep)[0]
+            if day < "2024-01-10":
+                for f in files:
+                    p = os.path.join(root, f)
+                    untouched[p] = os.stat(p).st_mtime_ns
+    assert untouched, "fixture must have pre-batch partitions"
+
+    upd = (ev.where(F.col("ts") >= F.lit("2024-01-10"))
+           .withColumn("val", F.col("val") + 1000.0))
+    stats = P.upsert_partitioned(spark, upd, d, key_cols=["event_id"])
+    assert stats["rows_replaced"] > 0
+    assert stats["partitions_rewritten"] > 0
+
+    got = spark.read.parquet(d).drop(P.DAY_COL, P.BUCKET_COL)
+    exp = ev.withColumn(
+        "val", F.when(F.col("ts") >= F.lit("2024-01-10"),
+                      F.col("val") + 1000.0).otherwise(F.col("val")))
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # the untouched partitions' data files are byte-identical on disk —
+    # the dynamic-overwrite contract: cost scales with the batch footprint
+    for p, mtime in untouched.items():
+        assert os.path.exists(p) and os.stat(p).st_mtime_ns == mtime
+    # the spec survives the rewrite
+    assert P.read_spec(d)["n_buckets"] == 4
+
+
+def test_upsert_validation(spark, tmp_path):
+    ev = _upsert_fixture(spark)
+    d = str(tmp_path / "store2")
+    with pytest.raises(ValueError, match="_partition_spec"):
+        P.upsert_partitioned(spark, ev, str(tmp_path / "nope"))
+    P.write_partitioned(ev, d, ts_col="ts", entity_col="user_id",
+                        n_buckets=4)
+    with pytest.raises(ValueError, match="not in the batch"):
+        P.upsert_partitioned(spark, ev.drop("user_id"), d)
+    # xxhash64 is type-sensitive: an int batch against a bigint store
+    # must raise, not land rows in wrong buckets
+    with pytest.raises(ValueError, match="cast the batch"):
+        P.upsert_partitioned(
+            spark, ev.withColumn("user_id", F.col("user_id").cast("int")), d)
+
+
+def test_upsert_default_key_is_entity_ts(spark, tmp_path):
+    ev = (_upsert_fixture(spark)
+          .groupBy("user_id", "ts").agg(F.max("val").alias("val")))
+    d = str(tmp_path / "store3")
+    P.write_partitioned(ev, d, ts_col="ts", entity_col="user_id",
+                        n_buckets=4)
+    upd = ev.limit(50).withColumn("val", F.lit(-1.0))
+    stats = P.upsert_partitioned(spark, upd, d)
+    assert stats["rows_replaced"] == 50
+    got = spark.read.parquet(d)
+    assert got.count() == ev.count()
+    assert got.where(F.col("val") == -1.0).count() == 50
