@@ -1837,6 +1837,28 @@ def _q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "ts", "val"))
 
 
+def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 small-file compaction, driver-graded end to end: fragment a
+    hidden-partitioned store (16-way parallel write), compact every
+    partition above the file threshold to one file (dynamic overwrite),
+    and return the table — the oracle is the raw projection: compaction
+    moves bytes between files, never rows (file-count mechanics pinned
+    in tests/test_partitioned.py)."""
+    import tempfile
+
+    from profet_spark.sources import partitioned as P
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("val"))
+    out = tempfile.mkdtemp(prefix="s9_compact_")
+    P.write_partitioned(ev.repartition(16), out, ts_col="ts",
+                        entity_col="user_id", n_buckets=2)
+    P.compact_partitions(spark, out, max_files_per_partition=2)
+    return (spark.read.parquet(out)
+            .select("event_id", "user_id", "ts", "val"))
+
+
 def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 Iceberg-style hidden partitioning, driver-graded end to end:
     write events through the days(ts) x bucket(8, user_id) partition spec
@@ -2375,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== position 51+: ungraded by the driver, mirror-tested ====
         # as-of strategy variants (J3 graded via j3_asof_join)
         "s8_upsert_merge": _q_upsert_merge,
+        "s9_compaction": _q_compaction,
         "j3_asof_strict": _q_asof_strict,
         "j3_asof_window": _q_asof_window,
         "j3_asof_broadcast": _q_asof_broadcast,
@@ -3968,6 +3991,11 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN ts >= TIMESTAMP '2024-01-10'
                         THEN CAST(value AS DOUBLE) + 1000.0
                         ELSE CAST(value AS DOUBLE) END AS val
+            FROM events
+        """,
+        # S9: compaction is content-invariant by construction
+        "s9_compaction": """
+            SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS val
             FROM events
         """,
     }

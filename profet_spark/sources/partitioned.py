@@ -249,3 +249,61 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
     return {"partitions_rewritten": len(pairs),
             "rows_written": int(n_written),
             "rows_replaced": int(n_touched - (n_written - n_batch))}
+
+
+def compact_partitions(spark: SparkSession, out_dir: str,
+                       max_files_per_partition: int = 4,
+                       target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """S9: small-file compaction of a :func:`write_partitioned` store —
+    the maintenance pass that keeps scan parallelism healthy after many
+    :func:`upsert_partitioned` batches (each parallel write can leave
+    one file per task per partition; thousands of tiny files turn a
+    pruned scan into a metadata storm). The production twin is Iceberg's
+    ``rewrite_data_files``.
+
+    Partition directories holding more than ``max_files_per_partition``
+    data files AND totalling at most ``target_file_bytes`` are rewritten
+    in place (dynamic partition overwrite) into one file each; every
+    other partition is untouched — never read, never rewritten.
+    Oversized fragmented partitions are left alone (splitting them well
+    is the catalog engine's rewrite job; merging them would create the
+    opposite problem). Victim discovery is a driver-side directory
+    listing (the parquet-fallback analog of reading Iceberg's manifest
+    file sizes): O(partitions), zero data read for non-victims.
+
+    Content is invariant by construction — compaction moves bytes
+    between files, never rows between partitions (the partition columns
+    are not recomputed; ``repartition`` on them puts each victim
+    partition's rows in one task). Returns ``{"partitions_compacted",
+    "files_before", "files_after"}``.
+    """
+    if read_spec(out_dir) is None:
+        raise ValueError(
+            "compact_partitions: no _partition_spec.json — not a "
+            "write_partitioned store")
+    victims: list[tuple[str, int]] = []  # (relative dir, files)
+    for root, _dirs, files in os.walk(out_dir):
+        data = [f for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))]
+        if f"{BUCKET_COL}=" in root and len(data) > max_files_per_partition:
+            nbytes = sum(os.path.getsize(os.path.join(root, f))
+                         for f in data)
+            if nbytes <= target_file_bytes:
+                victims.append((os.path.relpath(root, out_dir), len(data)))
+    if not victims:
+        return {"partitions_compacted": 0, "files_before": 0,
+                "files_after": 0}
+    paths = [os.path.join(out_dir, rel) for rel, _ in victims]
+    # basePath keeps the partition columns in the frame so the dynamic
+    # overwrite lands rows back in their own partitions; hash-repartition
+    # on them gives one write task (= one file) per victim partition
+    df = (spark.read.option("basePath", out_dir).parquet(*paths)
+          .repartition(len(victims), F.col(DAY_COL), F.col(BUCKET_COL))
+          .localCheckpoint())
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(DAY_COL, BUCKET_COL)
+     .parquet(out_dir))
+    return {"partitions_compacted": len(victims),
+            "files_before": int(sum(n for _, n in victims)),
+            "files_after": len(victims)}

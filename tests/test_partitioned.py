@@ -259,3 +259,46 @@ def test_upsert_default_key_is_entity_ts(spark, tmp_path):
     got = spark.read.parquet(d)
     assert got.count() == ev.count()
     assert got.where(F.col("val") == -1.0).count() == 50
+
+
+def test_compact_merges_fragmented_partitions_only(spark, tmp_path):
+    ev = _upsert_fixture(spark)
+    d = str(tmp_path / "frag")
+    # high write parallelism fragments every partition dir
+    P.write_partitioned(ev.repartition(16), d, ts_col="ts",
+                        entity_col="user_id", n_buckets=2)
+
+    def files_per_dir():
+        out = {}
+        for root, _, files in os.walk(d):
+            data = [f for f in files if f.endswith(".parquet")]
+            if f"{P.BUCKET_COL}=" in root and data:
+                out[os.path.relpath(root, d)] = sorted(data)
+        return out
+
+    before = files_per_dir()
+    frag = {k: v for k, v in before.items() if len(v) > 2}
+    assert frag, "fixture must fragment"
+    want = spark.read.parquet(d).drop(P.DAY_COL, P.BUCKET_COL).toPandas()
+
+    # a tiny byte budget exempts everything -> no-op
+    stats0 = P.compact_partitions(spark, d, max_files_per_partition=2,
+                                  target_file_bytes=1)
+    assert stats0["partitions_compacted"] == 0
+    assert files_per_dir() == before
+
+    stats = P.compact_partitions(spark, d, max_files_per_partition=2)
+    assert stats["partitions_compacted"] == len(frag)
+    assert stats["files_before"] == sum(len(v) for v in frag.values())
+    assert stats["files_after"] == len(frag)
+    after = files_per_dir()
+    for k in frag:
+        assert len(after[k]) == 1
+    for k in set(before) - set(frag):  # non-victims byte-untouched
+        assert after[k] == before[k]
+    got = spark.read.parquet(d).drop(P.DAY_COL, P.BUCKET_COL).toPandas()
+    cols = list(want.columns)
+    assert (got.sort_values(cols).reset_index(drop=True)
+            .equals(want.sort_values(cols).reset_index(drop=True)))
+    with pytest.raises(ValueError, match="_partition_spec"):
+        P.compact_partitions(spark, str(tmp_path / "missing"))
