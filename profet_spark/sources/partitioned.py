@@ -204,6 +204,14 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
     if missing:
         raise ValueError(f"upsert_partitioned: {missing} not in the batch")
     store = spark.read.parquet(out_dir)
+    extra = [c for c in updates.columns
+             if c not in store.columns and c not in (DAY_COL, BUCKET_COL)]
+    if extra:
+        # silently dropping batch columns is schema-evolution data loss;
+        # evolve the store explicitly (full rewrite) before upserting
+        raise ValueError(
+            f"upsert_partitioned: batch columns {extra} are not in the "
+            "store schema — drop them or evolve the store first")
     for c in (ts_col, entity_col):
         st, ut = dict(store.dtypes)[c], dict(updates.dtypes)[c]
         if st != ut:

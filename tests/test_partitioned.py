@@ -302,3 +302,13 @@ def test_compact_merges_fragmented_partitions_only(spark, tmp_path):
             .equals(want.sort_values(cols).reset_index(drop=True)))
     with pytest.raises(ValueError, match="_partition_spec"):
         P.compact_partitions(spark, str(tmp_path / "missing"))
+
+
+def test_upsert_rejects_schema_widening_batch(spark, tmp_path):
+    ev = _upsert_fixture(spark)
+    d = str(tmp_path / "store4")
+    P.write_partitioned(ev, d, ts_col="ts", entity_col="user_id",
+                        n_buckets=4)
+    widened = ev.withColumn("new_feature", F.lit(1.0))
+    with pytest.raises(ValueError, match="not in the store schema"):
+        P.upsert_partitioned(spark, widened, d, key_cols=["event_id"])
