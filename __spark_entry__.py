@@ -487,6 +487,26 @@ def _fm5_oracle_sql(walk_forward: bool = False) -> str:
 _FE2_M, _FE2_PRIOR = 8.0, 50.0
 
 
+def _q_entity_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM5c: entity-grouped CV folds — every row of a user lands in one
+    fold (salted portable-h32 % n), the grouped-leakage complement of the
+    temporal split. Pure projection; hash-grades bit-for-bit."""
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    out = fm.assign_entity_folds(ev, entity="user_id", n_folds=4)
+    return out.select("user_id", "ts", "event_id", "fold")
+
+
+def _fm5c_oracle_sql() -> str:
+    h = H.h32_sql_duckdb("'cv:' || CAST(user_id AS VARCHAR)")
+    return f"""
+        SELECT user_id, ts, event_id,
+               CAST({h} % 4 AS BIGINT) AS fold
+        FROM events
+    """
+
+
 def _q_split_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FE1 (×FM5 composition): purged-CV roles → fit standardization
     stats on the TRAIN slice only → apply z-scores to every row. The
@@ -675,6 +695,12 @@ def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("i1"), F.col("fold").alias("i2"),
         i64(-1).alias("i3"), i64(-1).alias("i4"),
         F.lit(-1.0).alias("x1"))
+    ecv = _q_entity_folds(spark, sf_dir).select(
+        F.lit("ecv").alias("part"), F.col("user_id").alias("e"),
+        F.col("ts").alias("t"), F.lit("").alias("s"),
+        F.col("event_id").alias("i1"), F.col("fold").alias("i2"),
+        i64(-1).alias("i3"), i64(-1).alias("i4"),
+        F.lit(-1.0).alias("x1"))
     scal = _q_split_scaler(spark, sf_dir)
     sc_parts = [
         scal.select(F.lit(tag).alias("part"), F.col("event_id").alias("e"),
@@ -692,7 +718,7 @@ def _q_profile_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col(c).alias("x1"))
         for tag, c in [("te", "te_raw"), ("tes", "te_smooth")]]
     out = grid.unionByName(rq).unionByName(drift).unionByName(audit)
-    for p in decay_parts + [wagg] + fd_parts + [cv] + sc_parts + te_parts:
+    for p in decay_parts + [wagg] + fd_parts + [cv, ecv] + sc_parts + te_parts:
         out = out.unionByName(p)
     return out
 
@@ -2460,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm4_feature_drift": _q_feature_drift,
         "fm5_purged_cv": _q_purged_cv,
         "fm5_walk_forward": _q_walk_forward_cv,
+        "fm5_entity_folds": _q_entity_folds,
         "fe1_split_scaler": _q_split_scaler,
         "fe2_target_encode": _q_target_encode,
         # N2/N3 distributed scale paths (same oracles as n2/n3)
@@ -3074,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
     d["fm4_feature_drift"] = _fm4_oracle_sql()
     d["fm5_purged_cv"] = _fm5_oracle_sql()
     d["fm5_walk_forward"] = _fm5_oracle_sql(walk_forward=True)
+    d["fm5_entity_folds"] = _fm5c_oracle_sql()
     d["fe1_split_scaler"] = _fe1_oracle_sql()
     d["fe2_target_encode"] = _fe2_oracle_sql()
     # streaming twin grades against the same mirrored-decimal window SQL
@@ -3173,6 +3201,11 @@ def oracle_sql() -> dict[str, str]:
                fold, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1.0 AS DOUBLE)
         FROM ({d['fm5_purged_cv']})
+        UNION ALL
+        SELECT 'ecv', user_id, ts, '', event_id,
+               fold, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1.0 AS DOUBLE)
+        FROM ({d['fm5_entity_folds']})
         UNION ALL
         SELECT 'scv', event_id, ts, cv_role, CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),

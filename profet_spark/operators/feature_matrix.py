@@ -648,6 +648,40 @@ def _fold_expr(us_col: str, n_folds: int, shift_us: int = 0):
         f" * {n} DIV (__cv_hi - __cv_lo + 1))")
 
 
+def assign_entity_folds(
+    df: DataFrame,
+    entity: str = "image_id",
+    n_folds: int = 5,
+    salt: str = "cv",
+    out_col: str = "fold",
+) -> DataFrame:
+    """FM5c: entity-grouped fold assignment — ``h32(salt:entity) %
+    n_folds``, so EVERY row of an entity lands in the same fold: the
+    grouped split that prevents a val entity's other rows from training
+    the model (the complement of the temporal split — use
+    :func:`purged_cv_roles` when the leak is through time,
+    this when it is through entity identity; compose both for panel
+    data). Pure stateless salted-hash projection: zero shuffle,
+    stream-safe, stable under corpus growth and consistent across tables
+    sharing the entity space (same contract as corpus.hash_split), and
+    engine-portable bit-for-bit. NULL entities raise — a silently
+    unassigned row would leak out of every fold.
+    """
+    if n_folds < 1:
+        raise ValueError("assign_entity_folds: n_folds must be >= 1")
+    if out_col in df.columns:
+        raise ValueError(f"assign_entity_folds: {out_col!r} already exists")
+    from profet_spark.functions import hashing as H
+    guarded = F.when(
+        F.col(entity).isNull(),
+        F.raise_error(F.lit(
+            f"assign_entity_folds: NULL {entity} — folds are a pure "
+            "function of the entity")).cast("string"),
+    ).otherwise(F.col(entity).cast("string"))
+    h = H.h32(F.concat(F.lit(f"{salt}:"), guarded))
+    return df.withColumn(out_col, (h % n_folds).cast("bigint"))
+
+
 def purged_cv_roles(
     df: DataFrame,
     ts: str = "ts",

@@ -751,3 +751,29 @@ def test_walk_forward_roles_and_psi_summary(spark):
         np.testing.assert_allclose(s.loc[f, "psi"], exp[f][4].sum(),
                                    rtol=1e-12)
     assert bool(s.loc["b", "drifted"])  # the planted +50 shift screams
+
+
+def test_entity_folds_grouped_and_portable(spark):
+    from profet_spark.operators.feature_matrix import assign_entity_folds
+
+    pdf = _cv_fixture(seed=47)
+    out = assign_entity_folds(spark.createDataFrame(pdf),
+                              entity="image_id", n_folds=4).toPandas()
+    # grouped: every row of an entity shares one fold
+    assert (out.groupby("image_id").fold.nunique() == 1).all()
+    # all folds in range and populated (25 entities over 4 folds)
+    assert set(out.fold) <= {0, 1, 2, 3}
+    assert out.fold.nunique() > 1
+    # brute-force portable recompute (md5-derived h32, as hashing.py)
+    import hashlib
+    exp = out.image_id.map(lambda e: int(hashlib.md5(
+        f"cv:{e}".encode()).hexdigest()[:8], 16) % 4)
+    assert (out.fold == exp).all()
+    with pytest.raises(ValueError, match="n_folds"):
+        assign_entity_folds(spark.createDataFrame(pdf), n_folds=0)
+    with pytest.raises(Exception, match="NULL"):
+        assign_entity_folds(
+            spark.createDataFrame(pdf).withColumn(
+                "image_id", F.when(F.col("y") > 0, None)
+                .otherwise(F.col("image_id"))),
+            entity="image_id").collect()
