@@ -188,3 +188,49 @@ def test_target_encode_matches_duckdb_bitwise(spark, case):
     """).df()
     np.testing.assert_array_equal(got.te.to_numpy(float),
                                   want.te.to_numpy(float))
+
+
+@hst.composite
+def ring_case(draw):
+    n = draw(hst.integers(1, 40))
+    # adversarial ids: unicode, SQL-ish metacharacters, near-duplicates
+    pool = [f"d{i}" for i in range(50)] + ["", "a'b", "Ω≈ç", "x|y", "0", "00"]
+    ids = list({draw(hst.sampled_from(pool)) for _ in range(n)})
+    k = draw(hst.integers(1, 4))
+    n_buckets = draw(hst.sampled_from([1, 2, 16, 64]))
+    return ids, k, n_buckets
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ring_case())
+def test_hash_ring_negatives_match_duckdb_bitwise(spark, case):
+    from profet_spark.operators.corpus import hash_ring_negatives
+
+    ids, k, n_buckets = case
+    pdf = pd.DataFrame({"doc_id": ids})
+    got = (hash_ring_negatives(
+        spark.createDataFrame(pdf, schema="doc_id string"), "doc_id",
+        k=k, n_buckets=n_buckets)
+        .toPandas().sort_values(["doc_id", "r"]).reset_index(drop=True))
+    h = ("CAST(('0x' || substr(md5('neg:' || CAST(r AS VARCHAR) || ':' "
+         "|| CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)")
+    want = duckdb.connect().execute(f"""
+        WITH rep AS (
+          SELECT doc_id, r
+          FROM pdf, (SELECT unnest(range(1, {k + 1})) AS r) _r),
+        b AS (SELECT doc_id, r, {h} AS h, {h} % {n_buckets} AS bucket
+              FROM rep),
+        s AS (SELECT doc_id, r,
+                     coalesce(lead(doc_id) OVER w, first_value(doc_id) OVER w)
+                       AS neg
+              FROM b
+              WINDOW w AS (PARTITION BY r, bucket ORDER BY h, doc_id))
+        SELECT doc_id, r,
+               CASE WHEN neg = doc_id THEN NULL ELSE neg END AS neg_id
+        FROM s ORDER BY doc_id, r
+    """).df()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.r.tolist() == want.r.tolist()
+    assert [x if pd.notna(x) else None for x in got.neg_id] == \
+        [x if pd.notna(x) else None for x in want.neg_id]
