@@ -1160,11 +1160,13 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1-P4 merged suite: one graded driver row covers the whole corpus
-    pipeline tier. Per-doc rows (part='doc') carry split + sample-flag +
-    packing columns; per-term rows (part='tfidf') carry tf/df/score in the
-    same generic layout. -1 integer sentinels (never NULL) keep every
-    column's dtype kind unambiguous for the driver value hash."""
+    """P1-P5 merged suite (key name kept stable across rounds): one graded
+    driver row covers the whole corpus pipeline tier. Per-doc rows
+    (part='doc') carry split + sample-flag + packing columns; per-term
+    rows (part='tfidf') carry tf/df/score; per-(doc, round) rows
+    (part='neg') carry the hash-ring negatives — all in the same generic
+    layout. -1 integer sentinels (never NULL) keep every column's dtype
+    kind unambiguous for the driver value hash."""
     docs = load_table(spark, sf_dir, "documents")
     splits = corpus.hash_split(docs, _SPLIT_WEIGHTS)
     sampled = (corpus.stratified_sample(docs, _SAMPLE_RATES,
