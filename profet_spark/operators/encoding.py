@@ -160,12 +160,21 @@ def time_aware_target_encode(
     tiebreak: list[str] | None = None,
     smoothing: float = 0.0,
     prior: float = 0.0,
+    strict_ts: bool = False,
 ) -> DataFrame:
     """FE2: time-aware target encoding — each row gets the mean label of
-    its category computed over rows STRICTLY before it (``orderBy(ts,
-    *tiebreak)``, frame ``(unboundedPreceding, -1)``): the current row
-    never sees its own label and never sees the future, so the encoding
-    is leakage-free by construction at every timestamp.
+    its category computed over rows strictly prior in the ``(ts,
+    *tiebreak)`` TOTAL ORDER (``orderBy(ts, *tiebreak)``, rows frame
+    ``(unboundedPreceding, -1)``): the current row never sees its own
+    label and never sees rows after it in that order.
+
+    Note "strictly prior" is in the total order, not strictly earlier in
+    TIME: with the default rows frame, a same-timestamp row earlier in
+    tiebreak order IS included. When same-instant labels must never leak
+    (e.g. the label matures exactly at ``ts``), pass ``strict_ts=True``:
+    the frame becomes a range frame over exact int64 microseconds ending
+    at ``-1µs``, so every row with ``ts' >= ts`` is excluded regardless
+    of tiebreak (``tiebreak`` is then irrelevant and ignored).
 
     ``smoothing`` (m) shrinks low-history categories toward ``prior``
     (James–Stein style): ``(sum_prior + m*prior) / (n_prior + m)``. With
@@ -190,8 +199,18 @@ def time_aware_target_encode(
     out_col = out_col or f"{category}_te"
     if out_col in df.columns:
         raise ValueError(f"time_aware_target_encode: {out_col!r} exists")
-    w = (Window.partitionBy(category).orderBy(ts, *(tiebreak or []))
-         .rowsBetween(Window.unboundedPreceding, -1))
+    us_col = f"__te_us_{out_col}"
+    if strict_ts:
+        # exact int64 microsecond ordering key (NTZ-safe cast hop, same
+        # convention as feature_matrix); range frame ending at -1µs
+        # excludes ALL same-instant rows — strictly earlier in time
+        df = df.withColumn(
+            us_col, F.unix_micros(F.col(ts).cast("timestamp")))
+        w = (Window.partitionBy(category).orderBy(us_col)
+             .rangeBetween(Window.unboundedPreceding, -1))
+    else:
+        w = (Window.partitionBy(category).orderBy(ts, *(tiebreak or []))
+             .rowsBetween(Window.unboundedPreceding, -1))
     ld = F.col(label).cast(_DEC)
     n_prev = F.count(ld).over(w)
     s_prev = F.coalesce(F.sum(ld).over(w).cast("double"), F.lit(0.0))
@@ -199,4 +218,5 @@ def time_aware_target_encode(
     denom = n_prev.cast("double") + F.lit(m)
     enc = F.when(denom > 0,
                  (s_prev + F.lit(m) * F.lit(float(prior))) / denom)
-    return df.withColumn(out_col, enc)
+    out = df.withColumn(out_col, enc)
+    return out.drop(us_col) if strict_ts else out

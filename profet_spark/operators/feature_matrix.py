@@ -401,6 +401,15 @@ def windowed_spine_agg(
             raise ValueError(
                 f"windowed_spine_agg: output column {out_col!r} collides "
                 "with a spine column")
+    # internal scratch names — a user column with one of these would be
+    # silently overwritten instead of raising like the out_col guard
+    reserved = {_SIDE, "__wagg_us"} | {
+        f"__wf_{src}" for _, src in aggs.values()}
+    clashes = sorted(reserved & (set(spine.columns) | set(feature.columns)))
+    if clashes:
+        raise ValueError(
+            f"windowed_spine_agg: column(s) {clashes} collide with "
+            "internal scratch names — rename them")
     keys = _entity_cols(entity)
     spine = _ts_checked(spine, ts)
     feature = _ts_checked(feature, ts)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -159,9 +160,24 @@ def scan_pruned(spark: SparkSession, out_dir: str, ts_col: str = "ts",
     return df.drop(DAY_COL, BUCKET_COL)
 
 
+def _day_str(d) -> str:
+    """Normalize a collected ``_p_day`` value to 'yyyy-MM-dd': reading a
+    partitioned store back infers the column as DATE, while
+    :func:`partition_transforms` produces strings — driver-side pair
+    comparisons must not mix the two."""
+    return d.isoformat() if hasattr(d, "isoformat") else str(d)
+
+
+# Batches whose distinct-key set exceeds this are merged with a plain
+# (AQE-planned) join instead of a forced broadcast — a forced broadcast
+# of an unbounded batch key set can OOM the driver/executors.
+BROADCAST_KEY_LIMIT = 1_000_000
+
+
 def upsert_partitioned(spark: SparkSession, updates: DataFrame,
                        out_dir: str,
-                       key_cols: list[str] | None = None) -> dict:
+                       key_cols: list[str] | None = None,
+                       on_moved_keys: str = "extend") -> dict:
     """S8: incremental upsert into a :func:`write_partitioned` store —
     the feature-store materialization pattern: merge a new batch of
     feature rows into the table, replacing rows that share a key and
@@ -187,11 +203,37 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
     Returns ``{"partitions_rewritten", "rows_written", "rows_replaced"}``
     (exact ints — the audit numbers a checkpointed pipeline logs).
 
+    **Moved keys.** The batch-footprint fast path is sound only when the
+    key functionally determines the partition — true for the default
+    ``(entity, ts)`` key (and any superset). With a custom surrogate key
+    (e.g. ``key_cols=['event_id']``) a batch row may carry a DIFFERENT
+    ``(entity, ts)`` than the stored same-key row, leaving the stale row
+    alive in a partition the fast path never reads. ``on_moved_keys``
+    governs that case (it is consulted only when ``key_cols`` does not
+    contain both spec columns):
+
+    - ``"extend"`` (default): probe the store OUTSIDE the batch-touched
+      partitions for batch keys — a key-column-pruned scan of the table
+      (the unavoidable price of global key semantics without a key
+      index) — and extend the rewrite set with the partitions holding
+      stale rows, so the merge is exact;
+    - ``"error"``: same probe, but raise if any stale same-key row lives
+      outside the touched partitions (for pipelines that forbid keys
+      moving partitions);
+    - ``"skip"``: no probe — the caller guarantees batch rows never move
+      a key's ``(entity, ts)`` across partitions, restoring the pure
+      batch-footprint cost model.
+
     At 10^12 rows: cost scales with the BATCH's footprint (touched
-    partitions), not table size — the whole point vs a full rewrite. A
-    batch spanning the full history degenerates to a table rewrite;
-    bound batch spans upstream.
+    partitions), not table size — the whole point vs a full rewrite
+    (plus, for custom keys under extend/error, one key-column probe
+    scan). A batch spanning the full history degenerates to a table
+    rewrite; bound batch spans upstream.
     """
+    if on_moved_keys not in ("extend", "error", "skip"):
+        raise ValueError(
+            f"upsert_partitioned: on_moved_keys={on_moved_keys!r} "
+            "(expected 'extend', 'error' or 'skip')")
     spec = read_spec(out_dir)
     if spec is None:
         raise ValueError(
@@ -232,6 +274,30 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
              for r in up.select(DAY_COL, BUCKET_COL).distinct().collect()]
     pair_tag = F.concat_ws("/", F.col(DAY_COL),
                            F.col(BUCKET_COL).cast("string"))
+    n_batch = up.count()
+    batch_keys = up.select(*keys).distinct()
+    if n_batch <= BROADCAST_KEY_LIMIT:
+        # the batch is key-unique, so n_batch bounds the key set size
+        batch_keys = F.broadcast(batch_keys)
+    if {entity_col, ts_col} - set(keys) and on_moved_keys != "skip":
+        # custom key that does not determine (day, bucket): stale
+        # same-key rows may live outside the batch footprint — probe for
+        # them (key-column-pruned scan) and extend/fail per the knob
+        stale_tags = [f"{d}/{b}" for d, b in pairs]
+        stale = (store.where(~pair_tag.isin(stale_tags))
+                 .join(batch_keys, keys, "left_semi")
+                 .select(DAY_COL, BUCKET_COL).distinct().collect())
+        # the read-back partition column is DATE (type inference) while
+        # the batch transform yields 'yyyy-MM-dd' strings — normalize
+        extra = sorted((_day_str(r[DAY_COL]), r[BUCKET_COL]) for r in stale)
+        if extra and on_moved_keys == "error":
+            raise ValueError(
+                "upsert_partitioned: batch keys match stored rows in "
+                f"{len(extra)} partition(s) outside the batch footprint "
+                f"(e.g. {extra[0]}) — the batch moves keys across "
+                "partitions; use on_moved_keys='extend' (or 'skip' to "
+                "accept duplicates)")
+        pairs += extra
     tags = [f"{d}/{b}" for d, b in pairs]
     # partition pruning: day/bucket IN-lists reach PartitionFilters; the
     # pair tag trims the (day x bucket) superset row-level
@@ -239,8 +305,7 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
                .where(F.col(DAY_COL).isin(sorted({d for d, _ in pairs})))
                .where(F.col(BUCKET_COL).isin(sorted({b for _, b in pairs})))
                .where(pair_tag.isin(tags)))
-    survivors = touched.join(F.broadcast(up.select(*keys).distinct()),
-                             keys, "left_anti")
+    survivors = touched.join(batch_keys, keys, "left_anti")
     n_touched = touched.count()
     # eager localCheckpoint truncates lineage off the store path — Spark
     # (rightly) refuses to overwrite a path its write plan still reads.
@@ -253,7 +318,21 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(DAY_COL, BUCKET_COL)
      .parquet(out_dir))
-    n_batch = up.count()
+    # dynamic overwrite only rewrites partitions PRESENT in the output;
+    # an extended partition whose every row carried a batch key ends up
+    # empty and must be dropped explicitly (the parquet-fallback analog
+    # of the catalog's delete). Batch partitions always hold batch rows,
+    # so only moved-key extensions can hit this.
+    written = {(_day_str(r[DAY_COL]), r[BUCKET_COL])
+               for r in out.select(DAY_COL, BUCKET_COL).distinct().collect()}
+    for d, b in pairs:
+        if (d, b) not in written:
+            day_dir = os.path.join(out_dir, f"{DAY_COL}={d}")
+            part_dir = os.path.join(day_dir, f"{BUCKET_COL}={b}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+            if os.path.isdir(day_dir) and not os.listdir(day_dir):
+                os.rmdir(day_dir)
     return {"partitions_rewritten": len(pairs),
             "rows_written": int(n_written),
             "rows_replaced": int(n_touched - (n_written - n_batch))}

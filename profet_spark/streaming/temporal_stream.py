@@ -608,22 +608,39 @@ def stateful_target_encode(stream: DataFrame, category: str, label: str,
         n0, s0 = state.get if state.exists else (0, 0)
         v = pdf[label].to_numpy(np.float64)
         pres = ~np.isnan(v)
-        micro = np.array([
+        micro = [
             int(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
                 .scaleb(6)) if p else 0
-            for x, p in zip(v.tolist(), pres.tolist())], dtype=np.int64)
-        # strictly-prior exclusive prefix over (count, exact micro sum)
+            for x, p in zip(v.tolist(), pres.tolist())]
+        # strictly-prior exclusive prefix over (count, exact micro sum).
+        # The sum accumulates in PYTHON ints (arbitrary precision): an
+        # int64 cumsum wraps silently once |cumulative micro sum|
+        # exceeds ~9.2e18 — i.e. |label sum| > ~9.2e12, well inside the
+        # documented |value| < 1e12 per-row domain — whereas the batch
+        # operator's decimal(28,6) sum has ~1e22 headroom.
         n_prev = n0 + np.concatenate(([0], np.cumsum(pres.astype(np.int64))[:-1]))
-        s_prev_micro = s0 + np.concatenate(([0], np.cumsum(micro)[:-1]))
+        s_prev_micro = []
+        acc = int(s0)
+        for mv in micro:
+            s_prev_micro.append(acc)
+            acc += mv
         # one correctly-rounded decimal->double per row (the batch's
         # CAST(sum AS DOUBLE)), then the mirrored encoding expression
-        s_prev = np.array([float(Decimal(int(sm)).scaleb(-6))
+        s_prev = np.array([float(Decimal(sm).scaleb(-6))
                            for sm in s_prev_micro], dtype=np.float64)
         denom = n_prev.astype(np.float64) + m
         with np.errstate(divide="ignore", invalid="ignore"):
             enc = np.where(denom > 0, (s_prev + mp) / denom, np.nan)
-        state.update((int(n_prev[-1] + int(pres[-1])),
-                      int(s_prev_micro[-1] + int(micro[-1]))))
+        if not (-(2 ** 63) <= acc < 2 ** 63):
+            # the persisted state field is int64; fail loudly instead of
+            # wrapping (the batch twin would keep decimal headroom here —
+            # rescale the label upstream if a category can accumulate
+            # past ~9.2e12 in label units)
+            raise OverflowError(
+                "stateful_target_encode: cumulative label sum for "
+                f"category {key!r} exceeds the int64 micro-unit state "
+                "range (~9.2e12 in label units)")
+        state.update((int(n_prev[-1] + int(pres[-1])), acc))
         pdf[out_col] = enc
         yield pdf[in_cols + [out_col]]
 

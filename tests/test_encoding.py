@@ -158,6 +158,37 @@ def test_target_encode_never_sees_self_or_future(spark):
     np.testing.assert_array_equal(a, b)
 
 
+def test_target_encode_strict_ts_excludes_same_instant(spark):
+    """strict_ts=True: a row must never see labels at its OWN timestamp,
+    regardless of tiebreak order — the range frame over exact int64
+    microseconds, vs the default rows frame which includes earlier-
+    tiebreak same-ts rows."""
+    pdf = _fe_fixture(seed=37, n=400)
+    # force heavy ts collisions: round to 6-hour buckets
+    pdf["ts"] = pdf.ts.dt.floor("6h")
+    sdf = spark.createDataFrame(pdf)
+    got = time_aware_target_encode(
+        sdf, "cat", "x", ts="ts", smoothing=3.0, prior=10.0,
+        strict_ts=True, out_col="te").toPandas().sort_values("event_id")
+    # brute force: strictly earlier in TIME only
+    exp = []
+    for _, row in pdf.sort_values("event_id").iterrows():
+        prior_rows = pdf[(pdf.cat == row["cat"])
+                         & (pdf.ts < row["ts"])].x.dropna()
+        exp.append((prior_rows.sum() + 3.0 * 10.0)
+                   / (len(prior_rows) + 3.0))
+    np.testing.assert_allclose(got.te.to_numpy(float), np.array(exp),
+                               rtol=1e-9, atol=1e-12, equal_nan=True)
+    # and it genuinely differs from the rows-frame default here
+    dflt = time_aware_target_encode(
+        sdf, "cat", "x", ts="ts", tiebreak=["event_id"], smoothing=3.0,
+        prior=10.0, out_col="te").toPandas().sort_values("event_id")
+    assert not np.allclose(got.te.to_numpy(float), dflt.te.to_numpy(float),
+                           equal_nan=True)
+    # the scratch microsecond column never leaks into the output
+    assert not [c for c in got.columns if c.startswith("__te_us")]
+
+
 def test_target_encode_plan_and_validation(spark):
     pdf = _fe_fixture(seed=31, n=100)
     sdf = spark.createDataFrame(pdf)

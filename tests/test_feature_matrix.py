@@ -511,6 +511,17 @@ def test_windowed_spine_agg_plan_and_validation(spark, dfs):
                            entity="image_id", ts="ts", window_s=0)
     with pytest.raises(ValueError, match="no aggregates"):
         windowed_spine_agg(sdf, adf, {}, entity="image_id", ts="ts")
+    # internal scratch names raise like the out_col guard instead of
+    # being silently overwritten
+    for bad in ("__fm_side", "__wagg_us", "__wf_fa_val"):
+        with pytest.raises(ValueError, match="internal scratch"):
+            windowed_spine_agg(sdf.withColumn(bad, F.lit(1)), adf,
+                               {"n": ("count", "fa_val")},
+                               entity="image_id", ts="ts")
+    with pytest.raises(ValueError, match="internal scratch"):
+        windowed_spine_agg(sdf, adf.withColumn("__wagg_us", F.lit(1)),
+                           {"n": ("count", "fa_val")},
+                           entity="image_id", ts="ts")
 
 
 # ---------------------------------------------------------------- FM4 drift

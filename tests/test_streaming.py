@@ -605,6 +605,63 @@ def test_stateful_target_encode_equals_batch_multi_batch(spark, sf_dir,
     assert _pdf(got).equals(_pdf(_batch_te_want(spark, sf_dir)))
 
 
+def test_stateful_target_encode_big_prefix_sums_are_exact(
+        spark, tmp_path_factory):
+    """An int64 cumsum wraps once an intermediate prefix exceeds ~9.2e18
+    micro units even when the FINAL state fits — the Python-int
+    accumulator must encode exactly (vs the batch operator) instead."""
+    import datetime as dt
+
+    out = str(tmp_path_factory.mktemp("te_big"))
+    # per-row |value| stays inside the documented decimal(18,6) domain
+    # (< 1e12); the PREFIX peaks at 9.9e12 (9.9e18 micro units > int64
+    # max 9.22e18) before the negatives bring the final sum back down
+    vals = [9.0e11] * 11 + [-9.0e11] * 10 + [1.0]
+    rows = [(i, dt.datetime(2025, 1, 1, 0, i), "c", v)
+            for i, v in enumerate(vals)]
+    pdf_schema = "event_id bigint, ts timestamp, cat string, value double"
+    ev = spark.createDataFrame(rows, pdf_schema)
+    ev.coalesce(1).write.mode("overwrite").parquet(out)
+    stream = (spark.readStream.schema(ev.schema).parquet(out)
+              .withWatermark("ts", "1 hour"))
+    st.run_available_now(
+        st.stateful_target_encode(stream, "cat", "value", out_col="te"),
+        "t_te_big", output_mode="append")
+    got = (spark.table("t_te_big").select("event_id", "te")
+           .toPandas().set_index("event_id").te)
+    from profet_spark.operators.encoding import time_aware_target_encode
+    want = (time_aware_target_encode(ev, "cat", "value", ts="ts",
+                                     tiebreak=["event_id"], out_col="te")
+            .select("event_id", "te").toPandas()
+            .set_index("event_id").te)
+    assert got.sort_index().equals(want.sort_index())
+    # the probe row's encoding is the exact final mean, not a wrapped one
+    assert got.loc[21] == (11 * 9.0e11 - 10 * 9.0e11) / 21.0
+
+
+def test_stateful_target_encode_state_overflow_raises(spark,
+                                                      tmp_path_factory):
+    """A category whose persisted cumulative sum exceeds the int64
+    micro-unit state range must fail loudly, never wrap silently."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    out = str(tmp_path_factory.mktemp("te_ovf"))
+    rows = [(i, dt.datetime(2025, 1, 1, 0, i), "c", 9.0e11)
+            for i in range(11)]  # cumulative 9.9e12 -> 9.9e18 micro units
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, cat string, value double")
+    ev.coalesce(1).write.mode("overwrite").parquet(out)
+    stream = (spark.readStream.schema(ev.schema).parquet(out)
+              .withWatermark("ts", "1 hour"))
+    with pytest.raises(StreamingQueryException,
+                       match="int64 micro-unit state range"):
+        st.run_available_now(
+            st.stateful_target_encode(stream, "cat", "value", out_col="te"),
+            "t_te_ovf", output_mode="append")
+
+
 def test_windowed_drift_counts_sum_to_batch_histogram(spark, sf_dir, ev_dir,
                                                       ev_schema):
     """FM4 twin: tumbling windows partition the current slice, so summing
