@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from profet_spark import fixtures
+from profet_spark.functions import alphabets as A
 from profet_spark.functions import hashing as H
 from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
@@ -1584,16 +1585,35 @@ def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FLEX1000 = [int(round(FLEX_SCALE[c] * 1000)) for c in ALPHABET]
 _FLEX1000_DUCK = "[" + ", ".join(str(x) for x in _FLEX1000) + "]"
+# Grantham (1974) exact-int property encodings (alphabets.py) — d^2/rho^2
+# * 1e8 is a pure integer expression, so the coupling numbers are exact
+_GC100 = [A.GRANTHAM_C100[c] for c in ALPHABET]
+_GP10 = [A.GRANTHAM_P10[c] for c in ALPHABET]
+_GV10 = [A.GRANTHAM_V10[c] for c in ALPHABET]
+_GC100_DUCK = "[" + ", ".join(str(x) for x in _GC100) + "]"
+_GP10_DUCK = "[" + ", ".join(str(x) for x in _GP10) + "]"
+_GV10_DUCK = "[" + ", ".join(str(x) for x in _GV10) + "]"
 
 
 def _q_qso(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14 quasi-sequence-order analog ([R] QuasiSequenceOrder.py
-    ≈L60-300): sequence-order coupling numbers tau_d = sum_t dist^2 over a
-    two-property physicochemical distance (hydropathy + flexibility — the
-    documented stand-in for the Schneider-Wrede matrix), plus the
-    tau-normalized QSO weights. Exact integer sums; the engine's scale
-    path for per-row descriptors is the fused Arrow kernel
-    (profet_caption_features); this form is the engine-neutral oracle."""
+    """A14 quasi-sequence-order ([R] QuasiSequenceOrder.py ≈L60-300):
+    sequence-order coupling numbers tau_d = sum_t dist^2 for lag d, under
+    TWO distances, mirroring upstream's _Distance1/_Distance2 pair:
+
+    - ``tau_k``/``qso_k`` — the two-property stand-in (hydropathy +
+      flexibility; the documented in-sandbox substitute for the
+      Schneider-Wrede matrix, whose 400 derived constants have no
+      public source in this environment);
+    - ``tau_g{k}``/``qso_g{k}`` — the REAL Grantham matrix, reconstructed
+      exactly from the published 1974 formula + property table
+      (alphabets.py; checksummed against published integer distances).
+      tau sums SQUARED distances, so d^2/rho^2 * 1e8 stays a pure
+      integer expression — exact in both engines; the rho^2/1e8 factor
+      cancels in the QSO normalization.
+
+    Exact integer sums; the engine's scale path for per-row descriptors
+    is the fused Arrow kernel (profet_caption_features); this form is the
+    engine-neutral oracle."""
     from pyspark.sql.window import Window
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _norm_col().alias("s")).where(F.length("s") > 3)
@@ -1603,26 +1623,50 @@ def _q_qso(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = F.substring(F.col("s"), F.col("i").cast("int"), 1)
     flex_arr = F.array(*[F.lit(x) for x in _FLEX1000])
+    idx = F.ascii(ch) - 64
+    arr = lambda vals: F.array(*[F.lit(x) for x in vals])  # noqa: E731
     e = e.select(
         "doc_id", "n", "i",
-        F.element_at(_kd10_arr(), F.ascii(ch) - 64).alias("v"),
-        F.element_at(flex_arr, F.ascii(ch) - 64).alias("fv"),
+        F.element_at(_kd10_arr(), idx).alias("v"),
+        F.element_at(flex_arr, idx).alias("fv"),
+        # bigint: the three-term Grantham sum peaks ~3.2e9 per position,
+        # past int32 (ANSI would error on the overflow)
+        F.element_at(arr(_GC100), idx).cast("bigint").alias("gc"),
+        F.element_at(arr(_GP10), idx).cast("bigint").alias("gp"),
+        F.element_at(arr(_GV10), idx).cast("bigint").alias("gv"),
     )
     w = Window.partitionBy("doc_id").orderBy("i")
     lags = [1, 2, 3]
     ld = e.select(
-        "doc_id", "v", "fv",
+        "doc_id", "v", "fv", "gc", "gp", "gv",
         *[F.lead("v", k).over(w).alias(f"v{k}") for k in lags],
         *[F.lead("fv", k).over(w).alias(f"fv{k}") for k in lags],
+        *[F.lead("gc", k).over(w).alias(f"gc{k}") for k in lags],
+        *[F.lead("gp", k).over(w).alias(f"gp{k}") for k in lags],
+        *[F.lead("gv", k).over(w).alias(f"gv{k}") for k in lags],
     )
     dist2 = lambda k: ((F.col("v") - F.col(f"v{k}")) * (F.col("v") - F.col(f"v{k}"))
                        + (F.col("fv") - F.col(f"fv{k}")) * (F.col("fv") - F.col(f"fv{k}")))
+    dd = lambda c, k: F.col(c) - F.col(f"{c}{k}")  # noqa: E731
+    gdist2 = lambda k: (F.lit(18330) * dd("gc", k) * dd("gc", k)
+                        + F.lit(101800) * dd("gp", k) * dd("gp", k)
+                        + F.lit(399) * dd("gv", k) * dd("gv", k))
     g = ld.groupBy("doc_id").agg(
-        *[F.sum(dist2(k)).alias(f"tau_{k}") for k in lags])
+        *[F.sum(dist2(k)).alias(f"tau_{k}") for k in lags],
+        *[F.sum(gdist2(k)).alias(f"tau_g{k}") for k in lags])
     total = F.lit(1).cast("bigint") + sum(F.col(f"tau_{k}") for k in lags)
+    # the Grantham normalizer folds w=0.1 and the rho^2/1e8 rescale into
+    # ONE exact integer weight: qso_gk = tau_gk / (1e9/(w*rho^2) + sum)
+    # with 1e9/(0.1*50.723^2) rounded to the nearest int (3886782) so
+    # both engines fold the same constant
+    total_g = (F.lit(3886782).cast("bigint")
+               + sum(F.col(f"tau_g{k}") for k in lags))
     return g.select(
         "doc_id", *[F.col(f"tau_{k}") for k in lags],
+        *[F.col(f"tau_g{k}") for k in lags],
         *[(F.col(f"tau_{k}").cast("double") / total.cast("double")).alias(f"qso_{k}")
+          for k in lags],
+        *[(F.col(f"tau_g{k}").cast("double") / total_g.cast("double")).alias(f"qso_g{k}")
           for k in lags],
     )
 
@@ -3821,23 +3865,35 @@ def _oracle_sql_base() -> dict[str, str]:
             WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
             e AS (SELECT doc_id, i,
                          {_KD10_DUCK}[ascii(substr(s, i, 1)) - 64] AS v,
-                         {_FLEX1000_DUCK}[ascii(substr(s, i, 1)) - 64] AS fv
+                         {_FLEX1000_DUCK}[ascii(substr(s, i, 1)) - 64] AS fv,
+                         CAST({_GC100_DUCK}[ascii(substr(s, i, 1)) - 64] AS BIGINT) AS gc,
+                         CAST({_GP10_DUCK}[ascii(substr(s, i, 1)) - 64] AS BIGINT) AS gp,
+                         CAST({_GV10_DUCK}[ascii(substr(s, i, 1)) - 64] AS BIGINT) AS gv
                   FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
                         FROM d WHERE length(s) > 3)),
-            l AS (SELECT doc_id, v, fv,
+            l AS (SELECT doc_id, v, fv, gc, gp, gv,
                          lead(v, 1) OVER w AS v1, lead(fv, 1) OVER w AS fv1,
                          lead(v, 2) OVER w AS v2, lead(fv, 2) OVER w AS fv2,
-                         lead(v, 3) OVER w AS v3, lead(fv, 3) OVER w AS fv3
+                         lead(v, 3) OVER w AS v3, lead(fv, 3) OVER w AS fv3,
+                         lead(gc, 1) OVER w AS gc1, lead(gp, 1) OVER w AS gp1, lead(gv, 1) OVER w AS gv1,
+                         lead(gc, 2) OVER w AS gc2, lead(gp, 2) OVER w AS gp2, lead(gv, 2) OVER w AS gv2,
+                         lead(gc, 3) OVER w AS gc3, lead(gp, 3) OVER w AS gp3, lead(gv, 3) OVER w AS gv3
                   FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
             g AS (SELECT doc_id,
                          CAST(sum((v - v1) * (v - v1) + (fv - fv1) * (fv - fv1)) AS BIGINT) AS tau_1,
                          CAST(sum((v - v2) * (v - v2) + (fv - fv2) * (fv - fv2)) AS BIGINT) AS tau_2,
-                         CAST(sum((v - v3) * (v - v3) + (fv - fv3) * (fv - fv3)) AS BIGINT) AS tau_3
+                         CAST(sum((v - v3) * (v - v3) + (fv - fv3) * (fv - fv3)) AS BIGINT) AS tau_3,
+                         CAST(sum(18330 * (gc - gc1) * (gc - gc1) + 101800 * (gp - gp1) * (gp - gp1) + 399 * (gv - gv1) * (gv - gv1)) AS BIGINT) AS tau_g1,
+                         CAST(sum(18330 * (gc - gc2) * (gc - gc2) + 101800 * (gp - gp2) * (gp - gp2) + 399 * (gv - gv2) * (gv - gv2)) AS BIGINT) AS tau_g2,
+                         CAST(sum(18330 * (gc - gc3) * (gc - gc3) + 101800 * (gp - gp3) * (gp - gp3) + 399 * (gv - gv3) * (gv - gv3)) AS BIGINT) AS tau_g3
                   FROM l GROUP BY doc_id)
-            SELECT doc_id, tau_1, tau_2, tau_3,
+            SELECT doc_id, tau_1, tau_2, tau_3, tau_g1, tau_g2, tau_g3,
                    CAST(tau_1 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_1,
                    CAST(tau_2 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_2,
-                   CAST(tau_3 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_3
+                   CAST(tau_3 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_3,
+                   CAST(tau_g1 AS DOUBLE) / CAST(3886782 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g1,
+                   CAST(tau_g2 AS DOUBLE) / CAST(3886782 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g2,
+                   CAST(tau_g3 AS DOUBLE) / CAST(3886782 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g3
             FROM g
         """,
         "d4_simhash_pairs": f"""

@@ -105,6 +105,66 @@ _FLEX_BASE = {
 }
 FLEX_SCALE = {c: _FLEX_BASE.get(c, 1.0) for c in ALPHABET}
 
+# --- Grantham (1974, Science 185:862) amino-acid difference formula:
+# d_ij = rho * sqrt(alpha*(c_i-c_j)^2 + beta*(p_i-p_j)^2 + gamma*(v_i-v_j)^2)
+# with the published composition (c), polarity (p) and side-chain volume
+# (v) values and constants alpha=1.833, beta=0.1018, gamma=0.000399,
+# rho=50.723 (mean distance normalized to ~100). This is the _Distance2
+# matrix of upstream quasi-sequence-order ([R] QuasiSequenceOrder.py
+# ≈L60-300, propy lineage) — reconstructed here from the PAPER's formula
+# + property table (all public), not copied as a 400-constant dump, so
+# the data entry is checksummable: round(d) reproduces the published
+# integer distances (Leu-Ile 5, Gly-Trp 184, ...) and the 190-pair mean
+# is ~100 (pinned in tests/test_descriptors.py). Non-AA letters (BJOUXZ)
+# take each property's rounded 20-AA mean — the distortion-minimizing
+# neutral, same convention as the other scales' defaults.
+_GRANTHAM_BASE = {
+    #      c      p      v
+    "A": (0.00,  8.1,  31.0), "R": (0.65, 10.5, 124.0),
+    "N": (1.33, 11.6,  56.0), "D": (1.38, 13.0,  54.0),
+    "C": (2.75,  5.5,  55.0), "Q": (0.89, 10.5,  85.0),
+    "E": (0.92, 12.3,  83.0), "G": (0.74,  9.0,   3.0),
+    "H": (0.58, 10.4,  96.0), "I": (0.00,  5.2, 111.0),
+    "L": (0.00,  4.9, 111.0), "K": (0.33, 11.3, 119.0),
+    "M": (0.00,  5.7, 105.0), "F": (0.00,  5.2, 132.0),
+    "P": (0.39,  8.0,  32.5), "S": (1.42,  9.2,  32.0),
+    "T": (0.71,  8.6,  61.0), "W": (0.13,  5.4, 170.0),
+    "Y": (0.20,  6.2, 136.0), "V": (0.00,  5.9,  84.0),
+}
+GRANTHAM_ALPHA, GRANTHAM_BETA, GRANTHAM_GAMMA = 1.833, 0.1018, 0.000399
+GRANTHAM_RHO = 50.723
+
+# exact-int encodings (c x100, p x10, v x10) — tau sums SQUARED distances,
+# and d^2/rho^2 * 1e8 = 18330*dc100^2 + 101800*dp10^2 + 399*dv10^2 is a
+# pure integer expression, bitwise-portable across engines
+_g_c100 = {c: int(round(v[0] * 100)) for c, v in _GRANTHAM_BASE.items()}
+_g_p10 = {c: int(round(v[1] * 10)) for c, v in _GRANTHAM_BASE.items()}
+_g_v10 = {c: int(round(v[2] * 10)) for c, v in _GRANTHAM_BASE.items()}
+
+
+def _with_mean_default(m: dict[str, int]) -> dict[str, int]:
+    neutral = int(round(sum(m.values()) / len(m)))
+    return {c: m.get(c, neutral) for c in ALPHABET}
+
+
+GRANTHAM_C100 = _with_mean_default(_g_c100)
+GRANTHAM_P10 = _with_mean_default(_g_p10)
+GRANTHAM_V10 = _with_mean_default(_g_v10)
+
+
+def grantham_d2_scaled(a: str, b: str) -> int:
+    """Exact-int d^2/rho^2 * 1e8 between two letters (A-Z)."""
+    dc = GRANTHAM_C100[a] - GRANTHAM_C100[b]
+    dp = GRANTHAM_P10[a] - GRANTHAM_P10[b]
+    dv = GRANTHAM_V10[a] - GRANTHAM_V10[b]
+    return 18330 * dc * dc + 101800 * dp * dp + 399 * dv * dv
+
+
+def grantham_distance(a: str, b: str) -> float:
+    """The Grantham distance itself (float; checksum/report form)."""
+    return GRANTHAM_RHO * (grantham_d2_scaled(a, b) / 1e8) ** 0.5
+
+
 AROMATIC = set("FWYH")
 POSITIVE = set("KRH")
 NEGATIVE = set("DE")

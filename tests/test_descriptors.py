@@ -127,3 +127,32 @@ def test_fuzz_random_strings_match_oracle():
             gv = got.iloc[i][name]
             assert np.isclose(gv, wv, rtol=1e-9, atol=1e-12), (
                 f"fuzz row {i} ({cap!r:.40}) feature {name}: {gv} vs {wv}")
+
+
+def test_grantham_matrix_reproduces_published_distances():
+    """A14 fidelity pin: the Grantham matrix is RECONSTRUCTED from the
+    1974 formula + property table (alphabets.py), not copied — so the
+    data entry must reproduce the paper's published integer distances
+    (rho is the published 3-decimal rounding, hence the ±1 band) and the
+    190-pair mean must sit at the paper's normalization target of 100."""
+    import itertools
+
+    from profet_spark.functions.alphabets import (grantham_d2_scaled,
+                                                  grantham_distance)
+
+    published = {
+        ("L", "I"): 5, ("G", "W"): 184, ("F", "L"): 22, ("R", "L"): 102,
+        ("S", "L"): 145, ("C", "W"): 215, ("Y", "F"): 22, ("A", "G"): 60,
+        ("D", "E"): 45, ("M", "L"): 15, ("K", "R"): 26, ("P", "S"): 74,
+        ("V", "I"): 29, ("T", "S"): 58, ("H", "Q"): 24, ("N", "D"): 23,
+    }
+    for (a, b), want in published.items():
+        got = grantham_distance(a, b)
+        assert abs(got - want) <= 1.0, (a, b, got, want)
+        # symmetry + identity of the exact-int kernel
+        assert grantham_d2_scaled(a, b) == grantham_d2_scaled(b, a)
+        assert grantham_d2_scaled(a, a) == 0
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    mean = np.mean([grantham_distance(a, b)
+                    for a, b in itertools.combinations(aas, 2)])
+    assert abs(mean - 100.0) < 0.5, mean
