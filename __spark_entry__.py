@@ -1573,7 +1573,9 @@ def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", H.h32(dedup.normalized("text")).alias("h"))
-    w = Window.orderBy("doc_id")
+    # constant partitionBy: semantically identical single-partition
+    # window, but no "No Partition Defined" warning in the logs
+    w = Window.partitionBy(F.lit(0)).orderBy("doc_id")
     return d.select(
         "doc_id", "h",
         F.shiftright("h", 28).bitwiseAND(F.lit(15)).cast("int").alias("nib_hi"),
@@ -2181,6 +2183,96 @@ def _q_stream_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "value", "te_smooth")
 
 
+def _e2e_oracle_sql() -> str:
+    """DuckDB twin of _q_e2e_training_pipeline: the four component
+    oracles (FM ASOF joins, FM5 fold grid, FE1 mirrored scaler text,
+    FE2 strictly-prior window) composed as one CTE chain — identical
+    expression text to each component oracle, so the integrated result
+    is bitwise."""
+    n, k = _FM5_KW["n_folds"], _FM5_KW["val_fold"]
+    emb = int(round(_FM5_KW["embargo_s"] * 1_000_000))
+    pur = int(round(_FM5_KW["purge_s"] * 1_000_000))
+    m, p = _FE2_M, _FE2_PRIOR
+    fold = lambda shift: (  # noqa: E731
+        f"least(CAST({n - 1} AS BIGINT), "
+        f"(greatest(us + CAST({shift} AS BIGINT), lo) - lo) * {n} "
+        f"// (hi - lo + 1))")
+    stats = lambda c: (  # noqa: E731
+        f"count({c}) AS n_{c}, "
+        f"CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c}, "
+        f"CAST(sum(CAST({c} AS DECIMAL(18,6)) * CAST({c} AS DECIMAL(18,6)))"
+        f" AS DOUBLE) AS ss_{c}")
+    std = lambda c: (  # noqa: E731
+        f"CASE WHEN n_{c} >= 2 THEN sqrt(greatest("
+        f"(ss_{c} - s_{c} * (s_{c} / CAST(n_{c} AS DOUBLE)))"
+        f" / (CAST(n_{c} AS DOUBLE) - 1.0), 0.0)) END")
+    z = lambda c: (  # noqa: E731
+        f"CASE WHEN sd_{c} > 0 THEN ({c} - m_{c}) / sd_{c} END")
+    te = (f"CASE WHEN CAST(n_prev AS DOUBLE) + {m!r} > 0 THEN "
+          f"(coalesce(s_prev, 0.0) + {m!r} * {p!r})"
+          f" / (CAST(n_prev AS DOUBLE) + {m!r}) END")
+    return f"""
+        WITH purch AS (
+          SELECT user_id, ts, max(value) AS purch_val
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        clicks AS (
+          SELECT user_id, ts, CAST(count(*) AS DOUBLE) AS n_click
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        mat AS (
+          SELECT e.user_id, e.ts, e.event_id, e.event_type,
+                 CAST(e.value AS DOUBLE) AS value,
+                 pf.purch_val, c.n_click
+          FROM events e
+          ASOF LEFT JOIN purch pf
+            ON e.user_id = pf.user_id AND e.ts >= pf.ts
+          ASOF LEFT JOIN clicks c
+            ON e.user_id = c.user_id AND e.ts >= c.ts),
+        b AS (
+          SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM mat),
+        r AS (
+          SELECT mat.*, epoch_us(ts) AS us, b.lo, b.hi FROM mat, b),
+        f AS (
+          SELECT *, {fold(0)} AS fold, {fold(pur)} AS fold_p,
+                 {fold(-emb)} AS fold_e
+          FROM r),
+        roled AS (
+          SELECT user_id, ts, event_id, event_type, value, purch_val,
+                 n_click, fold,
+                 CASE WHEN fold = {k} THEN 'val'
+                      WHEN fold < {k} AND fold_p >= {k} THEN 'purged'
+                      WHEN fold > {k} AND fold_e <= {k} THEN 'purged'
+                      ELSE 'train' END AS cv_role
+          FROM f),
+        fit AS (
+          SELECT {stats('value')}, {stats('purch_val')}
+          FROM roled WHERE cv_role = 'train'),
+        sc AS (
+          SELECT n_value, s_value / CAST(n_value AS DOUBLE) AS m_value,
+                 {std('value')} AS sd_value,
+                 n_purch_val,
+                 s_purch_val / CAST(n_purch_val AS DOUBLE) AS m_purch_val,
+                 {std('purch_val')} AS sd_purch_val
+          FROM fit),
+        zed AS (
+          SELECT roled.*, {z('value')} AS value_z,
+                 {z('purch_val')} AS purch_val_z
+          FROM roled, sc),
+        w AS (
+          SELECT zed.*,
+                 count(CAST(value AS DECIMAL(18,6))) OVER win AS n_prev,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE)
+                   AS s_prev
+          FROM zed
+          WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id, ts, event_id, event_type, fold, cv_role, value,
+               purch_val, n_click, value_z, purch_val_z,
+               {te} AS te_smooth
+        FROM w
+    """
+
+
 def _q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 FM4 streaming twin: the production drift monitor — per-6h
     tumbling window drift histograms of the streamed 'current' half
@@ -2381,6 +2473,194 @@ def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("win_start").cast("timestamp_ntz").alias("win_start"), "n")
 
 
+def _q_seqorder_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+A13+A14 merged suite (frees two grading-window slots for the
+    round-4 store-maintenance / streaming-profile suites): PseAAC lag
+    correlation, per-entity autocorrelation, and both quasi-sequence-order
+    distance variants in one generic (part, e, i1-i3, x1-x3) layout. The
+    component queries stay registered at 51+ and mirror-graded."""
+    i64 = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    pse = _q_pseaac_corr(spark, sf_dir).select(
+        F.lit("pse").alias("part"), F.col("doc_id").alias("e"),
+        i64(-1).alias("i1"), i64(-1).alias("i2"), i64(-1).alias("i3"),
+        F.col("pse_corr_1").alias("x1"), F.col("pse_corr_2").alias("x2"),
+        F.col("pse_corr_3").alias("x3"))
+    ac = _q_autocorr(spark, sf_dir).select(
+        F.lit("ac").alias("part"), F.col("user_id").alias("e"),
+        F.col("n").alias("i1"), i64(-1).alias("i2"), i64(-1).alias("i3"),
+        F.col("autocorr_lag1").alias("x1"), F.col("autocorr_lag2").alias("x2"),
+        F.col("autocorr_lag3").alias("x3"))
+    qso = _q_qso(spark, sf_dir)
+    qso_std = qso.select(
+        F.lit("qso").alias("part"), F.col("doc_id").alias("e"),
+        F.col("tau_1").alias("i1"), F.col("tau_2").alias("i2"),
+        F.col("tau_3").alias("i3"),
+        F.col("qso_1").alias("x1"), F.col("qso_2").alias("x2"),
+        F.col("qso_3").alias("x3"))
+    qso_g = qso.select(
+        F.lit("qsog").alias("part"), F.col("doc_id").alias("e"),
+        F.col("tau_g1").alias("i1"), F.col("tau_g2").alias("i2"),
+        F.col("tau_g3").alias("i3"),
+        F.col("qso_g1").alias("x1"), F.col("qso_g2").alias("x2"),
+        F.col("qso_g3").alias("x3"))
+    return pse.unionByName(ac).unionByName(qso_std).unionByName(qso_g)
+
+
+def _q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6+C8+C9 merged suite: array scalars over embeddings, bit ops over
+    the content hash, and JSON aggregates over events in one generic
+    (part, e, s, i1-i5) layout — all exact integers, so the merged row
+    hash-grades. Components stay registered at 51+."""
+    i64 = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    neg = F.lit(-1).cast("bigint")
+    c6 = _q_array_ops(spark, sf_dir).select(
+        F.lit("c6").alias("part"), F.col("vec_id").cast("bigint").alias("e"),
+        F.lit("").alias("s"), i64("dim").alias("i1"),
+        i64("first_q").alias("i2"), i64("last_q").alias("i3"),
+        i64("head_sum").alias("i4"), i64("l1_q").alias("i5"))
+    c8 = _q_bit_ops(spark, sf_dir).select(
+        F.lit("c8").alias("part"), F.col("doc_id").cast("bigint").alias("e"),
+        F.lit("").alias("s"), i64("h").alias("i1"), i64("nib_hi").alias("i2"),
+        i64("nib_lo").alias("i3"), i64("popcnt").alias("i4"),
+        i64("hamming_prev").alias("i5"))
+    c9 = _q_json_props(spark, sf_dir).select(
+        F.lit("c9").alias("part"), neg.alias("e"),
+        F.col("event_type").alias("s"), i64("n").alias("i1"),
+        i64("sum_k").alias("i2"), i64("min_k").alias("i3"),
+        i64("max_k").alias("i4"), neg.alias("i5"))
+    return c6.unionByName(c8).unionByName(c9)
+
+
+def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S9 merged suite, driver-graded end to end: the incremental
+    upsert (dynamic partition overwrite, merged table equals the
+    recomputed one) and the small-file compaction (content-invariant
+    rewrite) — both components run their full write→maintain→read-back
+    cycle against fresh temp stores; file-level mechanics (byte-identity
+    of untouched partitions, one-file-per-victim) are pinned in
+    tests/test_partitioned.py."""
+    s8 = _q_upsert_merge(spark, sf_dir).select(
+        F.lit("s8").alias("part"), "event_id", "user_id", "ts", "val")
+    s9 = _q_compaction(spark, sf_dir).select(
+        F.lit("s9").alias("part"), "event_id", "user_id", "ts", "val")
+    return s8.unionByName(s9)
+
+
+def _q_stream_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 merged streaming suite #1 — the five profile/monitor twins
+    (st_w11 drift, st_w12 decayed, st_fm3 trailing-window aggregates,
+    st_fe2 online target encode, st_fm4 drift monitor) replayed with
+    availableNow and unioned part-tagged into one generic
+    (part, e, t, s, i1-i4, x1) layout. Each part grades against the SAME
+    SQL as its batch operator (composed verbatim in oracle_sql), so this
+    one driver row certifies five stateful streaming kernels."""
+    i64 = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    ntz = lambda c: F.col(c).cast("timestamp_ntz")  # noqa: E731
+    null_t = F.lit(None).cast("timestamp_ntz")
+    drift = _q_stream_drift(spark, sf_dir).select(
+        F.lit("w11").alias("part"), F.col("user_id").alias("e"),
+        null_t.alias("t"), F.lit("").alias("s"),
+        F.col("event_id").alias("i1"), F.col("ph_drift").alias("i2"),
+        F.col("ph_drift_cum").alias("i3"), F.col("ph").alias("i4"),
+        F.col("ph_drift_mean4").alias("x1"))
+    dec = _q_stream_decayed(spark, sf_dir)
+    decay_parts = [
+        dec.select(
+            F.lit(tag).alias("part"), F.col("user_id").alias("e"),
+            ntz("ts").alias("t"), F.lit("").alias("s"),
+            F.col("event_id").alias("i1"), i64(-1).alias("i2"),
+            i64(-1).alias("i3"), i64(-1).alias("i4"), F.col(c).alias("x1"))
+        for tag, c in [("dsum", f"value_dsum{_W12_N}"),
+                       ("dwt", f"value_dwt{_W12_N}"),
+                       ("dmean", f"value_dmean{_W12_N}")]]
+    wagg = _q_stream_wagg(spark, sf_dir).select(
+        F.lit("wagg").alias("part"), F.col("user_id").alias("e"),
+        ntz("ts").alias("t"), F.lit("").alias("s"),
+        F.col("event_id").alias("i1"), F.col("f_eid_n").alias("i2"),
+        F.col("f_eid_sum").alias("i3"), F.col("f_eid_min").alias("i4"),
+        F.col("f_eid_max").cast("double").alias("x1"))
+    te = _q_stream_target_encode(spark, sf_dir).select(
+        F.lit("te").alias("part"), F.col("event_id").alias("e"),
+        ntz("ts").alias("t"), F.col("event_type").alias("s"),
+        i64(-1).alias("i1"), i64(-1).alias("i2"), i64(-1).alias("i3"),
+        i64(-1).alias("i4"), F.col("te_smooth").alias("x1"))
+    fm4 = _q_stream_drift_monitor(spark, sf_dir).select(
+        F.lit("fm4").alias("part"), i64(-1).alias("e"),
+        F.col("win_start").alias("t"), F.col("feature").alias("s"),
+        F.col("bin").alias("i1"), F.col("n_cur").alias("i2"),
+        i64(-1).alias("i3"), i64(-1).alias("i4"), F.lit(-1.0).alias("x1"))
+    out = drift
+    for p in decay_parts + [wagg, te, fm4]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_stream_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 merged streaming suite #2 — the remaining three twins
+    (st_f3 watermark dedup, st_w7 sliding counts, st_fm N-table matrix
+    attach) replayed with availableNow, part-tagged in one generic
+    (part, e, t, i1, x1-x3) layout; same composed-oracle contract as the
+    profile suite."""
+    i64 = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    null_t = F.lit(None).cast("timestamp_ntz")
+    ded = _q_stream_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("part"), F.col("user_id").alias("e"),
+        F.col("ts").alias("t"), i64(-1).alias("i1"),
+        F.lit(-1.0).alias("x1"), F.lit(-1.0).alias("x2"),
+        F.lit(-1.0).alias("x3"))
+    sli = _q_stream_sliding(spark, sf_dir).select(
+        F.lit("slide").alias("part"), F.col("user_id").alias("e"),
+        F.col("win_start").alias("t"), F.col("n").cast("bigint").alias("i1"),
+        F.lit(-1.0).alias("x1"), F.lit(-1.0).alias("x2"),
+        F.lit(-1.0).alias("x3"))
+    mat = _q_stream_matrix(spark, sf_dir).select(
+        F.lit("matrix").alias("part"), F.col("user_id").alias("e"),
+        null_t.alias("t"), F.col("event_id").alias("i1"),
+        F.col("value").cast("double").alias("x1"),
+        F.col("pv_asof").cast("double").alias("x2"),
+        F.col("cv_asof").cast("double").alias("x3"))
+    return ded.unionByName(sli).unionByName(mat)
+
+
+def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composed pipeline — the user-facing "assemble a
+    leakage-safe training set" query, chaining four already-graded
+    operators into ONE graded row so integration regressions surface:
+
+    1. FM  point_in_time_matrix: purchase/click features attached as-of
+       the event spine (ONE Exchange + ONE WindowExec);
+    2. FM5 purged_cv_roles: fold + train/val/purged role per row;
+    3. FE1 fit_feature_scaler on the TRAIN slice only → z-scores
+       everywhere (split-aware, leakage-free);
+    4. FE2 time_aware_target_encode of event_type (strictly-prior frame).
+
+    The oracle is the composition of the four component oracles (CTE
+    chain), so the integrated result hash-grades bitwise."""
+    from profet_spark.operators import encoding as enc
+    from profet_spark.operators import feature_matrix as fm
+
+    ev = _events(spark, sf_dir)
+    spine = ev.select("user_id", "ts", "event_id", "event_type",
+                      F.col("value").cast("double").alias("value"))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("purch_val")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.count("*").cast("double").alias("n_click")))
+    m = fm.point_in_time_matrix(spine, {"purch": purch, "click": clicks},
+                                entity="user_id", ts="ts")
+    roles = fm.purged_cv_roles(m, ts="ts", **_FM5_KW)
+    fit = enc.fit_feature_scaler(
+        roles.where(F.col("cv_role") == "train"), ["value", "purch_val"])
+    z = enc.apply_feature_scaler(roles, fit, ["value", "purch_val"])
+    out = enc.time_aware_target_encode(
+        z, "event_type", "value", ts="ts", tiebreak=["event_id"],
+        smoothing=_FE2_M, prior=_FE2_PRIOR, out_col="te_smooth")
+    return out.select("user_id", "ts", "event_id", "event_type", "fold",
+                      "cv_role", "value", "purch_val", "n_click",
+                      "value_z", "purch_val_z", "te_smooth")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver grades the FIRST 50 keys.
     Positions 1-50 are chosen so every SURVEY §2 operator has a graded
@@ -2413,18 +2693,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_scalar_features": _q_scalar_features,
         "a10_distinct_counts": _q_distinct,
         "a11_rollup": _q_rollup,
-        "a12_pseaac_corr": _q_pseaac_corr,
-        "a13_autocorr": _q_autocorr,
-        "a14_qso": _q_qso,
-        # -- filters / projections (F1-F5) ------------------ 24-25
+        # A12+A13+A14 share one graded row (merged suite) so the window
+        # can also grade the round-4 store-maintenance / streaming /
+        # composed-pipeline suites without losing coverage
+        "a12a14_seqorder_suite": _q_seqorder_suite,
+        # -- filters / projections (F1-F5) ------------------
         "f1_doc_filter": _q_doc_filter,
         "f5_terminal_composition": _q_terminal_comp,
-        # -- scalar function families (C5-C9) --------------- 26-29
+        # -- scalar function families (C5-C9) ---------------
         "c5c7_event_scalars": _q_event_scalars,
-        "c6_array_ops": _q_array_ops,
-        "c8_bit_ops": _q_bit_ops,
-        "c9_json_props": _q_json_props,
-        # -- ordering / set ops (O1/O4/O5) ------------------ 30
+        # C6+C8+C9 share one graded row (merged suite)
+        "c6c9_scalar_suite": _q_scalar_suite,
+        # -- ordering / set ops (O1/O4/O5) ------------------
         "o4o5_setops_topk": _q_setops_topk,
         # -- UDF kernels / pipelines (U1, U3, MM) ----------- 31-34
         "profet_features_sql_slice": _q_profet_sql_slice,
@@ -2454,22 +2734,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the north-rule flagship shape: N feature tables attached
         # point-in-time in ONE Exchange + ONE WindowExec
         "fm_training_matrix": _q_feature_matrix,
-        # -- ANN (N1-N3) ------------------------------------ 42-44
+        # -- composed end-to-end pipeline (FM→FM5→FE1→FE2) --
+        # the "assemble a leakage-safe training set" integration row
+        "e2e_training_pipeline": _q_e2e_training_pipeline,
+        # -- ANN (N1-N3) ------------------------------------
         "n1_cosine_topk": _q_cosine_topk,
         "n2_lsh_ann": _q_lsh_ann,
         "n3_ivf_ann": _q_ivf_ann,
-        # -- sources / sinks (S1, S4, S7) ------------------- 45-47
+        # -- sources / sinks (S1, S4, S7, S8+S9) ------------
         "s1_partition_pruned_scan": _q_partition_pruned_scan,
         "s4_feature_roundtrip": _q_feature_roundtrip,
         "s7_checkpoint_manifest": _q_checkpoint_manifest,
-        # -- streaming twins (§2.9) ------------------------- 48-50
+        # S8 upsert + S9 compaction in one graded row (components at 51+)
+        "s8s9_store_maintenance": _q_store_maintenance_suite,
+        # -- streaming twins (§2.9) -------------------------
         "st_w7_tumbling_stream": _q_stream_tumbling,
         "st_j3_stateful_asof_stream": _q_stream_stateful_asof,
         "st_w5_session_stream": _q_stream_session,
+        # the remaining 8 §2.9 twins, graded via two merged suites:
+        # profile/monitor kernels (w11/w12/fm3/fe2/fm4) ...
+        "st_profile_suite": _q_stream_profile_suite,
+        # ... and dedup / sliding / matrix-attach           --- pos 50
+        "st_curation_suite": _q_stream_curation_suite,
         # ==== position 51+: ungraded by the driver, mirror-tested ====
-        # as-of strategy variants (J3 graded via j3_asof_join)
+        # merged-suite components (graded via the suites above)
         "s8_upsert_merge": _q_upsert_merge,
         "s9_compaction": _q_compaction,
+        "a12_pseaac_corr": _q_pseaac_corr,
+        "a13_autocorr": _q_autocorr,
+        "a14_qso": _q_qso,
+        "c6_array_ops": _q_array_ops,
+        "c8_bit_ops": _q_bit_ops,
+        "c9_json_props": _q_json_props,
+        # as-of strategy variants (J3 graded via j3_asof_join)
         "j3_asof_strict": _q_asof_strict,
         "j3_asof_window": _q_asof_window,
         "j3_asof_broadcast": _q_asof_broadcast,
@@ -3192,6 +3489,106 @@ def oracle_sql() -> dict[str, str]:
                    AND f.ts <= e.ts
         GROUP BY e.user_id, e.ts, e.event_id
     """
+    # A12+A13+A14 merged suite: component oracles composed verbatim
+    d["a12a14_seqorder_suite"] = f"""
+        SELECT 'pse' AS part, doc_id AS e,
+               CAST(-1 AS BIGINT) AS i1, CAST(-1 AS BIGINT) AS i2,
+               CAST(-1 AS BIGINT) AS i3,
+               pse_corr_1 AS x1, pse_corr_2 AS x2, pse_corr_3 AS x3
+        FROM ({d['a12_pseaac_corr']})
+        UNION ALL
+        SELECT 'ac', user_id, n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               autocorr_lag1, autocorr_lag2, autocorr_lag3
+        FROM ({d['a13_autocorr']})
+        UNION ALL
+        SELECT 'qso', doc_id, tau_1, tau_2, tau_3, qso_1, qso_2, qso_3
+        FROM ({d['a14_qso']})
+        UNION ALL
+        SELECT 'qsog', doc_id, tau_g1, tau_g2, tau_g3,
+               qso_g1, qso_g2, qso_g3
+        FROM ({d['a14_qso']})
+    """
+    # C6+C8+C9 merged suite: exact-int scalars, composed verbatim
+    d["c6c9_scalar_suite"] = f"""
+        SELECT 'c6' AS part, CAST(vec_id AS BIGINT) AS e, '' AS s,
+               CAST(dim AS BIGINT) AS i1, CAST(first_q AS BIGINT) AS i2,
+               CAST(last_q AS BIGINT) AS i3, CAST(head_sum AS BIGINT) AS i4,
+               CAST(l1_q AS BIGINT) AS i5
+        FROM ({d['c6_array_ops']})
+        UNION ALL
+        SELECT 'c8', CAST(doc_id AS BIGINT), '', CAST(h AS BIGINT),
+               CAST(nib_hi AS BIGINT), CAST(nib_lo AS BIGINT),
+               CAST(popcnt AS BIGINT), CAST(hamming_prev AS BIGINT)
+        FROM ({d['c8_bit_ops']})
+        UNION ALL
+        SELECT 'c9', CAST(-1 AS BIGINT), event_type, CAST(n AS BIGINT),
+               CAST(sum_k AS BIGINT), CAST(min_k AS BIGINT),
+               CAST(max_k AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['c9_json_props']})
+    """
+    # S8+S9 merged suite: both maintenance oracles verbatim, tagged
+    d["s8s9_store_maintenance"] = f"""
+        SELECT 's8' AS part, event_id, user_id, ts, val
+        FROM ({d['s8_upsert_merge']})
+        UNION ALL
+        SELECT 's9', event_id, user_id, ts, val
+        FROM ({d['s9_compaction']})
+    """
+    # §2.9 merged streaming suites: each part grades against the SAME
+    # SQL as its standalone twin (composed verbatim), so one driver row
+    # certifies five (profile) + three (curation) stateful kernels
+    d["st_profile_suite"] = f"""
+        SELECT 'w11' AS part, user_id AS e, CAST(NULL AS TIMESTAMP) AS t,
+               '' AS s, event_id AS i1, ph_drift AS i2,
+               ph_drift_cum AS i3, ph AS i4, ph_drift_mean4 AS x1
+        FROM ({d['st_w11_drift_stream']})
+        UNION ALL
+        SELECT 'dsum', user_id, ts, '', event_id,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               value_dsum{_W12_N}
+        FROM ({d['st_w12_decay_stream']})
+        UNION ALL
+        SELECT 'dwt', user_id, ts, '', event_id,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               value_dwt{_W12_N}
+        FROM ({d['st_w12_decay_stream']})
+        UNION ALL
+        SELECT 'dmean', user_id, ts, '', event_id,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               value_dmean{_W12_N}
+        FROM ({d['st_w12_decay_stream']})
+        UNION ALL
+        SELECT 'wagg', user_id, ts, '', event_id,
+               f_eid_n, f_eid_sum, f_eid_min, CAST(f_eid_max AS DOUBLE)
+        FROM ({d['st_fm3_wagg_stream']})
+        UNION ALL
+        SELECT 'te', event_id, ts, event_type, CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               te_smooth
+        FROM ({d['st_fe2_te_stream']})
+        UNION ALL
+        SELECT 'fm4', CAST(-1 AS BIGINT), win_start, feature, bin, n_cur,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+        FROM ({d['st_fm4_drift_stream']})
+    """
+    d["st_curation_suite"] = f"""
+        SELECT 'dedup' AS part, user_id AS e, ts AS t,
+               CAST(-1 AS BIGINT) AS i1, CAST(-1.0 AS DOUBLE) AS x1,
+               CAST(-1.0 AS DOUBLE) AS x2, CAST(-1.0 AS DOUBLE) AS x3
+        FROM ({d['st_f3_dedup_stream']})
+        UNION ALL
+        SELECT 'slide', user_id, win_start, CAST(n AS BIGINT),
+               CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+               CAST(-1.0 AS DOUBLE)
+        FROM ({d['st_w7_sliding_stream']})
+        UNION ALL
+        SELECT 'matrix', user_id, CAST(NULL AS TIMESTAMP), event_id,
+               CAST(value AS DOUBLE), CAST(pv_asof AS DOUBLE),
+               CAST(cv_asof AS DOUBLE)
+        FROM ({d['st_fm_matrix_stream']})
+    """
+    # composed end-to-end pipeline (FM → FM5 → FE1 → FE2)
+    d["e2e_training_pipeline"] = _e2e_oracle_sql()
     # W9-W12 + FM2 merged suite: grid resampling, rolling quantile, phash
     # drift, the zero-leakage audit, and the decayed stats in one graded
     # row (generic layout, component oracles composed verbatim)

@@ -89,8 +89,14 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # FAIR scheduling: the curation stage submits its two independent
+    # subtrees (D3 pair chain / quality pass) as concurrent jobs from
+    # threads; FAIR keeps the long pair chain from starving the short
+    # quality job of task slots (round-3 verdict item: overlap the
+    # barrier chain instead of serializing many small stages)
     spark = get_spark(app="profet_bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(8, int(cpus)))
+                      shuffle_partitions=max(8, int(cpus)),
+                      extra={"spark.scheduler.mode": "FAIR"})
 
     # fixture setup (untimed): text-heavy snapshot set + image snapshot set.
     # Rows arrive entity-ordered (hot entities cluster), so repartition to
@@ -116,12 +122,31 @@ def main():
 
     def curation_ops(spark, sf_dir):
         """Dedup + quality + fingerprint sweep over documents (task-mandate
-        training-data ops at the benchmark scale)."""
+        training-data ops at the benchmark scale).
+
+        The D3 pair chain is an inherently serial ladder of small shuffle
+        stages (sig → band join → verify; PLANS.md §"Curation stage
+        floor"), while the quality/fingerprint pass is one independent
+        wide aggregate — so the two subtrees are materialized as
+        CONCURRENT jobs from threads (FAIR pool) and the final anti-join
+        reads both persisted sides. The overlap hides the quality pass
+        entirely behind the pair chain's critical path."""
+        from concurrent.futures import ThreadPoolExecutor
+
         # testdata parquet is single-split; spread the map side
         docs = load_table(spark, sf_dir, "documents").repartition(n_parts)
-        pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
+        pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).persist()
         quality = textstats.add_fingerprint(
-            textstats.add_quality_features(docs)).drop("text")
+            textstats.add_quality_features(docs)).drop("text").persist()
+
+        def _warm(df):
+            # thread-local property: each job lands in the FAIR pool
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                                                "bench_curation")
+            df.count()
+
+        with ThreadPoolExecutor(2) as pool:
+            list(pool.map(_warm, [pairs, quality]))
         return quality.join(
             pairs.select(F.col("id_a").alias("doc_id")).distinct(),
             "doc_id", "left_anti")

@@ -259,9 +259,15 @@ def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,
     # partition's total (token counts are non-negative). Exclusive prefix
     # over ascending _pid (range partitions: ascending pid = ascending
     # keys) via a single-partition window — P rows only, O(parallelism).
+    # The constant partitionBy is semantically a no-op (one partition
+    # either way) but keeps executor logs clean of the scary-but-wrong
+    # "WindowExec: No Partition Defined" warning: the frame is over
+    # partition COUNT rows, not data rows (plan-asserted in
+    # tests/test_corpus.py).
     from pyspark.sql.window import Window
 
-    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wp = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
     odf = (local.groupBy("_pid").agg(F.max("_cum").alias("_t"))
            .select("_pid",
                    F.coalesce(F.sum("_t").over(wp), F.lit(0)).alias("_off")))

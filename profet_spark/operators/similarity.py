@@ -64,6 +64,17 @@ def _collect_query_side(qdf: DataFrame, caller: str,
     return rows
 
 
+def _corpus_rows(corpus) -> int:
+    """Row count for the IVF auto-sqrt rule: parquet-footer statistics
+    when the corpus is a bare file scan (exact, zero data read — the
+    Iceberg-manifest analog), else one explicit count() (documented
+    fallback for derived frames; amortized over the index lifetime)."""
+    from profet_spark.sources.stats import estimate_row_count
+
+    n = estimate_row_count(corpus)
+    return n if n is not None else corpus.count()
+
+
 def _plane_coef(p: int, d: int) -> int:
     """Deterministic pseudo-random INTEGER coefficient in [-2^31, 2^31):
     derived from the portable md5-based hash of "plane:p:dim:d" —
@@ -642,8 +653,7 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     spark = corpus.sparkSession
 
     if n_centroids == "auto":
-        n_corpus = corpus.count()
-        n_centroids = max(1, int(np.sqrt(n_corpus)))
+        n_centroids = max(1, int(np.sqrt(_corpus_rows(corpus))))
         sample_size = max(sample_size, 32 * n_centroids)
     elif not isinstance(n_centroids, int) or isinstance(n_centroids, bool):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
@@ -789,7 +799,7 @@ def ivf_ann_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # same n_centroids contract as ivf_ann (0 would otherwise return an
     # empty result silently via limit(0) on the lowest_id path)
     if n_centroids == "auto":
-        n_centroids = max(1, int(np.sqrt(corpus.count())))
+        n_centroids = max(1, int(np.sqrt(_corpus_rows(corpus))))
         sample_size = max(sample_size, 32 * n_centroids)
     elif not isinstance(n_centroids, int) or isinstance(n_centroids, bool):
         raise ValueError(

@@ -111,17 +111,18 @@ def test_grading_window_covers_every_operator_family():
         "w3w4_lag_ffill", "w9fm_profile_audit_suite", "w5_sessionize",
         "w6_topk_latest", "w7_tumbling", "w8_expanding",
         "w1_profile_summary",
-        # joins + the training-matrix composition
+        # joins + the training-matrix composition + the composed
+        # end-to-end pipeline (FM→FM5→FE1→FE2, round 4)
         "j2_broadcast_join", "j3_asof_join", "j4_range_join",
-        "j5_anti_join", "fm_training_matrix",
-        # aggregations / descriptors
+        "j5_anti_join", "fm_training_matrix", "e2e_training_pipeline",
+        # aggregations / descriptors (A12-A14 merged round 4)
         "a1a3_kmer_composition", "a4a5_ctd_comp_trans",
         "a6_ctd_distribution", "a7_entropy", "a8_scalar_features",
         "a9_pricing_summary", "a10_distinct_counts", "a11_rollup",
-        "a12_pseaac_corr", "a13_autocorr", "a14_qso",
-        # filters / scalars / set ops
+        "a12a14_seqorder_suite",
+        # filters / scalars / set ops (C6+C8+C9 merged round 4)
         "f1_doc_filter", "f5_terminal_composition", "c5c7_event_scalars",
-        "c6_array_ops", "c8_bit_ops", "c9_json_props", "o4o5_setops_topk",
+        "c6c9_scalar_suite", "o4o5_setops_topk",
         # UDF kernels / pipelines
         "profet_features_sql_slice", "profet_caption_features",
         "image_snapshot_pipeline", "multimodal_resize_pipeline",
@@ -129,10 +130,13 @@ def test_grading_window_covers_every_operator_family():
         "t1t5_textstats", "p1p4_corpus_suite", "d1d7_exact_dedup",
         "d2_ngram_jaccard", "d3d6_lsh_dedup", "d4d8_hamming",
         "d5_embedding_suite", "n1_cosine_topk", "n2_lsh_ann", "n3_ivf_ann",
-        # sources / sinks / streaming
+        # sources / sinks (S8+S9 graded via the maintenance suite,
+        # round 4) / streaming (all 11 §2.9 twins graded: 3 standalone
+        # + 5 in st_profile_suite + 3 in st_curation_suite)
         "s1_partition_pruned_scan", "s4_feature_roundtrip",
-        "s7_checkpoint_manifest", "st_w7_tumbling_stream",
-        "st_j3_stateful_asof_stream", "st_w5_session_stream",
+        "s7_checkpoint_manifest", "s8s9_store_maintenance",
+        "st_w7_tumbling_stream", "st_j3_stateful_asof_stream",
+        "st_w5_session_stream", "st_profile_suite", "st_curation_suite",
     }
     assert len(required) == 50
     missing = required - window

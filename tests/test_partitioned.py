@@ -391,3 +391,91 @@ def test_upsert_rejects_schema_widening_batch(spark, tmp_path):
     widened = ev.withColumn("new_feature", F.lit(1.0))
     with pytest.raises(ValueError, match="not in the store schema"):
         P.upsert_partitioned(spark, widened, d, key_cols=["event_id"])
+
+
+# ------------------------------------------------- Iceberg routing branch
+
+
+def test_iceberg_route_decisions_both_ways(spark, monkeypatch):
+    """Pin _route()'s decision table with iceberg_available mocked BOTH
+    ways — the sandbox has no jars, so without the mock the real-catalog
+    arm has zero executed coverage."""
+    from profet_spark.sources import iceberg as I
+
+    # paths / non-identifiers always take the fallback, jars or not
+    for avail in (True, False):
+        monkeypatch.setattr(I, "iceberg_available", lambda s, _a=avail: _a)
+        assert I._route(spark, "/tmp/out/snapshots") == "parquet"
+        assert I._route(spark, "snapshots.v2.parquet") == "parquet"
+    # identifier + no runtime -> loud error, never a silent fallback
+    monkeypatch.setattr(I, "iceberg_available", lambda s: False)
+    with pytest.raises(ValueError, match="no Iceberg runtime"):
+        I._route(spark, "cat.db.tbl")
+    # identifier + runtime + no catalog config -> loud error
+    monkeypatch.setattr(I, "iceberg_available", lambda s: True)
+    with pytest.raises(ValueError, match="spark.sql.catalog"):
+        I._route(spark, "cat.db.tbl")
+    # identifier + runtime + configured catalog -> the real branch
+    monkeypatch.setattr(I, "_catalog_configured", lambda s, t: True)
+    assert I._route(spark, "cat.db.tbl") == "iceberg"
+
+
+def test_iceberg_write_branch_builds_day_bucket_spec(spark, monkeypatch):
+    """With the route forced to 'iceberg', write_table must issue
+    writeTo(target).partitionedBy(days(ts), bucket(N, entity))
+    .createOrReplace() — captured via a recording stub (the sandbox has
+    no jars to execute it for real)."""
+    from profet_spark.sources import iceberg as I
+
+    calls = {}
+
+    class _Rec:
+        def __init__(self, target):
+            calls["target"] = target
+
+        def partitionedBy(self, *cols):
+            calls["cols"] = [str(c._jc) for c in cols]
+            return self
+
+        def createOrReplace(self):
+            calls["done"] = True
+
+    monkeypatch.setattr(I, "_route", lambda s, t: "iceberg")
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "image_id bigint, ts timestamp")
+    # patch the CONCRETE DataFrame class (Spark 4 classic subclass
+    # overrides the base), so write_table's df.writeTo hits the stub
+    monkeypatch.setattr(type(df), "writeTo",
+                        lambda self, target: _Rec(target), raising=True)
+    assert I.write_table(df, "cat.db.tbl", ts_col="ts",
+                         entity_col="image_id", n_buckets=16) == "iceberg"
+    assert calls["target"] == "cat.db.tbl" and calls["done"]
+    spec = " ".join(calls["cols"])
+    assert "days(ts)" in spec and "bucket(16, image_id)" in spec
+
+
+def test_iceberg_real_catalog_roundtrip(spark, tmp_path):
+    """The real-jar path: hadoop catalog in a temp warehouse, write via
+    writeTo().partitionedBy(days, bucket), read back pruned. Skipped
+    where the Iceberg runtime is absent (this sandbox); present so any
+    environment WITH the jars exercises the branch end to end."""
+    from profet_spark.sources import iceberg as I
+
+    if not I.iceberg_available(spark):
+        pytest.skip("Iceberg runtime not on the classpath")
+    cat = "it_cat"
+    spark.conf.set(f"spark.sql.catalog.{cat}",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{cat}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{cat}.warehouse",
+                   str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i % 3), f"c{i}")
+         for i in range(30)],
+        "image_id bigint, ts timestamp, caption string")
+    assert I.write_table(df, f"{cat}.db.tbl", ts_col="ts",
+                         entity_col="image_id", n_buckets=4) == "iceberg"
+    got = I.read_table(spark, f"{cat}.db.tbl", ts_col="ts",
+                       entity_col="image_id",
+                       entity_in=[1, 2, 3])
+    assert got.count() == 3

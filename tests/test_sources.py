@@ -25,3 +25,48 @@ def test_register_views_sql_surface(spark, sf_dir):
 def test_tables_constant_complete(spark, sf_dir):
     for t in TABLES:
         assert load_table(spark, sf_dir, t).limit(1).count() in (0, 1)
+
+
+def test_estimate_row_count_footer_exact_and_guarded(spark, sf_dir):
+    """Parquet-footer row counts (the Iceberg-manifest analog): exact on
+    a bare scan — with ZERO Spark jobs — and refused (None) the moment
+    the plan stops being cardinality-preserving."""
+    from pyspark.sql import functions as F
+
+    from profet_spark.sources.stats import estimate_row_count
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.count()
+    before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    got = estimate_row_count(ev)
+    after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    assert got == exact
+    assert after == before, "footer count must not launch a Spark job"
+    # column pruning keeps cardinality -> still footer-countable
+    assert estimate_row_count(ev.select("event_id")) == exact
+    # anything cardinality-changing refuses
+    assert estimate_row_count(ev.where(F.col("value") > 50)) is None
+    assert estimate_row_count(ev.groupBy("user_id").count()) is None
+    assert estimate_row_count(ev.limit(10)) is None
+    assert estimate_row_count(
+        spark.createDataFrame([(1,)], "a bigint")) is None
+
+
+def test_ivf_auto_centroids_uses_footer_stats(spark, sf_dir):
+    """ivf_ann(n_centroids='auto') on a parquet-backed corpus must derive
+    sqrt(n) from file statistics, not a count() scan."""
+    from profet_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    import math
+    expected = max(1, int(math.isqrt(n)))
+    # monkeypatch-free assertion: the helper itself must resolve via stats
+    before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    got = sim._corpus_rows(emb)
+    after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    assert got == n and after == before
+    out = sim.ivf_ann(emb, emb.limit(3), k=2, id_col="vec_id",
+                      vec_col="embedding", n_centroids="auto")
+    assert out.count() > 0
+    assert expected >= 1
