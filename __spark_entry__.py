@@ -1575,7 +1575,9 @@ def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", H.h32(dedup.normalized("text")).alias("h"))
     # constant partitionBy: semantically identical single-partition
     # window, but no "No Partition Defined" warning in the logs
-    w = Window.partitionBy(F.lit(0)).orderBy("doc_id")
+    # (pmod(doc_id, 1) == 0 always; a literal would be constant-folded
+    # back out of the partition spec)
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy("doc_id")
     return d.select(
         "doc_id", "h",
         F.shiftright("h", 28).bitwiseAND(F.lit(15)).cast("int").alias("nib_hi"),

@@ -263,10 +263,12 @@ def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,
     # either way) but keeps executor logs clean of the scary-but-wrong
     # "WindowExec: No Partition Defined" warning: the frame is over
     # partition COUNT rows, not data rows (plan-asserted in
-    # tests/test_corpus.py).
+    # tests/test_corpus.py). pmod(_pid, 1) == 0 always; a plain literal
+    # would be constant-folded out of the partition spec and the warning
+    # would return.
     from pyspark.sql.window import Window
 
-    wp = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+    wp = (Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1))).orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1))
     odf = (local.groupBy("_pid").agg(F.max("_cum").alias("_t"))
            .select("_pid",
