@@ -1660,10 +1660,13 @@ def _q_qso(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(gdist2(k)).alias(f"tau_g{k}") for k in lags])
     total = F.lit(1).cast("bigint") + sum(F.col(f"tau_{k}") for k in lags)
     # the Grantham normalizer folds w=0.1 and the rho^2/1e8 rescale into
-    # ONE exact integer weight: qso_gk = tau_gk / (1e9/(w*rho^2) + sum)
-    # with 1e9/(0.1*50.723^2) rounded to the nearest int (3886782) so
-    # both engines fold the same constant
-    total_g = (F.lit(3886782).cast("bigint")
+    # ONE exact integer weight: qso_gk = w*tau_real_k / (1 + w*sum(tau_real))
+    # with tau_real = tau_gk * rho^2/1e8; dividing through by w*rho^2/1e8
+    # gives qso_gk = tau_gk / (1e8/(w*rho^2) + sum(tau_gk)), and
+    # 1e8/(0.1*50.723^2) rounds to 388678 — the same constant in both
+    # engines (round-4 review caught an earlier 10x-too-large constant
+    # that both sides shared, i.e. an effective w of 0.01)
+    total_g = (F.lit(388678).cast("bigint")
                + sum(F.col(f"tau_g{k}") for k in lags))
     return g.select(
         "doc_id", *[F.col(f"tau_{k}") for k in lags],
@@ -4294,9 +4297,9 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(tau_1 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_1,
                    CAST(tau_2 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_2,
                    CAST(tau_3 AS DOUBLE) / CAST(1 + tau_1 + tau_2 + tau_3 AS DOUBLE) AS qso_3,
-                   CAST(tau_g1 AS DOUBLE) / CAST(3886782 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g1,
-                   CAST(tau_g2 AS DOUBLE) / CAST(3886782 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g2,
-                   CAST(tau_g3 AS DOUBLE) / CAST(3886782 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g3
+                   CAST(tau_g1 AS DOUBLE) / CAST(388678 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g1,
+                   CAST(tau_g2 AS DOUBLE) / CAST(388678 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g2,
+                   CAST(tau_g3 AS DOUBLE) / CAST(388678 + tau_g1 + tau_g2 + tau_g3 AS DOUBLE) AS qso_g3
             FROM g
         """,
         "d4_simhash_pairs": f"""

@@ -139,14 +139,19 @@ def main():
         quality = textstats.add_fingerprint(
             textstats.add_quality_features(docs)).drop("text").persist()
 
-        def _warm(df):
-            # thread-local property: each job lands in the FAIR pool
+        def _warm(arg):
+            # thread-local property: ONE POOL PER SUBTREE — FAIR mode
+            # arbitrates BETWEEN pools; an unconfigured pool's internal
+            # order is FIFO, so putting both jobs in one shared pool
+            # would just queue the quality tasksets behind the pair
+            # chain's (round-4 review finding)
+            name, df = arg
             spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-                                                "bench_curation")
+                                                f"bench_curation_{name}")
             df.count()
 
         with ThreadPoolExecutor(2) as pool:
-            list(pool.map(_warm, [pairs, quality]))
+            list(pool.map(_warm, [("pairs", pairs), ("quality", quality)]))
         return quality.join(
             pairs.select(F.col("id_a").alias("doc_id")).distinct(),
             "doc_id", "left_anti")

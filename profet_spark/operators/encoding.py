@@ -200,6 +200,12 @@ def time_aware_target_encode(
     if out_col in df.columns:
         raise ValueError(f"time_aware_target_encode: {out_col!r} exists")
     us_col = f"__te_us_{out_col}"
+    if strict_ts and us_col in df.columns:
+        # same loud contract as the out_col guard: never silently
+        # overwrite-and-drop a user column that collides with scratch
+        raise ValueError(
+            f"time_aware_target_encode: column {us_col!r} collides with "
+            "the strict_ts scratch column — rename it")
     if strict_ts:
         # exact int64 microsecond ordering key (NTZ-safe cast hop, same
         # convention as feature_matrix); range frame ending at -1µs

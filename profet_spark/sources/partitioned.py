@@ -279,6 +279,7 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
     if n_batch <= BROADCAST_KEY_LIMIT:
         # the batch is key-unique, so n_batch bounds the key set size
         batch_keys = F.broadcast(batch_keys)
+    extended = False
     if {entity_col, ts_col} - set(keys) and on_moved_keys != "skip":
         # custom key that does not determine (day, bucket): stale
         # same-key rows may live outside the batch footprint — probe for
@@ -289,15 +290,16 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
                  .select(DAY_COL, BUCKET_COL).distinct().collect())
         # the read-back partition column is DATE (type inference) while
         # the batch transform yields 'yyyy-MM-dd' strings — normalize
-        extra = sorted((_day_str(r[DAY_COL]), r[BUCKET_COL]) for r in stale)
-        if extra and on_moved_keys == "error":
+        moved = sorted((_day_str(r[DAY_COL]), r[BUCKET_COL]) for r in stale)
+        if moved and on_moved_keys == "error":
             raise ValueError(
                 "upsert_partitioned: batch keys match stored rows in "
-                f"{len(extra)} partition(s) outside the batch footprint "
-                f"(e.g. {extra[0]}) — the batch moves keys across "
+                f"{len(moved)} partition(s) outside the batch footprint "
+                f"(e.g. {moved[0]}) — the batch moves keys across "
                 "partitions; use on_moved_keys='extend' (or 'skip' to "
                 "accept duplicates)")
-        pairs += extra
+        pairs += moved
+        extended = bool(moved)
     tags = [f"{d}/{b}" for d, b in pairs]
     # partition pruning: day/bucket IN-lists reach PartitionFilters; the
     # pair tag trims the (day x bucket) superset row-level
@@ -322,17 +324,20 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame,
     # an extended partition whose every row carried a batch key ends up
     # empty and must be dropped explicitly (the parquet-fallback analog
     # of the catalog's delete). Batch partitions always hold batch rows,
-    # so only moved-key extensions can hit this.
-    written = {(_day_str(r[DAY_COL]), r[BUCKET_COL])
-               for r in out.select(DAY_COL, BUCKET_COL).distinct().collect()}
-    for d, b in pairs:
-        if (d, b) not in written:
-            day_dir = os.path.join(out_dir, f"{DAY_COL}={d}")
-            part_dir = os.path.join(day_dir, f"{BUCKET_COL}={b}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
-            if os.path.isdir(day_dir) and not os.listdir(day_dir):
-                os.rmdir(day_dir)
+    # so ONLY moved-key extensions can hit this — the default fast path
+    # skips the extra distinct+collect job entirely.
+    if extended:
+        written = {(_day_str(r[DAY_COL]), r[BUCKET_COL])
+                   for r in out.select(DAY_COL, BUCKET_COL)
+                   .distinct().collect()}
+        for d, b in pairs:
+            if (d, b) not in written:
+                day_dir = os.path.join(out_dir, f"{DAY_COL}={d}")
+                part_dir = os.path.join(day_dir, f"{BUCKET_COL}={b}")
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
+                if os.path.isdir(day_dir) and not os.listdir(day_dir):
+                    os.rmdir(day_dir)
     return {"partitions_rewritten": len(pairs),
             "rows_written": int(n_written),
             "rows_replaced": int(n_touched - (n_written - n_batch))}

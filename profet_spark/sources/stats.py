@@ -22,9 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# optimized-plan node names that cannot change row cardinality
-_CARDINALITY_PRESERVING = ("Project", "Relation", "LogicalRDD",
-                           "ColumnPruning")
+# optimized-plan node names that cannot change row cardinality (column
+# pruning shows up as Project/Relation nodes, never as its rule name)
+_CARDINALITY_PRESERVING = ("Project", "Relation", "LogicalRDD")
 
 
 def _is_bare_scan(df: DataFrame) -> bool:

@@ -575,6 +575,13 @@ def stateful_target_encode(stream: DataFrame, category: str, label: str,
     still encoded. Ordering contract as the other stateful kernels:
     per-category time-monotonic micro-batches, equal-ts rows in arrival
     (tiebreak) order.
+
+    The persisted sum is a STRING-encoded exact integer (arbitrary
+    precision), not an int64: the batch twin's decimal(28,6) sum has
+    ~1e22 micro-unit headroom, and an int64 state field would make
+    success depend on where micro-batch boundaries land relative to a
+    transient >9.2e18 prefix peak — same data, different file splits,
+    different outcome. A string state is exact at any magnitude.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -583,7 +590,7 @@ def stateful_target_encode(stream: DataFrame, category: str, label: str,
 
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
-        DoubleType, LongType, StructField, StructType as ST,
+        DoubleType, LongType, StringType, StructField, StructType as ST,
     )
 
     if smoothing < 0:
@@ -594,7 +601,7 @@ def stateful_target_encode(stream: DataFrame, category: str, label: str,
     out_schema = ST(list(stream.schema.fields) +
                     [StructField(out_col, DoubleType())])
     state_schema = ST([StructField("n", LongType()),
-                       StructField("s_micro", LongType())])
+                       StructField("s_micro", StringType())])
     in_cols = stream.columns
     m = float(smoothing)
     mp = m * float(prior)  # same constant product Catalyst folds
@@ -605,7 +612,8 @@ def stateful_target_encode(stream: DataFrame, category: str, label: str,
         if pdf.empty:
             return
         pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
-        n0, s0 = state.get if state.exists else (0, 0)
+        n0, s0 = state.get if state.exists else (0, "0")
+        s0 = int(s0)
         v = pdf[label].to_numpy(np.float64)
         pres = ~np.isnan(v)
         micro = [
@@ -631,16 +639,7 @@ def stateful_target_encode(stream: DataFrame, category: str, label: str,
         denom = n_prev.astype(np.float64) + m
         with np.errstate(divide="ignore", invalid="ignore"):
             enc = np.where(denom > 0, (s_prev + mp) / denom, np.nan)
-        if not (-(2 ** 63) <= acc < 2 ** 63):
-            # the persisted state field is int64; fail loudly instead of
-            # wrapping (the batch twin would keep decimal headroom here —
-            # rescale the label upstream if a category can accumulate
-            # past ~9.2e12 in label units)
-            raise OverflowError(
-                "stateful_target_encode: cumulative label sum for "
-                f"category {key!r} exceeds the int64 micro-unit state "
-                "range (~9.2e12 in label units)")
-        state.update((int(n_prev[-1] + int(pres[-1])), acc))
+        state.update((int(n_prev[-1] + int(pres[-1])), str(acc)))
         pdf[out_col] = enc
         yield pdf[in_cols + [out_col]]
 

@@ -156,3 +156,29 @@ def test_grantham_matrix_reproduces_published_distances():
     mean = np.mean([grantham_distance(a, b)
                     for a, b in itertools.combinations(aas, 2)])
     assert abs(mean - 100.0) < 0.5, mean
+
+
+def test_grantham_qso_normalizer_matches_w_point_one():
+    """Round-4 review regression pin: the integer QSO-G normalizer must
+    implement w = 0.1 over REAL Grantham distances. qso_gk in the graded
+    query is tau_raw_k / (C + sum(tau_raw)) with C = round(1e8/(w*rho^2))
+    = 388678; that must equal the textbook w*tau_real/(1 + w*sum(tau_real))
+    up to C's rounding (an earlier constant of 3886782 silently encoded
+    w = 0.01 on BOTH engines, so hash-grading could not catch it)."""
+    from profet_spark.functions.alphabets import (GRANTHAM_RHO,
+                                                  grantham_d2_scaled)
+
+    C = 388678
+    assert C == round(1e8 / (0.1 * GRANTHAM_RHO ** 2))
+    seq = "ACDEFGHIKLM"
+    taus_raw = []
+    for d in (1, 2, 3):
+        taus_raw.append(sum(grantham_d2_scaled(seq[i], seq[i + d])
+                            for i in range(len(seq) - d)))
+    scale = GRANTHAM_RHO ** 2 / 1e8
+    taus_real = [t * scale for t in taus_raw]
+    for k in range(3):
+        int_form = taus_raw[k] / (C + sum(taus_raw))
+        true_form = 0.1 * taus_real[k] / (1.0 + 0.1 * sum(taus_real))
+        assert abs(int_form - true_form) <= 2e-6 * abs(true_form), (
+            k, int_form, true_form)

@@ -52,21 +52,35 @@ def test_estimate_row_count_footer_exact_and_guarded(spark, sf_dir):
         spark.createDataFrame([(1,)], "a bigint")) is None
 
 
-def test_ivf_auto_centroids_uses_footer_stats(spark, sf_dir):
+def test_ivf_auto_centroids_uses_footer_stats(spark, sf_dir, monkeypatch):
     """ivf_ann(n_centroids='auto') on a parquet-backed corpus must derive
-    sqrt(n) from file statistics, not a count() scan."""
+    sqrt(n) from file statistics, not a count() scan — and must actually
+    hand that sqrt(n) to the centroid builder."""
+    import math
+
     from profet_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
-    import math
     expected = max(1, int(math.isqrt(n)))
-    # monkeypatch-free assertion: the helper itself must resolve via stats
+    # the row-count helper must resolve via footer stats: zero Spark jobs
     before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
     got = sim._corpus_rows(emb)
     after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
     assert got == n and after == before
+    # capture what the auto path actually passes to the centroid builder
+    seen = {}
+    real_build = sim._build_centroids
+
+    def spy(qdf, n_centroids, centroids, sample_size, kmeans_iter):
+        seen["n_centroids"] = n_centroids
+        seen["sample_size"] = sample_size
+        return real_build(qdf, n_centroids, centroids, sample_size,
+                          kmeans_iter)
+
+    monkeypatch.setattr(sim, "_build_centroids", spy)
     out = sim.ivf_ann(emb, emb.limit(3), k=2, id_col="vec_id",
                       vec_col="embedding", n_centroids="auto")
     assert out.count() > 0
-    assert expected >= 1
+    assert seen["n_centroids"] == expected
+    assert seen["sample_size"] >= 32 * expected

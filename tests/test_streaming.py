@@ -639,27 +639,39 @@ def test_stateful_target_encode_big_prefix_sums_are_exact(
     assert got.loc[21] == (11 * 9.0e11 - 10 * 9.0e11) / 21.0
 
 
-def test_stateful_target_encode_state_overflow_raises(spark,
-                                                      tmp_path_factory):
-    """A category whose persisted cumulative sum exceeds the int64
-    micro-unit state range must fail loudly, never wrap silently."""
+def test_stateful_target_encode_state_survives_int64_overflow(
+        spark, tmp_path_factory):
+    """The persisted sum is a string-encoded exact integer: a state that
+    a micro-batch boundary commits ABOVE int64 micro-unit range must
+    carry exactly into the next batch (an int64 state field would make
+    the outcome depend on where file splits land — same data, different
+    file layout, different result)."""
     import datetime as dt
+    import time as _t
 
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
-    out = str(tmp_path_factory.mktemp("te_ovf"))
-    rows = [(i, dt.datetime(2025, 1, 1, 0, i), "c", 9.0e11)
-            for i in range(11)]  # cumulative 9.9e12 -> 9.9e18 micro units
-    ev = spark.createDataFrame(
-        rows, "event_id bigint, ts timestamp, cat string, value double")
-    ev.coalesce(1).write.mode("overwrite").parquet(out)
-    stream = (spark.readStream.schema(ev.schema).parquet(out)
+    out = str(tmp_path_factory.mktemp("te_bigstate"))
+    # file 1 commits state = 11 * 9e11 = 9.9e12 -> 9.9e18 micro units,
+    # past int64 max 9.22e18; file 2's row is encoded from that state
+    schema = "event_id bigint, ts timestamp, cat string, value double"
+    rows1 = [(i, dt.datetime(2025, 1, 1, 0, i), "c", 9.0e11)
+             for i in range(11)]
+    rows2 = [(11, dt.datetime(2025, 1, 1, 0, 11), "c", 1.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(out)
+    _t.sleep(1.1)  # file-source orders by mtime; force distinct seconds
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(out)
+    ev_schema_local = spark.read.parquet(out).schema
+    stream = (spark.readStream.schema(ev_schema_local)
+              .option("maxFilesPerTrigger", 1).parquet(out)
               .withWatermark("ts", "1 hour"))
-    with pytest.raises(StreamingQueryException,
-                       match="int64 micro-unit state range"):
-        st.run_available_now(
-            st.stateful_target_encode(stream, "cat", "value", out_col="te"),
-            "t_te_ovf", output_mode="append")
+    st.run_available_now(
+        st.stateful_target_encode(stream, "cat", "value", out_col="te"),
+        "t_te_bigstate", output_mode="append")
+    got = (spark.table("t_te_bigstate").select("event_id", "te")
+           .toPandas().set_index("event_id").te)
+    assert len(got) == 12
+    assert got.loc[11] == (11 * 9.0e11) / 11.0  # exact mean from state
 
 
 def test_windowed_drift_counts_sum_to_batch_histogram(spark, sf_dir, ev_dir,
