@@ -56,6 +56,10 @@ def run_level(cores: int, rep_text: int, rep_img: int, zpath: str,
 
 def main() -> None:
     runs = int(os.environ.get("SCALING_RUNS", "3"))
+    # --out guards the committed per-round records: an unnamed rerun once
+    # clobbered the richer two-pair history (round-3 incident)
+    out_name = sys.argv[sys.argv.index("--out") + 1] \
+        if "--out" in sys.argv else "weak_scaling.json"
     zpath = build_zip()
     lo = run_level(8, 4, 2, zpath, runs)
     hi = run_level(32, 16, 8, zpath, runs)
@@ -68,7 +72,7 @@ def main() -> None:
         "t_min_32": t_hi,
         "weak_efficiency_8_to_32": round(t_lo / t_hi, 3),
     }
-    with open(os.path.join(BENCH, "weak_scaling.json"), "w") as f:
+    with open(os.path.join(BENCH, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
