@@ -54,6 +54,55 @@ _POS = set_lut(POSITIVE)
 _NEG = set_lut(NEGATIVE)
 _POL = set_lut(POLAR)
 
+# uint8 twins of the class LUTs: the codes array is uint8 end-to-end, so
+# class gathers stay 1 byte/char and the distribution sort can use numpy's
+# O(N) stable radix path (argsort of uint8), both of which matter because
+# the kernel is DRAM-bandwidth-bound when 32 worker processes share one
+# memory subsystem (BENCH/BASELINE.md note 2).
+_R4_8 = _R4.astype(np.uint8)
+_R8_8 = _R8.astype(np.uint8)
+_CTD8 = {p: m.astype(np.uint8) for p, m in _CTD.items()}
+
+
+def _indicator_mats():
+    """Letter(26)- and letter-pair(676)-keyed indicator matrices.
+
+    Every count-derived family (CTD composition + transition for all 7
+    properties, the 8x8 k2 spectrum, the 4 residue-set scalars) is a linear
+    function of either the per-row letter counts or the per-row adjacent
+    letter-pair counts.  Computing those two count matrices ONCE and
+    deriving the families with tiny GEMMs replaces ~12 O(N)-scatter
+    bincounts per batch with one letter scatter + one pair scatter — the
+    single biggest memory-traffic reduction available in this kernel.
+
+    Bitwise safety: counts are exact integers far below 2^53, indicator
+    entries are 0.0/1.0, so every GEMM product and partial sum is an exact
+    integer in float64 regardless of BLAS summation order; the final
+    per-row division is then the SAME float op the scatter path performed.
+    tests/test_descriptors.py pins equality against the per-string oracle.
+    """
+    let = np.arange(65, 91)
+    a = np.repeat(np.arange(26), 26)
+    b = np.tile(np.arange(26), 26)
+    comp_cols, trans_cols = [], []
+    for prop in CTD_PROPERTIES:
+        cls = _CTD[prop][let]  # (26,) in 1..3
+        oh = np.zeros((26, 3))
+        oh[np.arange(26), cls - 1] = 1.0
+        comp_cols.append(oh)
+        t = _TRANS_LUT[cls[a] * 4 + cls[b]]  # (676,) in {-1,0,1,2}
+        toh = np.zeros((676, 3))
+        ok = t >= 0
+        toh[np.flatnonzero(ok), t[ok]] = 1.0
+        trans_cols.append(toh)
+    g8 = _R8[let] - 1
+    k2 = np.zeros((676, 64))
+    k2[np.arange(676), g8[a] * 8 + g8[b]] = 1.0
+    m_sets = np.stack(
+        [_ARO[let], _POS[let], _NEG[let], _POL[let]], axis=1
+    ).astype(np.float64)
+    return np.hstack(comp_cols), m_sets, np.hstack([k2] + trans_cols)
+
 def _group_combos(k: int, n_groups: int) -> list[str]:
     """Digit strings ('11'..'88' for k=2/n=8) in g1-major order — the ONE
     enumeration that drives both the feature-name list and the kernel's
@@ -117,10 +166,11 @@ def _flatten(seqs: pd.Series):
     row_raw = np.repeat(np.arange(nrows, dtype=np.int32), raw_lens)
     c = np.where((c >= 97) & (c <= 122), c - 32, c)
     keep = (c >= 65) & (c <= 90)
-    # int32 throughout: halves memory traffic on the two hot arrays (the
-    # kernel is bandwidth-bound across 32 worker processes); all bincount
-    # keys stay far below 2^31 for any sane Arrow batch size
-    codes = c[keep].astype(np.int32)
+    # codes stay uint8 (1 byte/char) and row stays int32: the kernel is
+    # bandwidth-bound across 32 worker processes, so the two hot arrays
+    # are kept as narrow as the values allow; composite bincount keys are
+    # built in int32 and stay far below 2^31 for any sane Arrow batch size
+    codes = c[keep]
     row = row_raw[keep]
     lens = np.bincount(row, minlength=nrows).astype(np.int32)
     starts = np.zeros(nrows, dtype=np.int32)
@@ -134,10 +184,8 @@ def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     return np.divide(num, den, out=np.zeros_like(num, dtype=np.float64), where=den > 0)
 
 
-def _composition(codes, row, lens, nrows, out: dict):
-    letter = codes - 65
-    cnt = np.bincount(row * 26 + letter, minlength=nrows * 26).reshape(nrows, 26)
-    freq = _safe_div(cnt, lens[:, None])
+def _composition(cnt26, lens, nrows, out: dict):
+    freq = _safe_div(cnt26, lens[:, None])
     for i, c in enumerate("ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
         out[f"comp_{c}"] = freq[:, i]
     out["length"] = lens.astype(np.float64)
@@ -152,22 +200,51 @@ def _pairs(row):
     return row[:-1] == row[1:] if len(row) else np.zeros(0, dtype=bool)
 
 
-def _kmer(codes, row, lens, nrows, lut, k, n_groups, prefix, out: dict):
-    g = lut[codes] - 1  # 0-based group ids
-    total = np.maximum(lens - k + 1, 0)
-    if k == 2:
-        valid = _pairs(row)
-        idx = g[:-1] * n_groups + g[1:]
-        r = row[:-1]
-    else:  # k == 3
-        valid = (row[:-2] == row[1:-1]) & (row[1:-1] == row[2:]) if len(row) > 2 else np.zeros(0, dtype=bool)
-        idx = (g[:-2] * n_groups + g[1:-1]) * n_groups + g[2:]
-        r = row[:-2]
-    nb = n_groups**k
-    cnt = np.bincount(r[valid] * nb + idx[valid], minlength=nrows * nb).reshape(nrows, nb)
+def _pair_features(letter, row, pv, nrows):
+    """Per-row adjacent-letter-pair counts projected through ``_M_PAIR``:
+    the exact-integer ``(nrows, 85)`` matrix ``[k2 64 cols | 7 props x 3
+    transition cols]``.  ONE O(N) scatter feeds the 8 families that used to
+    scatter separately.  Chunked over rows (``row`` is sorted, so chunk
+    boundaries are two searchsorted calls) so the transient
+    ``chunk x 676`` bincount stays ~22 MB regardless of batch size."""
+    out = np.empty((nrows, _M_PAIR.shape[1]))
+    if len(letter) < 2:
+        out[:] = 0.0
+        return out
+    pk = np.multiply(letter[:-1], 26, dtype=np.int32)
+    pk += letter[1:]
+    rp = row[:-1]
+    chunk = 4096
+    for i0 in range(0, nrows, chunk):
+        i1 = min(i0 + chunk, nrows)
+        lo, hi = np.searchsorted(rp, [i0, i1])
+        key = (rp[lo:hi] - np.int32(i0)) * np.int32(676) + pk[lo:hi]
+        v = pv[lo:hi]
+        cnt = np.bincount(key[v], minlength=(i1 - i0) * 676)
+        out[i0:i1] = cnt.reshape(i1 - i0, 676).astype(np.float64) @ _M_PAIR
+    return out
+
+
+def _kmer2_from_pairs(pair_feats, lens, out: dict):
+    total = np.maximum(lens - 1, 0)
+    freq = _safe_div(pair_feats[:, :64], total[:, None])
+    for j, combo in enumerate(_group_combos(2, 8)):
+        out[f"k2_{combo}"] = np.ascontiguousarray(freq[:, j])
+
+
+def _kmer3(codes, row, lens, nrows, out: dict):
+    g = _R4_8[codes] - np.uint8(1)  # 0-based group ids, uint8 (max idx 63)
+    total = np.maximum(lens - 2, 0)
+    if len(row) > 2:
+        valid = (row[:-2] == row[1:-1]) & (row[1:-1] == row[2:])
+    else:
+        valid = np.zeros(0, dtype=bool)
+    idx = (g[:-2] * np.uint8(4) + g[1:-1]) * np.uint8(4) + g[2:]
+    r = row[:-2]
+    cnt = np.bincount(r[valid] * np.int32(64) + idx[valid], minlength=nrows * 64).reshape(nrows, 64)
     freq = _safe_div(cnt, total[:, None])
-    for j, combo in enumerate(_group_combos(k, n_groups)):
-        out[f"{prefix}_{combo}"] = freq[:, j]
+    for j, combo in enumerate(_group_combos(3, 4)):
+        out[f"k3_{combo}"] = freq[:, j]
 
 
 # transition-pair LUT: cls_a*4+cls_b → {0:'12',1:'13',2:'23',-1:other}
@@ -179,34 +256,45 @@ for _a, _b, _t in ((1, 2, 0), (2, 1, 0), (1, 3, 1), (3, 1, 1), (2, 3, 2), (3, 2,
 _DIST_QS = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
 _DIST_TAGS = ("001", "025", "050", "075", "100")
 
+# (26, 21) per-property class one-hots; (26, 4) residue-set indicators;
+# (676, 64 + 21) k2-group + per-property transition indicators
+_M_COMP, _M_SETS, _M_PAIR = _indicator_mats()
 
-def _ctd(codes, row, lens, starts, nrows, out: dict):
+
+def _ctd(codes, row, lens, starts, nrows, cnt26f, pair_feats, out: dict):
+    """CTD over the 7 propy property groupings.  Composition and transition
+    counts are exact-integer GEMM projections of the shared letter / pair
+    count matrices (see ``_indicator_mats`` — bitwise identical to the
+    per-property scatters they replace); only the distribution block still
+    touches the O(N) arrays, via ONE stable radix argsort of the uint8
+    class codes per property (order-equivalent to the flatnonzero-per-class
+    it replaces: stable sort groups positions by class, ascending within
+    each class)."""
     nt = np.maximum(lens - 1, 0)
-    pair_valid = _pairs(row)
     lens_f = lens.astype(np.float64)
-    row4 = row * 4
-    rowm3 = row[:-1] * 3 if len(row) else row[:0]
-    for prop in CTD_PROPERTIES:
-        cls = _CTD[prop][codes]  # values in {1,2,3}
+    comp_all = cnt26f @ _M_COMP  # (nrows, 21) exact integer counts
+    for pi, prop in enumerate(CTD_PROPERTIES):
+        comp_p = comp_all[:, pi * 3:(pi + 1) * 3]
         # composition
-        cnt = np.bincount(row4 + cls, minlength=nrows * 4).reshape(nrows, 4)
-        freq = _safe_div(cnt[:, 1:4], lens[:, None])
+        freq = _safe_div(comp_p, lens[:, None])
         for i, c in enumerate("123"):
-            out[f"ctd_{prop}_c{c}"] = freq[:, i]
+            out[f"ctd_{prop}_c{c}"] = np.ascontiguousarray(freq[:, i])
         # transition (unordered adjacent pairs of distinct classes)
-        tcode = _TRANS_LUT[cls[:-1] * 4 + cls[1:]] if len(cls) else np.zeros(0, dtype=np.int64)
-        tv = pair_valid & (tcode >= 0)
-        tc = np.bincount(rowm3[tv] + tcode[tv], minlength=nrows * 3).reshape(nrows, 3)
-        tf = _safe_div(tc, nt[:, None])
+        tf = _safe_div(pair_feats[:, 64 + pi * 3:64 + (pi + 1) * 3], nt[:, None])
         for i, tag in enumerate(("t12", "t13", "t23")):
-            out[f"ctd_{prop}_{tag}"] = tf[:, i]
-        # distribution (propy rank convention): occurrences of class c are
-        # already grouped by row and position-sorted in flatnonzero order,
+            out[f"ctd_{prop}_{tag}"] = np.ascontiguousarray(tf[:, i])
+        # distribution (propy rank convention): class-c occurrences in
+        # row-grouped position order are a slice of the stable argsort,
         # so rank-r positions are direct gathers at per-row block offsets;
         # all 5 quantile ranks gathered in one (nh, 5) shot.
-        for c in (1, 2, 3):
-            idx = np.flatnonzero(cls == c)  # global positions, row-grouped
-            m = cnt[:, c]  # occurrences per row (from composition bincount)
+        cls8 = _CTD8[prop][codes]
+        order = np.argsort(cls8, kind="stable")
+        cntp = np.rint(comp_p).astype(np.int64)  # (nrows, 3) per-row counts
+        totals = cntp.sum(axis=0)
+        bounds = (0, totals[0], totals[0] + totals[1], totals.sum())
+        for ci in range(3):
+            idx = order[bounds[ci]:bounds[ci + 1]]  # global positions, row-grouped
+            m = cntp[:, ci]  # occurrences per row
             off = np.zeros(nrows, dtype=np.int64)
             if nrows > 1:
                 off[1:] = np.cumsum(m)[:-1]
@@ -223,49 +311,51 @@ def _ctd(codes, row, lens, starts, nrows, out: dict):
                     / lens_f[rows_has][:, None] * 100.0
                 )
             for qi, tag in enumerate(_DIST_TAGS):
-                out[f"ctd_{prop}_d{c}_{tag}"] = np.ascontiguousarray(res[:, qi])
+                out[f"ctd_{prop}_d{ci + 1}_{tag}"] = np.ascontiguousarray(res[:, qi])
 
 
-def _scalars(codes, row, lens, nrows, out: dict):
-    hyd = _HYD[codes]
-    flx = _FLX[codes]
+def _scalars(hyd, flx, row, lens, nrows, cnt26f, pv, out: dict):
+    """Weighted sums (gravy/flex/instability) keep the order-preserving
+    bincount accumulation — float sum order is part of the frozen
+    semantics; the four residue-SET counts are exact integers and come
+    from the shared letter-count matrix instead of masked scatters."""
+    sets = cnt26f @ _M_SETS  # exact counts: aromatic, positive, negative, polar
     out["gravy"] = _safe_div(np.bincount(row, weights=hyd, minlength=nrows), lens)
-    out["aromaticity"] = _safe_div(np.bincount(row[_ARO[codes]], minlength=nrows), lens)
-    pos = np.bincount(row[_POS[codes]], minlength=nrows)
-    neg = np.bincount(row[_NEG[codes]], minlength=nrows)
-    out["net_charge"] = _safe_div(pos - neg, lens)
-    out["frac_polar"] = _safe_div(np.bincount(row[_POL[codes]], minlength=nrows), lens)
+    out["aromaticity"] = _safe_div(sets[:, 0], lens)
+    out["net_charge"] = _safe_div(sets[:, 1] - sets[:, 2], lens)
+    out["frac_polar"] = _safe_div(sets[:, 3], lens)
     out["flex_mean"] = _safe_div(np.bincount(row, weights=flx, minlength=nrows), lens)
-    pv = _pairs(row)
     prod = hyd[:-1] * hyd[1:]
     out["instability"] = _safe_div(
         np.bincount(row[:-1][pv], weights=prod[pv], minlength=nrows), np.maximum(lens - 1, 0)
     )
 
 
-def _profile(codes, row, lens, starts, nrows, lut, window, prefix, out: dict):
-    """Moving-mean profile per row (W1) + summary features (W2), computed
-    with one global cumsum and segment-wise reduceat kernels."""
+def _profile(vals, lens, nrows, pos, lens_row, window, prefix, out: dict):
+    """Moving-mean profile per row (W1) + summary features (W2).
+
+    The sliding sums are built with ``window`` CONTIGUOUS slice adds over
+    the flat value array — ascending k, the same per-element add order as
+    the per-row oracle, so bitwise identical — then window starts that
+    would cross a row boundary (the last window-1 positions of each row)
+    are masked out.  No gathered index arrays: every pass is sequential,
+    which is what the 32-process bandwidth budget wants."""
     for name in ("max", "min", "mean", "argmax_rel", "argmin_rel"):
         out[f"{prefix}_{name}"] = np.zeros(nrows, dtype=np.float64)
     plens = lens - window + 1
     ok = plens > 0
-    if not ok.any() or len(codes) == 0:
+    if not ok.any() or len(vals) < window:
         return
-    vals = lut[codes]
-    # profile element j of row r starts at global position starts[r]+j;
-    # summation is sequential left-to-right (w vectorized adds) so it is
-    # bitwise identical to the oracle's per-row convention.
+    n_s = len(vals) - window + 1
+    prof_all = vals[:n_s].copy()
+    for k in range(1, window):
+        prof_all += vals[k:n_s + k]
+    prof_all /= window
+    prof = prof_all[pos[:n_s] <= lens_row[:n_s] - window]
     rows_ok = np.flatnonzero(ok)
-    pstarts = starts[rows_ok]
     pl = plens[rows_ok]
     prow = np.repeat(np.arange(len(rows_ok)), pl)
     offset = np.concatenate([[0], np.cumsum(pl)[:-1]])
-    pidx = np.arange(pl.sum()) - offset[prow] + pstarts[prow]
-    prof = np.zeros(len(pidx), dtype=np.float64)
-    for k in range(window):
-        prof += vals[pidx + k]
-    prof /= window
     seg = offset  # reduceat boundaries
     mx = np.maximum.reduceat(prof, seg)
     mn = np.minimum.reduceat(prof, seg)
@@ -281,11 +371,10 @@ def _profile(codes, row, lens, starts, nrows, lut, window, prefix, out: dict):
     out[f"{prefix}_argmin_rel"][rows_ok] = first_min / pl
 
 
-def _pseaac(codes, row, lens, nrows, lam, out: dict):
-    vals = _HYD[codes]
+def _pseaac(vals, row, lens, nrows, lam, out: dict):
     for d in range(1, lam + 1):
         denom = np.maximum(lens - d, 0)
-        if len(codes) > d:
+        if len(vals) > d:
             valid = row[:-d] == row[d:]
             sq = (vals[:-d] - vals[d:]) ** 2
             num = np.bincount(row[:-d][valid], weights=sq[valid], minlength=nrows)
@@ -294,13 +383,12 @@ def _pseaac(codes, row, lens, nrows, lam, out: dict):
         out[f"pse_corr_{d}"] = _safe_div(num, denom)
 
 
-def _terminal(codes, row, lens, starts, nrows, k, out: dict):
+def _terminal(codes, row, lens, nrows, pos, lens_row, k, out: dict):
     """F5 prefix/suffix composition on the already-flattened codes: the
     terminal segments are position masks, no string re-slicing."""
-    pos = np.arange(len(codes), dtype=np.int64) - starts[row]
     seg_lens = np.minimum(lens, k)
-    g_all = _R8[codes]
-    for tag, mask in (("n", pos < k), ("c", pos >= (lens[row] - k))):
+    g_all = _R8_8[codes]
+    for tag, mask in (("n", pos < k), ("c", pos >= (lens_row - k))):
         cnt = np.bincount(row[mask] * 9 + g_all[mask], minlength=nrows * 9).reshape(nrows, 9)
         freq = _safe_div(cnt[:, 1:9], seg_lens[:, None])
         for i, gg in enumerate("12345678"):
@@ -308,16 +396,31 @@ def _terminal(codes, row, lens, starts, nrows, k, out: dict):
 
 
 def _compute_from_flat(codes, row, lens, starts, nrows) -> dict[str, np.ndarray]:
+    """All 340 features from the flattened batch.  Shared-pass design: the
+    letter-count matrix, the pair-count projection, the position-in-row /
+    row-length gathers and the two property-value gathers are each computed
+    ONCE here and threaded through the family kernels — at 32 concurrent
+    worker processes the kernel is DRAM-bound, so eliminating repeated
+    O(N) passes is worth more than any per-family micro-optimization."""
     out: dict[str, np.ndarray] = {}
-    _composition(codes, row, lens, nrows, out)
-    _kmer(codes, row, lens, nrows, _R8, 2, 8, "k2", out)
-    _kmer(codes, row, lens, nrows, _R4, 3, 4, "k3", out)
-    _ctd(codes, row, lens, starts, nrows, out)
-    _scalars(codes, row, lens, nrows, out)
-    _profile(codes, row, lens, starts, nrows, _HYD, 9, "prof_hyd", out)
-    _profile(codes, row, lens, starts, nrows, _FLX, 5, "prof_flex", out)
-    _pseaac(codes, row, lens, nrows, 5, out)
-    _terminal(codes, row, lens, starts, nrows, 15, out)
+    letter = codes - np.uint8(65)  # 0..25, still uint8
+    cnt26 = np.bincount(row * 26 + letter, minlength=nrows * 26).reshape(nrows, 26)
+    cnt26f = cnt26.astype(np.float64)
+    pv = _pairs(row)
+    pair_feats = _pair_features(letter, row, pv, nrows)
+    pos = np.arange(len(codes), dtype=np.int32) - starts[row]
+    lens_row = lens[row]
+    hyd = _HYD[codes]
+    flx = _FLX[codes]
+    _composition(cnt26, lens, nrows, out)
+    _kmer2_from_pairs(pair_feats, lens, out)
+    _kmer3(codes, row, lens, nrows, out)
+    _ctd(codes, row, lens, starts, nrows, cnt26f, pair_feats, out)
+    _scalars(hyd, flx, row, lens, nrows, cnt26f, pv, out)
+    _profile(hyd, lens, nrows, pos, lens_row, 9, "prof_hyd", out)
+    _profile(flx, lens, nrows, pos, lens_row, 5, "prof_flex", out)
+    _pseaac(hyd, row, lens, nrows, 5, out)
+    _terminal(codes, row, lens, nrows, pos, lens_row, 15, out)
     return out
 
 
@@ -359,7 +462,7 @@ def _flatten_arrow(caps):
     row_raw = np.repeat(np.arange(nrows, dtype=np.int32), raw_lens)
     c = np.where((c >= 97) & (c <= 122), c - 32, c)
     keep = (c >= 65) & (c <= 90)
-    codes = c[keep].astype(np.int32)
+    codes = c[keep]  # uint8, matching _flatten
     row = row_raw[keep]
     lens = np.bincount(row, minlength=nrows).astype(np.int32)
     starts = np.zeros(nrows, dtype=np.int32)

@@ -129,6 +129,44 @@ def test_fuzz_random_strings_match_oracle():
                 f"fuzz row {i} ({cap!r:.40}) feature {name}: {gv} vs {wv}")
 
 
+def test_pair_feature_chunking_is_invariant():
+    """_pair_features chunks the 676-key bincount every 4096 rows; a batch
+    past the boundary must equal the unchunked global scatter exactly
+    (counts are integers — any difference is a chunk-boundary bug)."""
+    rng = np.random.default_rng(41)
+    caps = ["".join(rng.choice(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), n))
+            for n in rng.integers(0, 60, 4100)]
+    codes, row, lens, starts = td._flatten(pd.Series(caps))
+    letter = codes - np.uint8(65)
+    pv = td._pairs(row)
+    chunked = td._pair_features(letter, row, pv, 4100)
+    brute_keys = (row[:-1].astype(np.int64) * 676
+                  + letter[:-1].astype(np.int64) * 26 + letter[1:])
+    brute = (np.bincount(brute_keys[pv], minlength=4100 * 676)
+             .reshape(4100, 676).astype(np.float64) @ td._M_PAIR)
+    np.testing.assert_array_equal(chunked, brute)
+
+
+def test_ctd_distribution_argsort_matches_flatnonzero_order():
+    """The stable uint8 argsort the distribution block uses must reproduce
+    flatnonzero(cls == c) per class exactly (stable sort groups positions
+    by class, ascending within each) — the property the rank gathers
+    depend on."""
+    rng = np.random.default_rng(42)
+    caps = ["".join(rng.choice(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), n))
+            for n in rng.integers(1, 80, 500)]
+    codes, _, _, _ = td._flatten(pd.Series(caps))
+    for prop, lut8 in td._CTD8.items():
+        cls8 = lut8[codes]
+        order = np.argsort(cls8, kind="stable")
+        counts = np.bincount(cls8, minlength=4)
+        b1, b2 = counts[1], counts[1] + counts[2]
+        cls64 = td._CTD[prop][codes]
+        np.testing.assert_array_equal(order[:b1], np.flatnonzero(cls64 == 1))
+        np.testing.assert_array_equal(order[b1:b2], np.flatnonzero(cls64 == 2))
+        np.testing.assert_array_equal(order[b2:], np.flatnonzero(cls64 == 3))
+
+
 def test_grantham_matrix_reproduces_published_distances():
     """A14 fidelity pin: the Grantham matrix is RECONSTRUCTED from the
     1974 formula + property table (alphabets.py), not copied — so the
