@@ -63,6 +63,46 @@ _R4_8 = _R4.astype(np.uint8)
 _R8_8 = _R8.astype(np.uint8)
 _CTD8 = {p: m.astype(np.uint8) for p, m in _CTD.items()}
 
+_BLAS_PINNED = False
+
+
+def _pin_blas_threads() -> None:
+    """Pin the in-process BLAS to ONE thread, once per Python worker.
+
+    Spark's execution model is 1 task = 1 core: every Python worker
+    process on an executor already owns exactly one task slot, so a
+    threaded BLAS inside the kernel can only steal cycles from the OTHER
+    workers on the same host.  Measured on the 32-core bench box
+    (BENCH/profile_kernel.py): with numpy's bundled OpenBLAS left at its
+    default thread count, the pair-count GEMM collapses to 0.10 scaling
+    efficiency at 32 concurrent workers (threads from all 32 processes
+    spin against each other); pinned to 1 thread the same GEMM scales at
+    0.49 and the kernel's 32-proc aggregate throughput triples.  An
+    explicit OPENBLAS_NUM_THREADS env var (e.g. set per-executor via
+    ``spark.executorEnv.*`` — session.py does this) takes precedence and
+    skips the runtime call."""
+    global _BLAS_PINNED
+    if _BLAS_PINNED:
+        return
+    _BLAS_PINNED = True
+    import ctypes
+    import glob
+    import os
+
+    if os.environ.get("OPENBLAS_NUM_THREADS"):
+        return
+    libs_dir = os.path.join(os.path.dirname(os.path.dirname(np.__file__)), "numpy.libs")
+    for lib in glob.glob(os.path.join(libs_dir, "*openblas*.so*")):
+        try:
+            handle = ctypes.CDLL(lib)  # same handle as numpy's (refcounted dlopen)
+        except OSError:  # pragma: no cover - exotic loader layouts
+            continue
+        for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+            fn = getattr(handle, sym, None)
+            if fn is not None:
+                fn(ctypes.c_int(1))
+                return
+
 
 def _indicator_mats():
     """Letter(26)- and letter-pair(676)-keyed indicator matrices.
@@ -200,28 +240,41 @@ def _pairs(row):
     return row[:-1] == row[1:] if len(row) else np.zeros(0, dtype=bool)
 
 
-def _pair_features(letter, row, pv, nrows):
+def _pair_features(letter, row, pv, nrows, lens):
     """Per-row adjacent-letter-pair counts projected through ``_M_PAIR``:
     the exact-integer ``(nrows, 85)`` matrix ``[k2 64 cols | 7 props x 3
     transition cols]``.  ONE O(N) scatter feeds the 8 families that used to
     scatter separately.  Chunked over rows (``row`` is sorted, so chunk
-    boundaries are two searchsorted calls) so the transient
-    ``chunk x 676`` bincount stays ~22 MB regardless of batch size."""
+    boundaries are two searchsorted calls) so the dense ``chunk x 676``
+    bincount transient stays ~1.4 MB — small enough that 32 concurrent
+    workers' transients together fit the box's shared L3 instead of
+    streaming DRAM (BENCH/profile_kernel.py; chunk 4096 measured 0.10-0.49
+    scaling efficiency at 32 procs vs 0.51 at chunk 256).
+
+    The GEMM runs in float32 whenever every row is shorter than 2^24
+    chars: counts and every partial sum are then bounded by the per-row
+    pair total < 2^24, hence EXACT integers in float32 (indicator entries
+    are 0/1), and the upcast back to float64 is exact — bitwise identical
+    to the float64 path at half the GEMM traffic.  Longer rows (never seen
+    in practice) fall back to the float64 path."""
     out = np.empty((nrows, _M_PAIR.shape[1]))
     if len(letter) < 2:
         out[:] = 0.0
         return out
+    exact32 = int(lens.max()) < (1 << 24)
+    mat = _M_PAIR32 if exact32 else _M_PAIR
+    cdt = np.float32 if exact32 else np.float64
     pk = np.multiply(letter[:-1], 26, dtype=np.int32)
     pk += letter[1:]
     rp = row[:-1]
-    chunk = 4096
+    chunk = 256
     for i0 in range(0, nrows, chunk):
         i1 = min(i0 + chunk, nrows)
         lo, hi = np.searchsorted(rp, [i0, i1])
         key = (rp[lo:hi] - np.int32(i0)) * np.int32(676) + pk[lo:hi]
         v = pv[lo:hi]
         cnt = np.bincount(key[v], minlength=(i1 - i0) * 676)
-        out[i0:i1] = cnt.reshape(i1 - i0, 676).astype(np.float64) @ _M_PAIR
+        out[i0:i1] = cnt.reshape(i1 - i0, 676).astype(cdt) @ mat
     return out
 
 
@@ -259,6 +312,8 @@ _DIST_TAGS = ("001", "025", "050", "075", "100")
 # (26, 21) per-property class one-hots; (26, 4) residue-set indicators;
 # (676, 64 + 21) k2-group + per-property transition indicators
 _M_COMP, _M_SETS, _M_PAIR = _indicator_mats()
+# float32 twin for the exact-int fast path (entries are 0.0/1.0: exact)
+_M_PAIR32 = _M_PAIR.astype(np.float32)
 
 
 def _ctd(codes, row, lens, starts, nrows, cnt26f, pair_feats, out: dict):
@@ -403,11 +458,12 @@ def _compute_from_flat(codes, row, lens, starts, nrows) -> dict[str, np.ndarray]
     worker processes the kernel is DRAM-bound, so eliminating repeated
     O(N) passes is worth more than any per-family micro-optimization."""
     out: dict[str, np.ndarray] = {}
+    _pin_blas_threads()
     letter = codes - np.uint8(65)  # 0..25, still uint8
     cnt26 = np.bincount(row * 26 + letter, minlength=nrows * 26).reshape(nrows, 26)
     cnt26f = cnt26.astype(np.float64)
     pv = _pairs(row)
-    pair_feats = _pair_features(letter, row, pv, nrows)
+    pair_feats = _pair_features(letter, row, pv, nrows, lens)
     pos = np.arange(len(codes), dtype=np.int32) - starts[row]
     lens_row = lens[row]
     hyd = _HYD[codes]

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PROFET_DRIVER_MEM", "8g"))
+        # 1 task = 1 core: a threaded BLAS inside a Python worker only
+        # steals cycles from the other workers on the host. Measured 3x
+        # kernel aggregate at 32 workers (text_descriptors._pin_blas_threads,
+        # which also enforces this at runtime when the env is absent).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -130,21 +130,43 @@ def test_fuzz_random_strings_match_oracle():
 
 
 def test_pair_feature_chunking_is_invariant():
-    """_pair_features chunks the 676-key bincount every 4096 rows; a batch
+    """_pair_features chunks the 676-key bincount every 256 rows; a batch
     past the boundary must equal the unchunked global scatter exactly
-    (counts are integers — any difference is a chunk-boundary bug)."""
+    (counts are integers — any difference is a chunk-boundary bug).
+    The brute reference runs the float64 GEMM, so this also pins the
+    float32 fast path (all rows < 2^24 chars) as bitwise-exact."""
     rng = np.random.default_rng(41)
     caps = ["".join(rng.choice(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), n))
             for n in rng.integers(0, 60, 4100)]
     codes, row, lens, starts = td._flatten(pd.Series(caps))
     letter = codes - np.uint8(65)
     pv = td._pairs(row)
-    chunked = td._pair_features(letter, row, pv, 4100)
+    chunked = td._pair_features(letter, row, pv, 4100, lens)
     brute_keys = (row[:-1].astype(np.int64) * 676
                   + letter[:-1].astype(np.int64) * 26 + letter[1:])
     brute = (np.bincount(brute_keys[pv], minlength=4100 * 676)
              .reshape(4100, 676).astype(np.float64) @ td._M_PAIR)
     np.testing.assert_array_equal(chunked, brute)
+
+
+def test_pair_feature_f32_equals_f64_path():
+    """The float32-GEMM fast path and the float64 fallback must agree
+    BITWISE on the same batch — both compute exact integer counts, so any
+    difference is a lost-precision bug (e.g. a count or partial sum that
+    escaped the 2^24 exactness envelope)."""
+    rng = np.random.default_rng(43)
+    caps = ["".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), n))
+            for n in rng.integers(0, 300, 512)]
+    codes, row, lens, starts = td._flatten(pd.Series(caps))
+    letter = codes - np.uint8(65)
+    pv = td._pairs(row)
+    fast = td._pair_features(letter, row, pv, 512, lens)
+    # force the fallback by faking one huge row length (selection only —
+    # the counts themselves are identical)
+    lens_big = lens.copy()
+    lens_big[0] = 1 << 24
+    slow = td._pair_features(letter, row, pv, 512, lens_big)
+    np.testing.assert_array_equal(fast, slow)
 
 
 def test_ctd_distribution_argsort_matches_flatnonzero_order():
