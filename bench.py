@@ -32,7 +32,7 @@ from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
 from profet_spark.functions import textstats
 from profet_spark.operators import asof, corpus, dedup, similarity, temporal
-from profet_spark.sources import load_table
+from profet_spark.sources import load_table, stats
 
 
 def _materialize(df) -> int:
@@ -40,13 +40,12 @@ def _materialize(df) -> int:
     return 0
 
 
-def pit_features_events(spark, sf_dir):
+def pit_features_events(spark, sf_dir, n_parts):
     """Flagship: PIT feature pipeline over the events stream (as-of join +
     ffill + sessionize + expanding stats). Uses the pure-JVM window as-of
     strategy (bit-identical to the sort_merge pandas kernel, tested; 1.4x
     faster on this pipeline); input repartitioned off the single-split
     testdata file."""
-    n_parts = 2 * max(8, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)))
     ev = (load_table(spark, sf_dir, "events")
           .select("event_id", "user_id", "ts", "event_type", "value")
           .repartition(n_parts))
@@ -103,6 +102,29 @@ def main():
     # 2x cores for straggler-free UDF stages — the local-mode analog of
     # sizing shuffle partitions to a multiple of total executor cores.
     n_parts = 2 * max(8, int(cpus))
+
+    # JVM-side stages size their INPUT partitioning to the DATA, not the
+    # core count: the testdata tables are single-split parquet, and blindly
+    # exploding a 5k-row table into 2x-cores partitions makes every stage
+    # of a multi-barrier chain pay ~64 task launches for ~80-row tasks —
+    # measured 3.6 -> 2.3 s on the curation chain and 2.5 -> 1.6 s on the
+    # profile chain at sf0.1/local[32] from this change alone. The rule is
+    # the production one (split count follows bytes/rows, floored so the
+    # box stays busy, capped at the 2x-cores straggler rule); row counts
+    # come from parquet footers (sources/stats.py) — zero data read. The
+    # UDF fixture stages keep the 2x-cores rule: their per-row work is
+    # orders of magnitude heavier (Arrow descriptor/decode kernels), so
+    # straggler-freedom dominates task-launch overhead there.
+    def _input_parts(rows: int | None) -> int:
+        c = max(8, int(cpus))
+        if rows is None:  # non-parquet source: fall back to the UDF rule
+            return 2 * c
+        return int(max(c // 4, min(2 * c, rows // 6000)))
+
+    docs_parts = _input_parts(
+        stats.estimate_row_count(load_table(spark, sf_dir, "documents")))
+    ev_parts = _input_parts(
+        stats.estimate_row_count(load_table(spark, sf_dir, "events")))
     n_text_entities = max(200, int(20000 * (sf if sf > 0 else 0.1) * 10))
     n_img_entities = max(100, int(2000 * (sf if sf > 0 else 0.1) * 10))
     # stage fixtures through parquet: a parallelized local collection ships
@@ -134,7 +156,7 @@ def main():
         from concurrent.futures import ThreadPoolExecutor
 
         # testdata parquet is single-split; spread the map side
-        docs = load_table(spark, sf_dir, "documents").repartition(n_parts)
+        docs = load_table(spark, sf_dir, "documents").repartition(docs_parts)
         pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).persist()
         quality = textstats.add_fingerprint(
             textstats.add_quality_features(docs)).drop("text").persist()
@@ -165,7 +187,7 @@ def main():
         sample + sequence packing + TF-IDF over documents. Added as its
         own stage key so earlier-round totals stay comparable by summing
         the shared keys."""
-        docs = load_table(spark, sf_dir, "documents").repartition(n_parts)
+        docs = load_table(spark, sf_dir, "documents").repartition(docs_parts)
         split = corpus.hash_split(docs, {"train": 0.9, "val": 0.05,
                                          "test": 0.05})
         samp = (corpus.stratified_sample(docs, 0.5)
@@ -183,7 +205,7 @@ def main():
         stage key, so earlier-round totals stay comparable by summing the
         shared keys; the sequential-vs-fused delta is in PLANS.md §FM."""
         from profet_spark.operators import feature_matrix as fm
-        typed = load_table(spark, sf_dir, "events").repartition(n_parts)
+        typed = load_table(spark, sf_dir, "events").repartition(ev_parts)
         spine = typed.select("user_id", "ts", "event_id", "value")
         feats = {
             name: (typed.where(F.col("event_type") == et)
@@ -202,7 +224,7 @@ def main():
         sequence/explode + as-of attach). Own stage key so earlier-round
         totals stay comparable."""
         from profet_spark.functions import hashing as H
-        ev = load_table(spark, sf_dir, "events").repartition(n_parts)
+        ev = load_table(spark, sf_dir, "events").repartition(ev_parts)
         ph = (H.h32("props") - F.lit(2 ** 31)) * F.lit(2 ** 32) + H.h32_hi("props")
         base = ev.select("user_id", "ts", "event_id", "value", ph.alias("ph"))
         prof = temporal.rolling_quantile(base, "value", q=0.5, n=8,
@@ -231,7 +253,7 @@ def main():
         column. Own stage key so earlier-round totals stay comparable."""
         from profet_spark.operators import encoding as enc
         from profet_spark.operators import feature_matrix as fm
-        ev = (load_table(spark, sf_dir, "events").repartition(n_parts)
+        ev = (load_table(spark, sf_dir, "events").repartition(ev_parts)
               .select("event_id", "ts", "event_type",
                       F.col("value").cast("double").alias("value"),
                       F.length("props").cast("double").alias("plen")))
@@ -245,7 +267,7 @@ def main():
             smoothing=8.0, prior=50.0)
 
     stages = {
-        "pit_features_events": lambda: pit_features_events(spark, sf_dir),
+        "pit_features_events": lambda: pit_features_events(spark, sf_dir, ev_parts),
         "profile_features": lambda: profile_features(spark, sf_dir),
         "training_matrix": lambda: training_matrix(spark, sf_dir),
         "caption_descriptors": lambda: caption_descriptors(spark, snap_text),
