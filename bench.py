@@ -297,8 +297,14 @@ def main():
             # this, iterations 2+ would re-read cached intermediates and
             # report cache-scan time instead of full execution
             spark.catalog.clearCache()
-            snap_text.cache().count()
-            snap_img.cache().count()
+            # re-cache ONLY the snapshot a stage actually reads: re-caching
+            # both 100k-row snaps before every stage (2 x 10 stages x iters
+            # cache populations) is pure allocation/GC churn that bleeds
+            # into the timed regions of unrelated stages
+            if name == "caption_descriptors":
+                snap_text.cache().count()
+            elif name == "image_pipeline":
+                snap_img.cache().count()
             t0 = time.perf_counter()
             _materialize(mk())
             samples[name].append(time.perf_counter() - t0)
