@@ -1,3 +1,8 @@
-from profet_spark.functions import alphabets, image_descriptors, text_descriptors
+from profet_spark.functions import (
+    alphabets,
+    image_descriptors,
+    sql_registry,
+    text_descriptors,
+)
 
-__all__ = ["alphabets", "text_descriptors", "image_descriptors"]
+__all__ = ["alphabets", "text_descriptors", "image_descriptors", "sql_registry"]

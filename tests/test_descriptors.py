@@ -242,3 +242,38 @@ def test_grantham_qso_normalizer_matches_w_point_one():
         true_form = 0.1 * taus_real[k] / (1.0 + 0.1 * sum(taus_real))
         assert abs(int_form - true_form) <= 2e-6 * abs(true_form), (
             k, int_form, true_form)
+
+
+def test_sql_registry_matches_dataframe_paths(spark):
+    """register_sql_functions exposes the SAME kernel through spark.sql:
+    the array UDF equals the packed DataFrame path element-for-element and
+    the struct UDF supports field access + Catalyst struct pruning."""
+    from profet_spark.functions import sql_registry, text_descriptors as td
+
+    names = sql_registry.register_sql_functions(spark)
+    assert names == ["profet_features", "profet_features_struct"]
+    pdf = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d"],
+        "caption": ["MALWMRLLPL", "", "the CAT sat 42!", "GAVLIPFMW" * 7],
+    })
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("sql_registry_snaps")
+
+    got = spark.sql(
+        "SELECT image_id, profet_features(caption) AS f,"
+        "       profet_features_struct(caption).entropy AS ent"
+        " FROM sql_registry_snaps ORDER BY image_id").toPandas()
+    want = (td.add_caption_features_packed(df, drop_caption=False)
+            .select("image_id", "features", "caption")
+            .toPandas().sort_values("image_id").reset_index(drop=True))
+
+    ent_idx = td.feature_index("entropy")
+    for i in range(len(pdf)):
+        gf = np.asarray(got["f"][i], dtype=np.float64)
+        wf = np.asarray(want["features"][i], dtype=np.float64)
+        assert gf.shape == (len(td.FEATURE_NAMES),)
+        assert np.array_equal(gf, wf), i  # same kernel => bitwise equal
+        assert got["ent"][i] == wf[ent_idx]
+
+    # re-registration is idempotent (replaces, no error)
+    assert sql_registry.register_sql_functions(spark) == names
