@@ -1,0 +1,101 @@
+"""``python -m profet_spark`` — the spark-submit job runner.
+
+The north rule's deployment shape is ``spark-submit --py-files
+profet_spark.zip`` driving a named pipeline over a table root (the
+BENCH/ scaling harness runs exactly that shape). This module is the
+user-facing version: pick a pipeline, point it at an input root
+(parquet directory or Iceberg catalog name — ``sources.catalog``
+resolves either), write parquet (or run against the ``noop`` sink for
+a dry-run/benchmark pass).
+
+    spark-submit --py-files profet_spark.zip -m profet_spark \\
+        --pipeline caption_features --input /data/sf1 --output /out/feats
+
+Pipelines are thin compositions of the library operators — everything
+here is reachable from the Python API too; the CLI only removes the
+boilerplate for the four most common jobs. Kept argparse-only (no
+extra deps) and import-light so ``--help`` works without a JVM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build(spark, pipeline: str, input_root: str):
+    from pyspark.sql import functions as F
+
+    from profet_spark.functions import image_descriptors as imgd
+    from profet_spark.functions import text_descriptors as td
+    from profet_spark.functions import textstats
+    from profet_spark.operators import dedup
+    from profet_spark.sources import load_table
+
+    if pipeline == "caption_features":
+        snaps = load_table(spark, input_root, "documents").select(
+            F.col("doc_id").alias("id"), F.col("text").alias("caption"))
+        return td.add_caption_features_packed(snaps)
+    if pipeline == "image_features":
+        snaps = load_table(spark, input_root, "images")
+        return imgd.phash_hamming_to_prev(imgd.add_image_features(snaps))
+    if pipeline == "curate":
+        docs = load_table(spark, input_root, "documents")
+        pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
+        quality = textstats.add_fingerprint(
+            textstats.add_quality_features(docs)).drop("text")
+        return quality.join(
+            pairs.select(F.col("id_a").alias("doc_id")).distinct(),
+            "doc_id", "left_anti")
+    if pipeline == "quality":
+        docs = load_table(spark, input_root, "documents")
+        return textstats.add_fingerprint(
+            textstats.add_quality_features(docs)).drop("text")
+    raise SystemExit(f"unknown pipeline: {pipeline!r} (see --help)")
+
+
+PIPELINES = ("caption_features", "image_features", "curate", "quality")
+
+
+def main(argv: list[str] | None = None, _spark=None) -> int:
+    """``_spark``: injected session for in-process tests — the CLI then
+    neither builds nor stops it (stop() on a shared session would kill
+    the caller's fixture)."""
+    ap = argparse.ArgumentParser(
+        prog="python -m profet_spark",
+        description="Run a named profet_spark pipeline over a table root.")
+    ap.add_argument("--pipeline", required=True, choices=PIPELINES)
+    ap.add_argument("--input", required=True,
+                    help="parquet root dir or Iceberg catalog name")
+    ap.add_argument("--output", default=None,
+                    help="parquet output dir; omit for a noop-sink dry run")
+    ap.add_argument("--master", default=None,
+                    help="override spark.master (else spark-submit's choice)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if _spark is None:
+        from profet_spark import get_spark
+
+        kw = {"app": f"profet_{args.pipeline}"}
+        if args.master:
+            kw["master"] = args.master
+        if args.shuffle_partitions:
+            kw["shuffle_partitions"] = args.shuffle_partitions
+        spark = get_spark(**kw)
+    else:
+        spark = _spark
+    out = _build(spark, args.pipeline, args.input)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        out.write.format("noop").mode("overwrite").save()
+        print("noop sink: plan executed end-to-end")
+    if _spark is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

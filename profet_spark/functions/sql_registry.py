@@ -20,6 +20,11 @@ row-at-a-time Python anywhere, same golden-vector semantics:
 - ``profet_features_struct(caption) -> struct<...340 fields>``: named
   fields, so ``profet_features_struct(caption).entropy`` works and
   Catalyst prunes unused fields from the struct projection.
+- ``profet_image_stats(bytes, fmt) -> struct<lum_*, edge_density,
+  rowprof_*, phash_check, decode_ok>``: the U3 pixel-stat kernel
+  (``image_descriptors.compute_image_stats`` — decode failures map to
+  ``decode_ok = false``, never a stage kill), for SQL pipelines over the
+  image axis, e.g. ``profet_image_stats(bytes, fmt).phash_check``.
 
 For bulk scoring prefer the DataFrame API's
 :func:`~profet_spark.functions.text_descriptors.add_caption_features_packed`
@@ -34,6 +39,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 
+from profet_spark.functions.image_descriptors import (
+    IMG_FEATURES,
+    compute_image_stats,
+)
 from profet_spark.functions.text_descriptors import (
     FEATURE_NAMES,
     caption_features,
@@ -48,14 +57,31 @@ def _features_array(captions: pd.Series) -> pd.Series:
     return pd.Series(list(mat))
 
 
+_IMAGE_STATS_SCHEMA = T.StructType(
+    [T.StructField(n, t, True) for n, t in IMG_FEATURES])
+
+
+@F.pandas_udf(_IMAGE_STATS_SCHEMA)
+def _image_stats(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    # the per-row decode loop is the same shape as the U3 mapInPandas
+    # kernel: variable-length binary payloads decode one at a time by
+    # nature; the Arrow batch boundary is what's vectorized
+    return pd.DataFrame([compute_image_stats(b, f)
+                         for b, f in zip(data, fmt)],
+                        columns=[n for n, _ in IMG_FEATURES])
+
+
 def register_sql_functions(spark: SparkSession,
                            prefix: str = "profet_") -> list[str]:
-    """Register the descriptor kernel under ``{prefix}features`` /
-    ``{prefix}features_struct`` in the session's function catalog and
-    return the registered names. Idempotent (re-registering replaces)."""
-    names = [f"{prefix}features", f"{prefix}features_struct"]
+    """Register the descriptor kernels under ``{prefix}features`` /
+    ``{prefix}features_struct`` / ``{prefix}image_stats`` in the
+    session's function catalog and return the registered names.
+    Idempotent (re-registering replaces)."""
+    names = [f"{prefix}features", f"{prefix}features_struct",
+             f"{prefix}image_stats"]
     spark.udf.register(names[0], _features_array)
     spark.udf.register(names[1], caption_features)
+    spark.udf.register(names[2], _image_stats)
     return names
 
 

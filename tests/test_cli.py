@@ -1,0 +1,55 @@
+"""The ``python -m profet_spark`` job runner (spark-submit job shape).
+
+Each named pipeline must build and execute end-to-end over the standard
+table layout, and ``--output`` must land readable parquet. The session
+is injected (``_spark``) so the CLI never stops the shared fixture."""
+
+import os
+
+import pytest
+
+from profet_spark import fixtures
+from profet_spark.__main__ import PIPELINES, _build, main
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+
+def test_cli_help_lists_pipelines(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    for p in PIPELINES:
+        assert p in out
+
+
+def test_cli_unknown_pipeline_rejected():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "nope", "--input", SF])
+
+
+def test_cli_text_pipelines_over_testdata(spark, tmp_path):
+    out_dir = str(tmp_path / "feats")
+    rc = main(["--pipeline", "caption_features", "--input", SF,
+               "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert "features" in back.columns and back.count() > 0
+
+    for p in ("curate", "quality"):  # noop dry-run path
+        assert main(["--pipeline", p, "--input", SF], _spark=spark) == 0
+
+
+def test_cli_image_pipeline(spark, tmp_path):
+    pdf = fixtures.make_fixture(n_entities=30, img_sizes=(16,))
+    root = tmp_path / "root"
+    root.mkdir()
+    fixtures.stage_parquet(spark, pdf, str(root / "images.parquet"))
+    out_dir = str(tmp_path / "imgfeats")
+    rc = main(["--pipeline", "image_features", "--input", str(root),
+               "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert {"phash_check", "decode_ok"} <= set(back.columns)
+    assert back.count() == len(pdf)
+    assert back.where("NOT decode_ok").count() < len(pdf)

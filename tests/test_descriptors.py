@@ -251,7 +251,8 @@ def test_sql_registry_matches_dataframe_paths(spark):
     from profet_spark.functions import sql_registry, text_descriptors as td
 
     names = sql_registry.register_sql_functions(spark)
-    assert names == ["profet_features", "profet_features_struct"]
+    assert names == ["profet_features", "profet_features_struct",
+                     "profet_image_stats"]
     pdf = pd.DataFrame({
         "image_id": ["a", "b", "c", "d"],
         "caption": ["MALWMRLLPL", "", "the CAT sat 42!", "GAVLIPFMW" * 7],
@@ -277,3 +278,27 @@ def test_sql_registry_matches_dataframe_paths(spark):
 
     # re-registration is idempotent (replaces, no error)
     assert sql_registry.register_sql_functions(spark) == names
+
+
+def test_sql_registry_image_stats_matches_kernel(spark):
+    """profet_image_stats through spark.sql equals compute_image_stats
+    per row, including the decode_ok=false path for corrupt payloads."""
+    from profet_spark import imaging
+    from profet_spark.functions import image_descriptors as imgd
+    from profet_spark.functions import sql_registry
+
+    sql_registry.register_sql_functions(spark)
+    rng = np.random.default_rng(7)
+    good = imaging.encode_ppm(rng.integers(0, 256, (8, 6, 3), dtype=np.uint8))
+    rows = [("a", bytearray(good), "ppm"), ("b", bytearray(b"not an image"), "ppm")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    df.createOrReplaceTempView("sql_registry_imgs")
+
+    got = spark.sql(
+        "SELECT image_id, profet_image_stats(bytes, fmt) AS s"
+        " FROM sql_registry_imgs ORDER BY image_id").collect()
+    for r, (_, data, fmt) in zip(got, rows):
+        want = imgd.compute_image_stats(bytes(data), fmt)
+        s = r.s.asDict()
+        assert s == want, r.image_id
+    assert got[0].s.decode_ok is True and got[1].s.decode_ok is False
