@@ -40,13 +40,13 @@ def _build(spark, pipeline: str, input_root: str):
         snaps = load_table(spark, input_root, "images")
         return imgd.phash_hamming_to_prev(imgd.add_image_features(snaps))
     if pipeline == "curate":
+        # keep ONE canonical doc per near-dup cluster (connected
+        # components, not the drop-every-id_a heuristic), then attach
+        # quality + fingerprint features to the survivors
         docs = load_table(spark, input_root, "documents")
-        pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5)
-        quality = textstats.add_fingerprint(
-            textstats.add_quality_features(docs)).drop("text")
-        return quality.join(
-            pairs.select(F.col("id_a").alias("doc_id")).distinct(),
-            "doc_id", "left_anti")
+        kept = dedup.drop_near_duplicates(docs, k=3, threshold=0.5)
+        return textstats.add_fingerprint(
+            textstats.add_quality_features(kept)).drop("text")
     if pipeline == "quality":
         docs = load_table(spark, input_root, "documents")
         return textstats.add_fingerprint(

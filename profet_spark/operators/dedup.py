@@ -770,3 +770,34 @@ def _dup_clusters_star(pairs: DataFrame, id_a: str, id_b: str,
     E.unpersist()
     raise RuntimeError(
         f"dup_clusters(star): no fixpoint after {max_iter} rounds")
+
+
+def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         threshold: float = 0.5,
+                         algorithm: str = "propagate",
+                         **lsh_kwargs) -> DataFrame:
+    """One-call corpus near-dedup: keep exactly ONE canonical document
+    per near-duplicate cluster (the minimum id — the D6 convention).
+
+    The composition users otherwise hand-write: D3 ``minhash_lsh_pairs``
+    (bucketed candidates, exact-Jaccard verified) → D6 ``dup_clusters``
+    (connected components — REQUIRED for correctness: pair edges are not
+    transitively closed, so the naive "drop every id_a" heuristic keeps
+    two survivors of a cluster whose edge set is a star, e.g. edges
+    (a,b),(a,c) keep both b and c) → anti-join of the non-canonical ids.
+
+    Scale: the anti-join shuffles only ``id_col`` plus the drop list
+    (one row per non-canonical dup), never text; everything upstream is
+    the audited narrow-shuffle D3/D6 machinery. ``**lsh_kwargs`` reach
+    ``minhash_lsh_pairs`` (``max_bucket``, ``persist``, ``signatures``).
+    Reference analog: the dedup step of corpus prep absent from
+    single-process ProFET (`[R] pipeline.py ≈L80-140` loads a directory
+    as-is); semantics follow the C4/RefinedWeb keep-one convention.
+    """
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, k=k,
+                              threshold=threshold, **lsh_kwargs)
+    clusters = dup_clusters(pairs, algorithm=algorithm)
+    drops = (clusters.where(F.col("id") != F.col("cluster_id"))
+             .select(F.col("id").alias(id_col)))
+    return df.join(drops, id_col, "left_anti")

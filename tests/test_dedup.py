@@ -478,3 +478,28 @@ def test_band_digests_are_position_tagged(spark):
             *[F.lit(H.MINHASH_P).cast("bigint") for _ in range(16)])).alias("bh"))
     digests = one.select(F.explode("bh").alias("d")).toPandas().d
     assert digests.nunique() == 8
+
+
+def test_drop_near_duplicates_one_survivor_per_cluster(spark):
+    """drop_near_duplicates keeps exactly the min-id canonical of each
+    near-dup cluster and every unique doc — and agrees with the explicit
+    pairs -> dup_clusters -> anti-join composition it packages."""
+    rows = [
+        (1, BASE), (2, NEAR), (3, BASE.replace("lazy dog", "lazy cat")),
+        (10, FAR + " " + FAR), (11, FAR + " " + FAR.replace("here", "now")),
+        (20, "an entirely standalone document about window functions and "
+             "watermarks that shares no shingles with the other groups"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.drop_near_duplicates(docs, threshold=0.5)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # composition oracle
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs).toPandas()
+    drops = set(clusters[clusters.id != clusters.cluster_id].id)
+    assert kept == sorted(set(r[0] for r in rows) - drops)
+    # the mutual near-dup groups collapse to their min id; unique survives
+    assert 1 in kept and 10 in kept and 20 in kept
+    assert 2 not in kept and 3 not in kept and 11 not in kept
+    # schema is the input schema (anti-join, no extra columns)
+    assert out.columns == docs.columns
