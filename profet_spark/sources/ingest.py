@@ -119,5 +119,34 @@ def split_corrupt(df: DataFrame,
     return clean, bad
 
 
-__all__ = ["ingest_jsonl", "ingest_csv", "split_corrupt",
-           "DOCUMENTS_DDL", "CORRUPT_COL"]
+def ingest_jsonl_stream(spark: SparkSession, path: str,
+                        schema: str | T.StructType = DOCUMENTS_DDL,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """Structured-Streaming twin of :func:`ingest_jsonl` (§2.9): tail a
+    landing directory of JSON-lines files with the SAME explicit schema
+    (streaming readers REQUIRE one — inference is impossible on an
+    unbounded source, which is exactly why the batch reader refuses it
+    too) and the same PERMISSIVE ``_corrupt_record`` quarantine.
+
+    The corrupt-only projection rule does not bite here: stream sinks
+    consume full micro-batch rows, and the split belongs in
+    ``foreachBatch`` where both halves of the (already materialized)
+    micro-batch can be written in one pass:
+
+        q = (ingest_jsonl_stream(spark, landing, DDL)
+             .writeStream.foreachBatch(
+                 lambda b, _: _route(*split_corrupt(b, persist=False)))
+             .option("checkpointLocation", ckpt).start())
+
+    ``max_files_per_trigger`` bounds micro-batch size for backpressure
+    (the production knob when a backfill dumps 10^5 files at once)."""
+    reader = (spark.readStream.schema(_with_corrupt(schema))
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", CORRUPT_COL))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.json(path)
+
+
+__all__ = ["ingest_jsonl", "ingest_csv", "ingest_jsonl_stream",
+           "split_corrupt", "DOCUMENTS_DDL", "CORRUPT_COL"]

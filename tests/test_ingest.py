@@ -84,3 +84,34 @@ def test_split_corrupt_unpersisted_full_width(spark, jsonl_path):
     rows = bad.collect()
     assert sorted(r.raw for r in rows) == sorted(BAD)
     assert "doc_id" in bad.columns  # full width retained
+
+
+def test_jsonl_stream_equals_batch(spark, tmp_path):
+    """§2.9 twin: the streaming reader drained with availableNow +
+    foreachBatch(split_corrupt) yields exactly the batch reader's clean
+    rows and quarantine lines."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text("\n".join([GOOD[0], BAD[0]]) + "\n")
+    (landing / "b.jsonl").write_text("\n".join([BAD[1], GOOD[1]]) + "\n")
+
+    got_clean, got_bad = [], []
+
+    def route(batch, _epoch):
+        clean, bad = ingest.split_corrupt(batch, persist=False)
+        got_clean.extend((r.doc_id, r.text) for r in clean.collect())
+        got_bad.extend(r.raw for r in bad.collect())
+
+    q = (ingest.ingest_jsonl_stream(spark, str(landing),
+                                    max_files_per_trigger=1)
+         .writeStream.foreachBatch(route)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    bclean, bbad = ingest.split_corrupt(
+        ingest.ingest_jsonl(spark, str(landing)), persist=False)
+    assert sorted(got_clean) == sorted(
+        (r.doc_id, r.text) for r in bclean.collect())
+    assert sorted(got_bad) == sorted(r.raw for r in bbad.collect())
+    assert len(got_clean) == 2 and len(got_bad) == 2
