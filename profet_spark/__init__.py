@@ -25,4 +25,4 @@ Layout:
 from profet_spark.session import get_spark
 
 __all__ = ["get_spark"]
-__version__ = "0.1.0"
+__version__ = "0.4.0"

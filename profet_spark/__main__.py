@@ -8,8 +8,14 @@ user-facing version: pick a pipeline, point it at an input root
 resolves either), write parquet (or run against the ``noop`` sink for
 a dry-run/benchmark pass).
 
-    spark-submit --py-files profet_spark.zip -m profet_spark \\
+    spark-submit --master yarn --py-files profet_spark.zip \\
+        profet_spark/__main__.py \\
         --pipeline caption_features --input /data/sf1 --output /out/feats
+
+(spark-submit takes the ``__main__.py`` file as its primary resource —
+it has no ``-m`` module flag; ``python -m profet_spark`` is the local
+form. Under spark-submit the session INHERITS ``--master`` — see
+``get_spark`` — so a cluster job never silently downgrades to local.)
 
 Pipelines are thin compositions of the library operators — everything
 here is reachable from the Python API too; the CLI only removes the
@@ -70,19 +76,22 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     ap.add_argument("--output", default=None,
                     help="parquet output dir; omit for a noop-sink dry run")
     ap.add_argument("--master", default=None,
-                    help="override spark.master (else spark-submit's choice)")
-    ap.add_argument("--shuffle-partitions", type=int, default=None)
+                    help="override spark.master (default: inherit from "
+                         "spark-submit, else local)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="must be >= 1 when given")
     args = ap.parse_args(argv)
 
+    if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
+        ap.error(f"--shuffle-partitions must be >= 1, "
+                 f"got {args.shuffle_partitions}")
     if _spark is None:
         from profet_spark import get_spark
 
-        kw = {"app": f"profet_{args.pipeline}"}
-        if args.master:
-            kw["master"] = args.master
-        if args.shuffle_partitions:
-            kw["shuffle_partitions"] = args.shuffle_partitions
-        spark = get_spark(**kw)
+        # master=None inherits spark-submit's --master (get_spark detects
+        # the launcher) or falls back to local outside it
+        spark = get_spark(app=f"profet_{args.pipeline}", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
     else:
         spark = _spark
     out = _build(spark, args.pipeline, args.input)

@@ -33,19 +33,26 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
-    master defaults to ``local[$SPARK_GRAFT_CPUS or *]`` in the sandbox;
-    on a real cluster, pass ``None`` and let spark-submit decide.
+    ``master=None``: under spark-submit (detected via the
+    ``PYSPARK_GATEWAY_PORT`` env var the launcher JVM sets for its
+    Python child) the builder sets NO master, so spark-submit's
+    ``--master yarn/k8s/local[N]`` choice applies — forcing a local
+    master here would silently downgrade a cluster job to single-node.
+    Outside spark-submit it defaults to ``local[$SPARK_GRAFT_CPUS or
+    *]`` (the sandbox/test shape).
     """
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = max(8, min(64, n))
 
+    b = SparkSession.builder.appName(app)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app)
-        .master(master)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

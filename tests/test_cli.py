@@ -53,3 +53,17 @@ def test_cli_image_pipeline(spark, tmp_path):
     assert {"phash_check", "decode_ok"} <= set(back.columns)
     assert back.count() == len(pdf)
     assert back.where("NOT decode_ok").count() < len(pdf)
+
+
+def test_cli_rejects_nonpositive_shuffle_partitions(spark):
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "quality", "--input", SF,
+              "--shuffle-partitions", "0"], _spark=spark)
+
+
+def test_package_version_matches_distribution_metadata():
+    import profet_spark
+    import re
+    toml = open("/root/repo/pyproject.toml").read()
+    m = re.search(r'^version = "([^"]+)"', toml, re.M)
+    assert m and m.group(1) == profet_spark.__version__
