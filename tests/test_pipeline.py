@@ -137,3 +137,62 @@ def test_zero_leakage_full_pipeline(spark, snap):
 def test_poison_rows_present(snap):
     _, pdf = snap
     assert pdf["caption"].str.contains("ZZZZPOISON").any(), "fixture lost its poison rows"
+
+
+def test_raw_corpus_to_training_set(spark, tmp_path):
+    """End-to-end raw-corpus story: JSONL landing dir -> explicit-schema
+    ingest with quarantine -> near-dup removal (keep-one-canonical) ->
+    quality features -> sequence packing -> deterministic split. Pins the
+    cross-operator schema contract the per-operator tests can't."""
+    import json as _json
+
+    from profet_spark.functions import textstats
+    from profet_spark.operators import corpus, dedup
+    from profet_spark.sources import ingest
+
+    topics = ["distributed joins", "watermark semantics", "parquet footers",
+              "broadcast variables", "shuffle partitions", "arrow batches",
+              "skew salting", "window frames", "checkpoint lineage",
+              "adaptive execution"]
+    lines = []
+    for i in range(20):
+        if i < 10:  # ten genuinely distinct docs
+            t = topics[i]
+            text = (f"document number {i} is entirely about {t} and nothing "
+                    f"else, covering {t} basics, {t} pitfalls, and several "
+                    f"worked {t} examples in depth for practitioners")
+        else:       # ten near-duplicates of doc (i-10): one word changed
+            t = topics[i - 10]
+            text = (f"document number {i - 10} is entirely about {t} and nothing "
+                    f"else, covering {t} basics, {t} pitfalls, and several "
+                    f"worked {t} examples in depth for beginners")
+        lines.append(_json.dumps({"doc_id": i, "text": text, "lang": "en",
+                                  "n_chars": len(text)}))
+    lines.insert(5, "{{{ not json")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "part0.jsonl").write_text("\n".join(lines) + "\n")
+
+    clean, bad = ingest.split_corrupt(
+        ingest.ingest_jsonl(spark, str(landing)))
+    assert bad.count() == 1 and clean.count() == 20
+
+    kept = dedup.drop_near_duplicates(clean, threshold=0.5)
+    kept_ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # each near-dup pair (i, i+10) collapsed to its min id; distinct stay
+    assert kept_ids == list(range(10))
+    n_kept = len(kept_ids)
+
+    scored = textstats.add_quality_features(kept)
+    packed = corpus.pack_chunks(scored.select("doc_id", "n_chars"),
+                                "n_chars", capacity=4096)
+    split = corpus.hash_split(scored, {"train": 0.8, "val": 0.1,
+                                       "test": 0.1})
+    out = (split.select("doc_id", "split")
+           .join(packed, "doc_id")
+           .join(scored.select("doc_id", "quality_score"), "doc_id"))
+    rows = out.collect()
+    assert len(rows) == n_kept
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # every kept doc landed in exactly one chunk with a valid offset
+    assert all(r.chunk_id >= 0 for r in rows)
