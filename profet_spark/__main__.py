@@ -57,10 +57,18 @@ def _build(spark, pipeline: str, input_root: str):
         docs = load_table(spark, input_root, "documents")
         return textstats.add_fingerprint(
             textstats.add_quality_features(docs)).drop("text")
+    if pipeline == "ingest":
+        # here --input is a JSONL landing directory, not a table root;
+        # returns (clean, quarantine) — main() writes the quarantine to
+        # <output>_quarantine so rejects are never silently dropped
+        from profet_spark.sources import ingest as ing
+
+        return ing.split_corrupt(ing.ingest_jsonl(spark, input_root))
     raise SystemExit(f"unknown pipeline: {pipeline!r} (see --help)")
 
 
-PIPELINES = ("caption_features", "image_features", "curate", "quality")
+PIPELINES = ("caption_features", "image_features", "curate", "quality",
+             "ingest")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -72,7 +80,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         description="Run a named profet_spark pipeline over a table root.")
     ap.add_argument("--pipeline", required=True, choices=PIPELINES)
     ap.add_argument("--input", required=True,
-                    help="parquet root dir or Iceberg catalog name")
+                    help="parquet root dir or Iceberg catalog name "
+                         "(for --pipeline ingest: a JSONL landing dir)")
     ap.add_argument("--output", default=None,
                     help="parquet output dir; omit for a noop-sink dry run")
     ap.add_argument("--master", default=None,
@@ -95,11 +104,20 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     else:
         spark = _spark
     out = _build(spark, args.pipeline, args.input)
+    quarantine = None
+    if isinstance(out, tuple):  # ingest: (clean, quarantine)
+        out, quarantine = out
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
+        if quarantine is not None:
+            qdir = args.output.rstrip("/") + "_quarantine"
+            quarantine.write.mode("overwrite").parquet(qdir)
+            print(f"wrote {qdir}")
     else:
         out.write.format("noop").mode("overwrite").save()
+        if quarantine is not None:
+            quarantine.write.format("noop").mode("overwrite").save()
         print("noop sink: plan executed end-to-end")
     if _spark is None:
         spark.stop()

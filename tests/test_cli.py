@@ -67,3 +67,23 @@ def test_package_version_matches_distribution_metadata():
     toml = open("/root/repo/pyproject.toml").read()
     m = re.search(r'^version = "([^"]+)"', toml, re.M)
     assert m and m.group(1) == profet_spark.__version__
+
+
+def test_cli_ingest_writes_clean_and_quarantine(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hi", "lang": "en", "n_chars": 2}\n'
+        "not json at all\n")
+    out_dir = str(tmp_path / "clean")
+    rc = main(["--pipeline", "ingest", "--input", str(landing),
+               "--output", out_dir], _spark=spark)
+    assert rc == 0
+    clean = spark.read.parquet(out_dir)
+    assert [r.doc_id for r in clean.collect()] == [1]
+    assert "_corrupt_record" not in clean.columns
+    quarantine = spark.read.parquet(out_dir + "_quarantine")
+    assert [r.raw for r in quarantine.collect()] == ["not json at all"]
+    # dry-run form also executes both halves
+    assert main(["--pipeline", "ingest", "--input", str(landing)],
+                _spark=spark) == 0
