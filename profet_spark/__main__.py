@@ -68,7 +68,7 @@ def _build(spark, pipeline: str, input_root: str):
 
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
-             "ingest")
+             "ingest", "compact")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -103,6 +103,19 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                           shuffle_partitions=args.shuffle_partitions)
     else:
         spark = _spark
+    if args.pipeline == "compact":
+        # S9 store maintenance over a write_partitioned root: rewrites
+        # only fragmented small partitions in place, returns the audit
+        # counters as the job's one-line JSON output (--output unused)
+        import json
+
+        from profet_spark.sources.partitioned import compact_partitions
+
+        result = compact_partitions(spark, args.input)
+        print(json.dumps(result))
+        if _spark is None:
+            spark.stop()
+        return 0
     out = _build(spark, args.pipeline, args.input)
     quarantine = None
     if isinstance(out, tuple):  # ingest: (clean, quarantine)

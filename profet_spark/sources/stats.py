@@ -64,3 +64,35 @@ def estimate_row_count(df: DataFrame) -> int | None:
         return int(total)
     except Exception:
         return None
+
+
+def table_stats(df: DataFrame) -> dict:
+    """Capacity-planning summary of a file-backed table: ``{"files",
+    "rows", "bytes"}`` — all from metadata (footers + filesystem), zero
+    data pages read, so it is safe to call on a 100 TB table.
+
+    ``rows`` is :func:`estimate_row_count` (None unless the plan is a
+    bare scan); ``bytes`` is summed only for local ``file:`` paths (the
+    sandbox shape — object stores report sizes through their own
+    listings, which is the catalog's job, not a client-side stat walk).
+    This is the input to split sizing: bytes/128MB gives the production
+    partition count, the same policy bench.py's `_input_parts` expresses
+    through row counts."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    total = 0
+    have_bytes = bool(files)
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                total += _os.path.getsize(f[len("file:"):])
+                continue
+            except OSError:
+                pass
+        have_bytes = False
+    return {"files": len(files), "rows": estimate_row_count(df),
+            "bytes": total if have_bytes else None}

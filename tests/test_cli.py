@@ -87,3 +87,21 @@ def test_cli_ingest_writes_clean_and_quarantine(spark, tmp_path):
     # dry-run form also executes both halves
     assert main(["--pipeline", "ingest", "--input", str(landing)],
                 _spark=spark) == 0
+
+
+def test_cli_compact_store_maintenance(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from profet_spark.sources import load_table
+    from profet_spark.sources import partitioned as P
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("val"))
+    store = str(tmp_path / "store")
+    P.write_partitioned(ev.repartition(16), store, ts_col="ts",
+                        entity_col="user_id", n_buckets=2)
+    before = spark.read.parquet(store).count()
+    rc = main(["--pipeline", "compact", "--input", store], _spark=spark)
+    assert rc == 0
+    assert spark.read.parquet(store).count() == before  # content invariant

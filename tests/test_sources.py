@@ -84,3 +84,16 @@ def test_ivf_auto_centroids_uses_footer_stats(spark, sf_dir, monkeypatch):
     assert out.count() > 0
     assert seen["n_centroids"] == expected
     assert seen["sample_size"] >= 32 * expected
+
+
+def test_table_stats_metadata_only(spark):
+    from profet_spark.sources import load_table, stats
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    st = stats.table_stats(d)
+    assert st["files"] >= 1
+    assert st["rows"] == d.count()
+    assert st["bytes"] and st["bytes"] > 0
+    # filtered plan: footer row count invalid -> None, bytes still real
+    st2 = stats.table_stats(d.where("doc_id > 3"))
+    assert st2["rows"] is None and st2["files"] >= 1
