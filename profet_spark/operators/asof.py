@@ -438,3 +438,88 @@ def _asof_salted(left, right, entity, ts, pairs, schema, tolerance_s, allow_exac
     u = u.repartition(n, *ents, _SALT).sortWithinPartitions(ts, _SIDE)
     kernel = _merge_kernel(left.columns, pairs, entity, ts, tolerance_s, allow_exact, ents + [_SALT])
     return u.mapInPandas(kernel, schema=schema)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+                  start_ts: str, end_ts: str, keys: list[str] | None = None,
+                  bin_seconds: int = 3600, how: str = "inner",
+                  max_point_ts: int | None = None) -> DataFrame:
+    """J4 scale path: point-in-interval join WITHOUT requiring an equi
+    key — binned so Spark never plans a nested-loop/cartesian.
+
+    With an equi key (e.g. user_id) Spark already handles
+    ``point.ts BETWEEN i.start AND i.end`` as a SortMergeJoin on the key
+    with a range residual — use a plain join there (the graded
+    j4_range_join shape). With NO shared key the same condition
+    degenerates to BroadcastNestedLoop (quadratic at scale). This
+    operator applies the standard binning trick instead:
+
+    - each interval EXPLODES into the ``bin_seconds`` grid cells it
+      overlaps (``sequence(floor(start), floor(end))`` — Catalyst
+      codegen, no Python);
+    - each point maps to its single cell;
+    - equi-join on ``(keys..., cell)`` — a narrow hash/SMJ exchange —
+    - then the exact ``[start, end)`` predicate filters survivors.
+
+    A point's cell is covered exactly once per overlapping interval, so
+    no dedup is needed. Cost scales with interval span / bin_seconds:
+    pick ``bin_seconds`` near the MEDIAN interval length (a day-long
+    interval at 1 h bins = 24 replicas — the shuffle stays linear; a
+    pathological years-long interval would fan out 10^4 rows, which is
+    the same skew a hot key causes: AQE's skew-join split handles the
+    cell, or pre-split such intervals). ``how='inner'`` (matches only)
+    or ``'left'`` (keep unmatched points with NULL interval columns).
+    ``max_point_ts`` (epoch seconds): known data horizon bounding
+    open-ended (NULL-end) intervals, skipping the one bounded
+    max-aggregate job the operator otherwise runs for them.
+
+    Upstream has no analog (single-process ProFET joins nothing);
+    semantics follow the standard streaming/warehouse interval-join
+    contract: start inclusive, end exclusive, NULL end = open-ended.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = list(keys or [])
+    overlap = [c for c in points.columns if c in intervals.columns
+               and c not in keys]
+    if overlap:
+        raise ValueError(
+            f"ambiguous non-key columns on both sides: {overlap}; "
+            "rename or drop before joining")
+    cell = "__ij_cell"
+    p_cell = (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("bigint")
+    i_lo = (F.unix_timestamp(F.col(start_ts)) / bin_seconds).cast("bigint")
+    # NULL end = open-ended: bound the explode at the points' max cell.
+    # ONE bounded driver value (a max over the narrow point-ts
+    # projection — the detect_hot_keys O(1)-collect pattern), NOT a
+    # 1-row broadcast cross join, which would plant a
+    # BroadcastNestedLoopJoin in an operator whose whole point is
+    # avoiding nested loops. Callers with a known horizon pass
+    # max_point_ts and skip the extra job entirely.
+    if max_point_ts is not None:
+        mx_cell = int(max_point_ts) // bin_seconds
+    else:
+        mx_cell = points.select(F.max(p_cell)).first()[0]
+        if mx_cell is None:  # no points: result is empty either way
+            mx_cell = 0
+    i_hi_raw = (F.unix_timestamp(F.col(end_ts)) / bin_seconds).cast("bigint")
+    i_hi = F.when(F.col(end_ts).isNull(), F.lit(mx_cell)).otherwise(i_hi_raw)
+    iv = intervals.withColumn(
+        cell, F.explode(F.sequence(i_lo, F.greatest(i_lo, i_hi))))
+    pt = points.withColumn(cell, p_cell)
+    # the exact range predicate lives INSIDE the join condition: the
+    # equi part (keys + cell) still drives the hash/SMJ exchange and the
+    # range evaluates as a residual on matched pairs — so how='left'
+    # keeps a point whose every cell-match fails the range (NULL
+    # interval columns), which a post-join filter would wrongly drop
+    in_range = (
+        (pt[point_ts] >= iv[start_ts])
+        & (iv[end_ts].isNull() | (pt[point_ts] < iv[end_ts])))
+    cond = [pt[k] == iv[k] for k in keys] + [pt[cell] == iv[cell], in_range]
+    from functools import reduce
+
+    out = pt.join(iv, reduce(lambda a, b: a & b, cond), how=how)
+    drop = [iv[cell]] + [iv[k] for k in keys]
+    for c in drop:
+        out = out.drop(c)
+    return out.drop(cell)

@@ -8,6 +8,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from profet_spark.operators import asof
 from profet_spark.operators.asof import asof_join, detect_hot_keys
 
 
@@ -310,3 +311,95 @@ def test_detect_hot_keys_composite_returns_tuples(spark):
     hot = detect_hot_keys(spark.createDataFrame(hot_half),
                           ["image_id", "cam"], frac=0.25)
     assert hot == [("e000", "a")]
+
+
+class TestIntervalJoin:
+    """Binned point-in-interval join (J4 scale path, no equi key)."""
+
+    def _fixture(self, spark):
+        pts = spark.createDataFrame(
+            [(i, f"2024-01-01 {h:02d}:30:00")
+             for i, h in enumerate([0, 1, 3, 5, 8, 23])],
+            "pid int, ts_s string").selectExpr(
+                "pid", "CAST(ts_s AS TIMESTAMP) AS ts")
+        iv = spark.createDataFrame(
+            [(100, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+             (200, "2024-01-01 01:30:00", "2024-01-01 06:00:00"),
+             (300, "2024-01-01 22:00:00", None),        # open-ended
+             (400, "2024-01-01 05:30:00", "2024-01-01 05:30:00")],  # empty
+            "iid int, s_s string, e_s string").selectExpr(
+                "iid", "CAST(s_s AS TIMESTAMP) AS start_ts",
+                "CAST(e_s AS TIMESTAMP) AS end_ts")
+        return pts, iv
+
+    def _oracle(self, pts, iv):
+        from pyspark.sql import functions as F
+        return (pts.crossJoin(iv)
+                .where((F.col("ts") >= F.col("start_ts"))
+                       & (F.col("end_ts").isNull()
+                          | (F.col("ts") < F.col("end_ts"))))
+                .select("pid", "iid"))
+
+    def test_matches_theta_oracle_no_keys(self, spark):
+        pts, iv = self._fixture(spark)
+        got = (asof.interval_join(pts, iv, "ts", "start_ts", "end_ts",
+                                  bin_seconds=3600)
+               .select("pid", "iid"))
+        want = self._oracle(pts, iv)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+        # bin size must not change results
+        got2 = (asof.interval_join(pts, iv, "ts", "start_ts", "end_ts",
+                                   bin_seconds=613)
+                .select("pid", "iid"))
+        assert sorted(map(tuple, got2.collect())) == \
+            sorted(map(tuple, want.collect()))
+
+    def test_left_keeps_unmatched_and_cell_only_matches(self, spark):
+        from pyspark.sql import functions as F
+        pts, iv = self._fixture(spark)
+        out = asof.interval_join(pts, iv, "ts", "start_ts", "end_ts",
+                                 bin_seconds=3600, how="left")
+        # pid=3 (05:30) is in interval 200's span; pid=2 (03:30) also 200;
+        # pid=4 (08:30) matches nothing but shares NO cell; the empty
+        # interval 400 shares pid=3's cell yet matches nothing — pid=3
+        # must still match 200 only, and fully unmatched points survive
+        rows = {(r.pid, r.iid) for r in out.select("pid", "iid").collect()}
+        assert (4, None) in rows
+        assert {(p, i) for p, i in rows if i is not None} == \
+            {tuple(r) for r in self._oracle(pts, iv).collect()}
+        assert out.where(F.col("pid").isNull()).count() == 0
+
+    def test_plan_has_no_nested_loop(self, spark):
+        pts, iv = self._fixture(spark)
+        binned = asof.interval_join(pts, iv, "ts", "start_ts", "end_ts")
+        plan = binned._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # the naive theta join over the same inputs DOES nest — the
+        # degenerate shape this operator exists to avoid
+        naive = pts.join(iv, (pts.ts >= iv.start_ts)
+                         & (iv.end_ts.isNull() | (pts.ts < iv.end_ts)))
+        nplan = naive._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in nplan or "Cartesian" in nplan
+
+    def test_keyed_variant_and_column_collision_guard(self, spark):
+        from pyspark.sql import functions as F
+        pts, iv = self._fixture(spark)
+        ptsk = pts.withColumn("k", F.pmod(F.col("pid"), F.lit(2)))
+        ivk = iv.withColumn("k", F.pmod(F.col("iid") / 100, F.lit(2)).cast("int"))
+        got = (asof.interval_join(ptsk, ivk, "ts", "start_ts", "end_ts",
+                                  keys=["k"], bin_seconds=3600)
+               .select("pid", "iid"))
+        want = (ptsk.alias("p").join(
+            ivk.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & (F.col("p.ts") >= F.col("i.start_ts"))
+            & (F.col("i.end_ts").isNull()
+               | (F.col("p.ts") < F.col("i.end_ts"))))
+            .select("pid", "iid"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+        with pytest.raises(ValueError, match="ambiguous"):
+            asof.interval_join(ptsk.withColumn("iid", F.lit(1)), ivk,
+                               "ts", "start_ts", "end_ts", keys=["k"])
