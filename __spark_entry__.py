@@ -1324,6 +1324,37 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale-path twin: the SAME purchase-validity-window semantics as
+    j4_range_join but with NO equi key (global validity windows over the
+    whole event stream) through ``asof.interval_join`` — the binned
+    grid-cell equi-join that avoids the BroadcastNestedLoop a keyless
+    range predicate otherwise plans (operators/asof.py; plan-asserted in
+    tests/test_asof.py::TestIntervalJoin)."""
+    from pyspark.sql.window import Window
+
+    from profet_spark.operators import asof as _asof
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    # global lead over the (bounded: distinct purchase timestamps)
+    # interval table — pmod dummy key silences the unpartitioned-window
+    # warning without being constant-folded away (corpus.py:266 pattern)
+    w = Window.partitionBy(
+        F.pmod(F.unix_timestamp("ts"), F.lit(1))).orderBy("ts")
+    iv = (
+        _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+        .select("ts").distinct()
+        .withColumn("end_ts", F.lead("ts").over(w))
+        .withColumnRenamed("ts", "start_ts")
+    )
+    j = _asof.interval_join(ev, iv, "ts", "start_ts", "end_ts",
+                            bin_seconds=3600)
+    return j.groupBy("start_ts").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("sv"),
+    )
+
+
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 multi-granularity rollup with grouping indicators."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2851,6 +2882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_pack_chunks_sharded": _q_pack_chunks_sharded,
         "p4_tfidf": _q_tfidf,
         "p5_hash_negatives": _q_hash_negatives,
+        # J4 scale-path twin (no-equi-key binned interval join)
+        "j4_interval_binned": _q_interval_binned,
     }
 
 
@@ -3714,6 +3747,26 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.vis_ts
         ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.vis_ts
+    """
+    # J4 scale-path twin: the binned grid-cell join must reproduce the
+    # plain theta-join semantics exactly (global validity windows)
+    d["j4_interval_binned"] = """
+        WITH p AS (
+          SELECT DISTINCT ts AS start_ts FROM events
+          WHERE event_type = 'purchase'
+        ),
+        iv AS (
+          SELECT start_ts,
+                 lead(start_ts) OVER (ORDER BY start_ts) AS end_ts
+          FROM p
+        )
+        SELECT iv.start_ts, count(*) AS n_events,
+               CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                    AS VARCHAR) AS sv
+        FROM iv JOIN events e
+          ON e.ts >= iv.start_ts
+         AND (iv.end_ts IS NULL OR e.ts < iv.end_ts)
+        GROUP BY iv.start_ts
     """
     return d
 
