@@ -1212,6 +1212,25 @@ def _q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P5_K, _P5_BUCKETS = 3, 16
 
 
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 benchmark decontamination: assign the shared P1 hash split
+    (80/10/10), treat the held-out test slice as the benchmark, and flag
+    every train doc that shares a word 3-gram with it
+    (corpus.decontaminate — broadcast probe-hash set, the wide corpus
+    never shuffles; plan-asserted in tests/test_corpus.py). ProFET has no
+    corpus hygiene ([R] FeatureGen.py ~L600-700 walks files as-is); this
+    is the task-mandated training-data tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = corpus.hash_split(docs, _SPLIT_WEIGHTS, id_col="doc_id")
+    out = corpus.decontaminate(
+        sp.where(F.col("split") == "train").drop("split"),
+        sp.where(F.col("split") == "test").drop("split"),
+        text_col="text", id_col="doc_id", n=3)
+    return out.select("doc_id", "n_shingles", "n_contaminated",
+                      "contaminated")
+
+
 def _q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: deterministic contrastive negative sampling — k salted-hash
     ring successors per doc within hash buckets (operators/corpus.py).
@@ -2884,6 +2903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_hash_negatives": _q_hash_negatives,
         # J4 scale-path twin (no-equi-key binned interval join)
         "j4_interval_binned": _q_interval_binned,
+        # P6 benchmark decontamination (train split vs held-out test split)
+        "p6_decontaminate": _q_decontaminate,
     }
 
 
@@ -3767,6 +3788,27 @@ def oracle_sql() -> dict[str, str]:
           ON e.ts >= iv.start_ts
          AND (iv.end_ts IS NULL OR e.ts < iv.end_ts)
         GROUP BY iv.start_ts
+    """
+    # P6: same shingles as d2's CTE, same P1 split boundaries (train
+    # bucket < 8000, test bucket >= 9000); hits restricted to train docs
+    decon_bucket = corpus.bucket_bp_sql_duckdb("doc_id", "split")
+    d["p6_decontaminate"] = f"""
+        WITH sp0 AS (SELECT doc_id AS id, {decon_bucket} AS bp
+                     FROM documents),
+        sp AS (SELECT id, bp < 8000 AS is_train, bp >= 9000 AS is_eval
+               FROM sp0),
+        {_duck_shingle_cte(3)},
+        ev AS (SELECT DISTINCT h FROM hs JOIN sp USING (id) WHERE is_eval),
+        hits AS (SELECT hs.id, count(*) AS n_contaminated
+                 FROM hs JOIN sp USING (id) JOIN ev USING (h)
+                 WHERE is_train GROUP BY hs.id)
+        SELECT d0.doc_id, coalesce(cnt.n, 0) AS n_shingles,
+               coalesce(hits.n_contaminated, 0) AS n_contaminated,
+               coalesce(hits.n_contaminated, 0) >= 1 AS contaminated
+        FROM documents d0
+        JOIN sp ON sp.id = d0.doc_id AND sp.is_train
+        LEFT JOIN cnt ON cnt.id = d0.doc_id
+        LEFT JOIN hits ON hits.id = d0.doc_id
     """
     return d
 

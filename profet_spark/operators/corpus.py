@@ -1,4 +1,4 @@
-"""Corpus-level training-data pipeline operators (P1-P4).
+"""Corpus-level training-data pipeline operators (P1-P6).
 
 The operations a 100 TB pretraining-data pipeline runs after curation
 (dedup/quality, operators/dedup.py + functions/textstats.py) and before
@@ -29,6 +29,12 @@ P-row in-DAG window, not a collect).
   the division-only smooth form ``tf * (N+1) / (df+1)`` so every arithmetic
   step is a correctly-rounded IEEE op reproduced bitwise by the oracle
   (``ln`` would be libm-dependent across engines).
+- P5 :func:`hash_ring_negatives` — deterministic contrastive negative
+  sampling via salted hash-ring successors within hash buckets; one
+  narrow exchange.
+- P6 :func:`decontaminate` — benchmark decontamination by word n-gram
+  overlap against a held-out eval set; broadcast probe set, the wide
+  corpus never shuffles.
 
 Reference parity: ProFET exposes no corpus-level pipeline (single-process
 per-sequence loop); these are the task-mandated training-data additions
@@ -419,3 +425,78 @@ def hash_ring_negatives(df: DataFrame, id_col: str = "doc_id", k: int = 4,
             .select(id_col, "r",
                     F.when(F.col("_neg") == F.col(id_col), F.lit(None))
                     .otherwise(F.col("_neg")).alias("neg_id")))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: str | None = None, n: int = 13,
+                  min_hits: int = 1, mode: str = "flag",
+                  broadcast: bool = True) -> DataFrame:
+    """P6: benchmark decontamination — flag (or drop) corpus documents
+    that share any word ``n``-gram with a held-out evaluation set.
+
+    The standard pretraining hygiene step (13-gram overlap is the
+    convention GPT-3/PaLM/Llama report): a training document that
+    contains a verbatim n-gram from a benchmark leaks the benchmark into
+    the model. ``mode='flag'`` returns ``docs`` plus three audit columns
+    — ``n_shingles`` (distinct word n-grams in the doc), ``n_contaminated``
+    (how many of them occur anywhere in ``eval_docs``), ``contaminated``
+    (``n_contaminated >= min_hits``); ``mode='drop'`` returns only the
+    clean rows with the original columns.
+
+    Shingling is the shared portable tokenization
+    (:func:`~profet_spark.functions.hashing.shingle_hashes`: lowercase,
+    whitespace words, distinct h32 hashes), so the result is bitwise
+    reproducible by the DuckDB oracle and insensitive to row layout.
+
+    Scale: the eval side reduces to its DISTINCT n-gram hash set — for
+    any real benchmark suite that is MBs, broadcast it (``broadcast=True``)
+    and the contamination join is map-side; the corpus side is a narrow
+    ``(id, h)`` explode, and the only shuffle is the per-doc hit count on
+    the id key. The hit table holds ONLY contaminated ids, so attaching
+    it back to ``docs`` broadcasts too — the wide corpus never shuffles.
+    Set ``broadcast=False`` (huge eval set / rampant contamination) to
+    let AQE pick the join strategy instead.
+
+    Reference parity: ProFET has no corpus hygiene (single-process
+    per-sequence loop, [R] FeatureGen.py ~L600-700 walks files as-is);
+    this is part of the task-mandated training-data tier alongside
+    dedup (operators/dedup.py) and split assignment (:func:`hash_split`).
+    """
+    if n < 1:
+        raise ValueError(f"decontaminate: n must be >= 1, got {n}")
+    if min_hits < 1:
+        raise ValueError(
+            f"decontaminate: min_hits must be >= 1, got {min_hits}")
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"decontaminate: mode must be 'flag' or 'drop', "
+                         f"got {mode!r}")
+    reserved = ("__decon_hits",) + (
+        ("n_shingles", "n_contaminated", "contaminated")
+        if mode == "flag" else ())
+    for c in reserved:
+        if c in docs.columns:
+            raise ValueError(
+                f"decontaminate: docs already has a {c!r} column — rename "
+                "it first (output/internal name collision)")
+    hint = F.broadcast if broadcast else (lambda d: d)
+    probes = (eval_docs
+              .select(F.explode(H.shingle_hashes(
+                  F.col(eval_text_col or text_col), n)).alias("h"))
+              .distinct())
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(H.shingle_hashes(F.col(text_col), n)).alias("h"))
+    hits = (grams.join(hint(probes), "h")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("__decon_hits")))
+    flagged = docs.join(hint(hits), id_col, "left")
+    n_cont = F.coalesce(F.col("__decon_hits"), F.lit(0))
+    if mode == "drop":
+        return (flagged.where(n_cont < min_hits)
+                .select(*docs.columns))
+    return flagged.select(
+        *docs.columns,
+        F.size(H.shingle_hashes(F.col(text_col), n)).alias("n_shingles"),
+        n_cont.alias("n_contaminated"),
+        (n_cont >= min_hits).alias("contaminated"))

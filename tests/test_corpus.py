@@ -328,3 +328,99 @@ def test_hash_ring_negatives_plan_one_exchange(spark):
     # the only shuffle is the narrow (r, bucket) hash exchange
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan
+
+
+# ------------------------------------------------------------------ P6
+
+@pytest.fixture(scope="module")
+def decon_tables(spark):
+    """A corpus with planted eval contamination: docs 0/1 contain a
+    verbatim eval 3-gram, doc 2 is clean, doc 3 is too short to shingle."""
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the quick brown fox jumps over lazy dogs",   # hits "quick brown fox"
+            "QUICK brown FOX is case folded here too",    # case-insensitive hit
+            "completely clean document with no overlap",  # clean
+            "too short",                                  # < 3 words -> 0 shingles
+        ],
+    }))
+    evals = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [
+            "benchmark asks about the quick brown fox riddle",
+            "another eval question entirely",
+        ],
+    }))
+    return train, evals
+
+
+def test_decontaminate_flags_planted_overlap(decon_tables):
+    train, evals = decon_tables
+    out = corpus.decontaminate(train, evals, n=3).orderBy("doc_id").collect()
+    got = {r["doc_id"]: (r["n_shingles"], r["n_contaminated"], r["contaminated"])
+           for r in out}
+    assert got[0][2] and got[0][1] >= 1          # verbatim hit
+    assert got[1][2] and got[1][1] >= 1          # case-folded hit
+    assert got[2] == (4, 0, False)               # 6 words -> 4 shingles, clean
+    assert got[3] == (0, 0, False)               # unshingleable -> clean
+    # flag mode preserves every input row and the original columns first
+    assert len(out) == 4
+    assert [f for f in corpus.decontaminate(train, evals, n=3).columns] == [
+        "doc_id", "text", "n_shingles", "n_contaminated", "contaminated"]
+
+
+def test_decontaminate_drop_mode_and_min_hits(decon_tables):
+    train, evals = decon_tables
+    kept = corpus.decontaminate(train, evals, n=3, mode="drop")
+    assert kept.columns == ["doc_id", "text"]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    # min_hits above the planted overlap count keeps everything
+    all_kept = corpus.decontaminate(train, evals, n=3, min_hits=99,
+                                    mode="drop")
+    assert all_kept.count() == 4
+
+
+def test_decontaminate_matches_pandas_ground_truth(docs):
+    sdf, pdf = docs
+    evals = sdf.where(F.col("doc_id") % 7 == 0)
+    train = sdf.where(F.col("doc_id") % 7 != 0)
+    out = corpus.decontaminate(train, evals, n=2).toPandas()
+
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    probe = set().union(*(shingles(t) for t in
+                          pdf[pdf.doc_id % 7 == 0].text)) or set()
+    for _, r in out.iterrows():
+        sh = shingles(pdf.loc[pdf.doc_id == r.doc_id, "text"].iloc[0])
+        assert r.n_shingles == len(sh)
+        assert r.n_contaminated == len(sh & probe)
+        assert r.contaminated == (len(sh & probe) >= 1)
+
+
+def test_decontaminate_validation_and_collisions(decon_tables):
+    train, evals = decon_tables
+    with pytest.raises(ValueError, match="n must be"):
+        corpus.decontaminate(train, evals, n=0)
+    with pytest.raises(ValueError, match="min_hits"):
+        corpus.decontaminate(train, evals, min_hits=0)
+    with pytest.raises(ValueError, match="mode"):
+        corpus.decontaminate(train, evals, mode="audit")
+    with pytest.raises(ValueError, match="collision"):
+        corpus.decontaminate(train.withColumn("contaminated", F.lit(True)),
+                             evals)
+    # drop mode tolerates output-name collisions (it never emits them)
+    assert corpus.decontaminate(
+        train.withColumn("contaminated", F.lit(True)), evals,
+        n=3, mode="drop").count() == 2
+
+
+def test_decontaminate_plan_broadcasts_both_small_sides(decon_tables):
+    train, evals = decon_tables
+    plan = corpus.decontaminate(train, evals, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2   # probes + hit-table joins
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
