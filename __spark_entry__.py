@@ -1231,6 +1231,37 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "contaminated")
 
 
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 PII scrubbing (functions/textstats.py scrub_pii): mask emails,
+    SSN-format ids, IPv4 addresses, and international phone numbers with
+    typed placeholders and count the masks per row. The testdata carries
+    no real PII, so the query plants deterministic PII derived from
+    c_custkey arithmetic on 4/5 of the customer rows with clean controls
+    on the rest; the oracle builds the SAME text and runs
+    the SAME pattern literals (scrub_pii_sql_duckdb — cannot drift).
+    Engine portability: patterns stick to the Java-regex ≡ RE2 subset
+    (bitwise-pinned in tests/test_textstats.py). Pure codegen'd
+    projection — zero Exchange, zero Python (plan-asserted)."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    pii_text = F.concat(
+        F.lit("contact user"), ks, F.lit("@example.com tel +"),
+        (k % 90 + 10).cast("string"), F.lit(" "),
+        (k % 900 + 100).cast("string"), F.lit(" "),
+        (k % 9000 + 1000).cast("string"), F.lit(" ssn "),
+        (k % 900 + 100).cast("string"), F.lit("-"),
+        (k % 90 + 10).cast("string"), F.lit("-"),
+        (k % 9000 + 1000).cast("string"), F.lit(" host 10."),
+        (k % 250).cast("string"), F.lit("."),
+        (k % 199).cast("string"), F.lit("."),
+        (k % 97).cast("string"), F.lit(" end"))
+    text = F.when(k % 5 == 0,
+                  F.concat(F.lit("no pii for key "), ks)).otherwise(pii_text)
+    return ts.scrub_pii(cust.select("c_custkey", text.alias("text")), "text")
+
+
 def _q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: deterministic contrastive negative sampling — k salted-hash
     ring successors per doc within hash buckets (operators/corpus.py).
@@ -2905,6 +2936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_interval_binned": _q_interval_binned,
         # P6 benchmark decontamination (train split vs held-out test split)
         "p6_decontaminate": _q_decontaminate,
+        # T6 PII scrubbing (planted deterministic PII over customer rows)
+        "t6_pii_scrub": _q_pii_scrub,
     }
 
 
@@ -3809,6 +3842,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN sp ON sp.id = d0.doc_id AND sp.is_train
         LEFT JOIN cnt ON cnt.id = d0.doc_id
         LEFT JOIN hits ON hits.id = d0.doc_id
+    """
+    # T6: same planted text, same pattern literals (scrub_pii_sql_duckdb)
+    scrub_expr, scrub_counts = ts.scrub_pii_sql_duckdb("text")
+    d["t6_pii_scrub"] = f"""
+        WITH t AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 5 = 0
+                      THEN 'no pii for key ' || CAST(c_custkey AS VARCHAR)
+                      ELSE 'contact user' || CAST(c_custkey AS VARCHAR)
+                           || '@example.com tel +'
+                           || CAST(c_custkey % 90 + 10 AS VARCHAR) || ' '
+                           || CAST(c_custkey % 900 + 100 AS VARCHAR) || ' '
+                           || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                           || ' ssn '
+                           || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+                           || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+                           || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                           || ' host 10.'
+                           || CAST(c_custkey % 250 AS VARCHAR) || '.'
+                           || CAST(c_custkey % 199 AS VARCHAR) || '.'
+                           || CAST(c_custkey % 97 AS VARCHAR) || ' end'
+                 END AS text
+          FROM customer)
+        SELECT c_custkey, text, {scrub_expr} AS text_scrubbed,
+               {', '.join(scrub_counts)}
+        FROM t
     """
     return d
 

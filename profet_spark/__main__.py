@@ -29,7 +29,8 @@ import argparse
 import sys
 
 
-def _build(spark, pipeline: str, input_root: str):
+def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
+           ngram: int = 13):
     from pyspark.sql import functions as F
 
     from profet_spark.functions import image_descriptors as imgd
@@ -57,6 +58,25 @@ def _build(spark, pipeline: str, input_root: str):
         docs = load_table(spark, input_root, "documents")
         return textstats.add_fingerprint(
             textstats.add_quality_features(docs)).drop("text")
+    if pipeline == "scrub":
+        # T6: mask emails/SSNs/IPs/phones, keep the per-doc mask counts
+        docs = load_table(spark, input_root, "documents")
+        return textstats.scrub_pii(docs).drop("text")
+    if pipeline == "decontaminate":
+        # P6: drop docs sharing a word n-gram with the eval set
+        # (--eval-input), or with the table's own held-out test split
+        from profet_spark.operators import corpus
+
+        docs = load_table(spark, input_root, "documents")
+        if eval_root:
+            evals = load_table(spark, eval_root, "documents")
+            return corpus.decontaminate(docs, evals, n=ngram, mode="drop")
+        sp = corpus.hash_split(docs,
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+        return corpus.decontaminate(
+            sp.where(F.col("split") == "train").drop("split"),
+            sp.where(F.col("split") == "test").drop("split"),
+            n=ngram, mode="drop")
     if pipeline == "ingest":
         # here --input is a JSONL landing directory, not a table root;
         # returns (clean, quarantine) — main() writes the quarantine to
@@ -68,7 +88,7 @@ def _build(spark, pipeline: str, input_root: str):
 
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
-             "ingest", "compact")
+             "ingest", "compact", "scrub", "decontaminate")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -89,6 +109,12 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                          "spark-submit, else local)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="must be >= 1 when given")
+    ap.add_argument("--eval-input", default=None,
+                    help="decontaminate only: table root of the benchmark/"
+                         "eval set (default: the input's own test split)")
+    ap.add_argument("--ngram", type=int, default=13,
+                    help="decontaminate only: overlap shingle width "
+                         "(13 = the GPT-3/Llama convention)")
     args = ap.parse_args(argv)
 
     if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
@@ -116,7 +142,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         if _spark is None:
             spark.stop()
         return 0
-    out = _build(spark, args.pipeline, args.input)
+    out = _build(spark, args.pipeline, args.input, eval_root=args.eval_input,
+                 ngram=args.ngram)
     quarantine = None
     if isinstance(out, tuple):  # ingest: (clean, quarantine)
         out, quarantine = out

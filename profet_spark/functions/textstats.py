@@ -171,3 +171,68 @@ def add_repetition_features(df: DataFrame, text_col: str = "text",
         for c in (f"dup_{n}gram_frac", f"top_{n}gram_frac"):
             out = out.withColumn(c, F.coalesce(c, F.lit(0.0)))
     return out
+
+
+# PII masking patterns — ASCII-only constructs Java regex (Spark) and RE2
+# (DuckDB) evaluate identically: greedy quantifiers over disjoint literal
+# char classes, ASCII \b word boundaries, no backrefs or lookaround.
+# Applied IN THIS ORDER and each step scans the previous step's output
+# (emails contain digits and dots — masking them first keeps the numeric
+# patterns from matching inside an address).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+     "<IP>"),
+    ("phone", "\\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str = "text_scrubbed",
+              patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+              ) -> DataFrame:
+    """T6: PII scrubbing for training corpora — mask emails, SSN-format
+    ids, IPv4 addresses, and international phone numbers with typed
+    placeholder tokens, and count the masks per document
+    (``n_pii_<name>`` per pattern).
+
+    Pure sequential ``regexp_replace``/``regexp_extract_all`` JVM
+    expressions — zero Python, one codegen'd projection per document at
+    any scale, and bitwise oracle-portable because every pattern sticks
+    to the Java≡RE2 subset (module comment above). Counts are taken on
+    each step's INPUT text, mirroring the masking order exactly.
+
+    Reference parity: ProFET has no redaction step (its FASTA inputs are
+    public sequences); this is the training-data-curation layer the task
+    mandate adds alongside quality scoring (:func:`add_quality_features`).
+    """
+    names = [n for n, _, _ in patterns]
+    for c in [out_col] + [f"n_pii_{n}" for n in names]:
+        if c in df.columns:
+            raise ValueError(
+                f"scrub_pii: column {c!r} already exists on the input — "
+                "rename it or pass a different out_col/patterns")
+    cur = _txt(text_col)
+    counts = []
+    for name, pat, repl in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .alias(f"n_pii_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", cur.alias(out_col), *counts)
+
+
+def scrub_pii_sql_duckdb(text_expr: str,
+                         patterns: tuple[tuple[str, str, str], ...]
+                         = PII_PATTERNS) -> tuple[str, list[str]]:
+    """DuckDB twin of :func:`scrub_pii`: returns ``(scrubbed_expr,
+    [count_exprs])`` built from the SAME pattern literals, so the oracle
+    cannot drift from the operator."""
+    cur = f"coalesce({text_expr}, '')"
+    counts = []
+    for name, pat, repl in patterns:
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_pii_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return cur, counts

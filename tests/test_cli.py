@@ -105,3 +105,29 @@ def test_cli_compact_store_maintenance(spark, tmp_path):
     rc = main(["--pipeline", "compact", "--input", store], _spark=spark)
     assert rc == 0
     assert spark.read.parquet(store).count() == before  # content invariant
+
+
+def test_cli_scrub_and_decontaminate(spark, tmp_path):
+    out_dir = str(tmp_path / "scrubbed")
+    rc = main(["--pipeline", "scrub", "--input", SF, "--output", out_dir],
+              _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert {"text_scrubbed", "n_pii_email"} <= set(back.columns)
+    assert "text" not in back.columns
+    assert back.count() > 0
+
+    # split-based self-decontamination: clean train docs survive
+    out2 = str(tmp_path / "clean")
+    rc = main(["--pipeline", "decontaminate", "--input", SF,
+               "--ngram", "3", "--output", out2], _spark=spark)
+    assert rc == 0
+    clean = spark.read.parquet(out2)
+    assert clean.count() > 0
+    assert "text" in clean.columns  # drop mode keeps original columns
+
+    # explicit --eval-input: decontaminating against the same table keeps
+    # only docs that share no 3-gram with ANY doc (subset of the above)
+    rc = main(["--pipeline", "decontaminate", "--input", SF,
+               "--eval-input", SF, "--ngram", "3"], _spark=spark)
+    assert rc == 0

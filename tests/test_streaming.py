@@ -730,3 +730,20 @@ def test_stream_cv_roles_with_bounds_equal_batch(spark, sf_dir,
     got = spark.table("t_cv_stream").select("event_id", "fold", "cv_role")
     want = purged_cv_roles(ev, **kw).select("event_id", "fold", "cv_role")
     assert _pdf(got).equals(_pdf(want))
+
+
+def test_stream_scrub_pii_equal_batch(spark, sf_dir, tmp_path_factory):
+    """T6 scrub_pii is a stateless projection (zero Exchange,
+    plan-asserted in test_textstats.py), so it streams unchanged: the
+    readStream replay masks exactly what the batch pass masks."""
+    from profet_spark.functions import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path_factory.mktemp("docs_scrub_stream"))
+    docs.coalesce(2).write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(docs.schema).parquet(out)
+    st.run_available_now(ts.scrub_pii(stream), "t_scrub_stream",
+                         output_mode="append")
+    got = spark.table("t_scrub_stream")
+    want = ts.scrub_pii(docs)
+    assert _pdf(got).equals(_pdf(want))

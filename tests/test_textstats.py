@@ -132,3 +132,69 @@ def test_null_text_matches_duckdb_oracle(spark):
     assert got.bpe_tokens.tolist() == want_t.bpe_tokens.tolist()
     # the \s token class: tab/newline are separators, not phantom tokens
     assert got.bpe_tokens.tolist()[2] == 4
+
+
+# ------------------------------------------------------------------ T6
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    import pandas as pd
+    rows = [
+        "mail me at john.doe+spam@sub.example.co.uk now",
+        "server 192.168.0.1 and 10.255.255.255 up",
+        "ssn 123-45-6789 but not 1234-56-789",
+        "call +1 (415) 555-0199 or +49 30 1234567 ok",
+        "mixed: a@b.io 1.2.3.4 999-88-7777 +33 600000000",
+        "clean text, nothing to see 123-456",
+        "edge a@b.c x@y.zz 300.1.2.3",
+        "",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_scrub_pii_masks_and_counts(pii_docs):
+    sdf, _ = pii_docs
+    got = {r["doc_id"]: r for r in
+           ts.scrub_pii(sdf, "text").orderBy("doc_id").collect()}
+    assert got[0]["text_scrubbed"] == "mail me at <EMAIL> now"
+    assert got[0]["n_pii_email"] == 1
+    assert got[1]["text_scrubbed"] == "server <IP> and <IP> up"
+    assert got[1]["n_pii_ipv4"] == 2
+    assert got[2]["text_scrubbed"] == "ssn <SSN> but not 1234-56-789"
+    assert got[3]["n_pii_phone"] == 2
+    assert (got[4]["n_pii_email"], got[4]["n_pii_ssn"],
+            got[4]["n_pii_ipv4"], got[4]["n_pii_phone"]) == (1, 1, 1, 1)
+    assert got[5]["text_scrubbed"] == got[5]["text"]  # clean row untouched
+    # one-letter TLD is not an email; unvalidated octets still mask (recall
+    # bias is deliberate for a scrubbing pass)
+    assert got[6]["text_scrubbed"] == "edge a@b.c <EMAIL> <IP>"
+    assert got[8]["text_scrubbed"] == ""              # NULL reads as empty
+    assert got[8]["n_pii_email"] == 0
+
+
+def test_scrub_pii_matches_duckdb_bitwise(pii_docs):
+    import duckdb
+    _, pdf = pii_docs
+    sdf, _ = pii_docs
+    got = ts.scrub_pii(sdf, "text").orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    expr, counts = ts.scrub_pii_sql_duckdb("text")
+    want = con.execute(
+        f"SELECT doc_id, {expr} AS text_scrubbed, {', '.join(counts)} "
+        f"FROM t ORDER BY doc_id").df()
+    for c in ("text_scrubbed", "n_pii_email", "n_pii_ssn", "n_pii_ipv4",
+              "n_pii_phone"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_scrub_pii_collision_guard_and_plan(pii_docs):
+    sdf, _ = pii_docs
+    with pytest.raises(ValueError, match="already exists"):
+        ts.scrub_pii(ts.scrub_pii(sdf, "text"), "text")
+    plan = ts.scrub_pii(sdf, "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan        # pure map-side projection
+    assert "BatchEvalPython" not in plan  # zero Python in the plan
