@@ -2946,8 +2946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # hashing — same md5-derived h32, same frozen MinHash permutations, same
 # integer quantization, so values match the Spark plans bit for bit.
 
-_DUCK_WORDS = "list_filter(string_split_regex(trim(lower({c})), '\\s+'), x -> x <> '')"
-_DUCK_NORM_TXT = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+# whitespace spelled out via hashing.WS_RE: Java \\s has \\x0B, RE2's not
+_DUCK_WORDS = ("list_filter(string_split_regex(lower({c}), "
+               f"'{H.WS_RE}'), x -> x <> '')")
+_DUCK_NORM_TXT = (f"trim(regexp_replace(lower({{c}}), '{H.WS_RE}', ' ', "
+                  "'g'), ' ')")
 
 
 def _duck_shingle_cte(k: int, table: str = "documents", id_col: str = "doc_id",

@@ -266,6 +266,20 @@ def main():
             out, "event_type", "value", ts="ts", tiebreak=["event_id"],
             smoothing=8.0, prior=50.0)
 
+    def corpus_hygiene(spark, sf_dir):
+        """Training-data hygiene tier (new in round 4): P6 benchmark
+        decontamination (train split vs the held-out test split, word
+        3-gram overlap, broadcast probe set) + T6 PII scrubbing over the
+        surviving train docs. Own stage key so earlier-round totals stay
+        comparable by summing the shared keys."""
+        docs = load_table(spark, sf_dir, "documents").repartition(docs_parts)
+        sp = corpus.hash_split(docs, {"train": 0.9, "val": 0.05,
+                                      "test": 0.05})
+        clean = corpus.decontaminate(
+            sp.where(F.col("split") == "train").drop("split"),
+            sp.where(F.col("split") == "test").drop("split"), n=3)
+        return textstats.scrub_pii(clean).drop("text", "text_scrubbed")
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir, ev_parts),
         "profile_features": lambda: profile_features(spark, sf_dir),
@@ -277,6 +291,7 @@ def main():
         "ann_cosine_topk": lambda: ann_topk(spark, sf_dir),
         "corpus_pipeline": lambda: corpus_pipeline(spark, sf_dir),
         "feature_encoding": lambda: feature_encoding(spark, sf_dir),
+        "corpus_hygiene": lambda: corpus_hygiene(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start

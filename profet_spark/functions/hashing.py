@@ -52,6 +52,16 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 LSH_BANDS = 8  # 8 bands x 2 rows over the 16-long signature
 LSH_ROWS = 2
 
+# ASCII whitespace class shared by every tokenizer/normalizer and its
+# DuckDB twin. Java regex \s includes \x0B (vertical tab) while RE2's
+# does not — spelling the class out is what makes the cross-engine
+# bitwise claim true on ALL inputs, not just inputs without \x0B
+# (probed divergence: Spark split 'a\x0bb' -> [a, b], DuckDB -> [a\x0bb]).
+# Spark-side behavior is unchanged: the explicit class equals Java's \s
+# on every string. Both engines parse the \x0B hex escape identically.
+WS_CHARS = " \\t\\n\\x0B\\f\\r"
+WS_RE = f"[{WS_CHARS}]+"
+
 def h32(col: Column | str) -> Column:
     """Portable 32-bit string hash: int(md5(s)[:8], 16). JVM-side."""
     c = F.col(col) if isinstance(col, str) else col
@@ -89,7 +99,9 @@ def words(text: Column | str, lower: bool = True) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     if lower:
         c = F.lower(c)
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
+    # no trim(): Spark's strips only ' ' while DuckDB's strips all unicode
+    # whitespace — leading/trailing runs just yield empty tokens, filtered
+    return F.filter(F.split(c, WS_RE), lambda w: w != F.lit(""))
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:

@@ -32,8 +32,10 @@ LID_LEXICONS: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish tokenizer: letter runs | digit runs | single non-alnum marks.
-# Kept to constructs Java regex and RE2 (DuckDB) treat identically.
-TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# Kept to constructs Java regex and RE2 (DuckDB) treat identically — the
+# whitespace class is spelled out (hashing.WS_CHARS) because the engines
+# disagree on whether \\s contains \\x0B.
+TOKEN_RE = f"[a-z]+|[0-9]+|[^a-z0-9{H.WS_CHARS}]"
 
 
 def _txt(text_col: str) -> F.Column:

@@ -63,8 +63,14 @@ from profet_spark.functions import hashing as H
 
 
 def normalized(text_col: str) -> F.Column:
-    """Dedup normalization: lowercase, collapse whitespace runs, trim."""
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    """Dedup normalization: lowercase, collapse whitespace runs, trim.
+    Uses the explicit ASCII whitespace class (hashing.WS_RE), not \\s —
+    Java and RE2 disagree on \\x0B — and explicit-char btrim, not trim():
+    Spark's trim strips only ' ' while DuckDB's strips all unicode
+    whitespace. Collapse-then-btrim gives both engines the same text."""
+    return F.btrim(
+        F.regexp_replace(F.lower(F.col(text_col)), H.WS_RE, " "),
+        F.lit(" "))
 
 
 def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:

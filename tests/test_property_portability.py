@@ -234,3 +234,77 @@ def test_hash_ring_negatives_match_duckdb_bitwise(spark, case):
     assert got.r.tolist() == want.r.tolist()
     assert [x if pd.notna(x) else None for x in got.neg_id] == \
         [x if pd.notna(x) else None for x in want.neg_id]
+
+
+# --------------------------------------------------------------- text ops
+
+# adversarial text alphabet: every ASCII whitespace (incl. the \x0B that
+# Java's \s contains but RE2's does not), unicode spaces (in neither
+# engine's class), PII-ish punctuation, letters/digits
+_TEXT_ALPHABET = list("ab1 .-+@()%_") + ["\t", "\n", "\x0b", "\f", "\r",
+                                         "\xa0", " ", "é"]
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hst.lists(hst.text(alphabet=_TEXT_ALPHABET, max_size=40),
+                 min_size=1, max_size=8))
+def test_tokenizer_and_normalizer_match_duckdb_bitwise(spark, texts):
+    """words()/TOKEN_RE/normalized() promise Spark == DuckDB on ALL
+    inputs (the WS_RE explicit-class construction, hashing.py) — attack
+    with every whitespace variant the engines' \\s classes disagree on."""
+    import importlib.util
+
+    from profet_spark.functions import hashing as H
+    from profet_spark.functions import textstats as ts
+    from profet_spark.operators.dedup import normalized
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "t": texts})
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+    got = (sdf.select(
+        "i", H.words("t").alias("w"), normalized("t").alias("nrm"),
+        F.size(F.regexp_extract_all(F.lower(F.coalesce("t", F.lit(""))),
+                                    F.lit(ts.TOKEN_RE), 0)).alias("bpe"))
+        .orderBy("i").collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"""
+        SELECT i, {entry._DUCK_WORDS.format(c='t')} AS w,
+               {entry._DUCK_NORM_TXT.format(c='t')} AS nrm,
+               len(regexp_extract_all(lower(coalesce(t, '')),
+                                      '{ts.TOKEN_RE}')) AS bpe
+        FROM t ORDER BY i""").fetchall()
+    for g, (_, w, nrm, bpe) in zip(got, want):
+        assert g["w"] == w, (g["i"], texts[g["i"]])
+        assert g["nrm"] == nrm, (g["i"], texts[g["i"]])
+        assert g["bpe"] == bpe, (g["i"], texts[g["i"]])
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hst.lists(hst.text(alphabet=_TEXT_ALPHABET + list(":/356"),
+                          max_size=60),
+                 min_size=1, max_size=6))
+def test_scrub_pii_matches_duckdb_bitwise_fuzz(spark, texts):
+    """T6's Java≡RE2 pattern-subset claim under adversarial text: masked
+    output and every mask count must agree bitwise."""
+    from profet_spark.functions import textstats as ts
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    got = (ts.scrub_pii(spark.createDataFrame(pdf), "text")
+           .orderBy("i").toPandas())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    expr, counts = ts.scrub_pii_sql_duckdb("text")
+    want = con.execute(
+        f"SELECT i, {expr} AS text_scrubbed, {', '.join(counts)} "
+        f"FROM t ORDER BY i").df()
+    for c in ("text_scrubbed", "n_pii_email", "n_pii_ssn", "n_pii_ipv4",
+              "n_pii_phone"):
+        assert got[c].tolist() == want[c].tolist(), c
