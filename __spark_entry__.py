@@ -928,6 +928,35 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "ts", "w", "h", "fmt", "lum_mean", "lum_var", "edge_density")
 
 
+
+def _q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image curation gate (functions/image_descriptors.py curate_images):
+    metadata tier (resolution/aspect/format — Catalyst predicates, bytes
+    of rejects never decoded, reject-branch scan prunes the binary column:
+    plan-asserted) then pixel tier (decode_ok, exposure bounds, flat and
+    blur floors) over the deterministic image fixture. Binary codecs are
+    not SQL-expressible — rows-only to the driver; planted-defect ground
+    truth in tests/test_descriptors.py::test_curate_images_two_tier_gate.
+    The F1/F2 validity-gate shape of [R] FastaFilter.py ~L20-90 on the
+    image payload."""
+    pdf = fixtures.make_fixture(n_entities=60, img_sizes=(16, 32))
+    df = fixtures.to_spark(spark, pdf).select(
+        "image_id", "ts", "bytes", "w", "h", "fmt")
+    # plant deterministic metadata defects (salted-hash selected) so the
+    # gate demonstrably rejects: ~1/13 get a disallowed format, ~1/17 a
+    # sub-floor resolution — their bytes are never decoded
+    sel = H.h32(F.col("image_id"))
+    df = (df.withColumn("fmt", F.when(F.pmod(sel, F.lit(13)) == 0,
+                                      F.lit("jpg")).otherwise(F.col("fmt")))
+          .withColumn("w", F.when(F.pmod(sel, F.lit(17)) == 0,
+                                  F.lit(4)).otherwise(F.col("w"))))
+    out = imgd.curate_images(df, min_w=16, min_h=16, max_aspect=4.0,
+                             fmts=("png", "ppm"), lum_bounds=(1.0, 254.0),
+                             min_lum_var=0.0)
+    return out.select("image_id", "ts", "w", "h", "fmt", "meta_ok",
+                      "pixel_ok", "keep_image", "reject_reason", "lum_mean")
+
+
 def _q_bigram_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 k-mer (k=2) composition over the hydrophobicity-reduced alphabet,
     SQL-expressible long form (wide struct form is golden-tested in
@@ -2938,6 +2967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_decontaminate": _q_decontaminate,
         # T6 PII scrubbing (planted deterministic PII over customer rows)
         "t6_pii_scrub": _q_pii_scrub,
+        # image curation gate (rows-only: binary codecs)
+        "image_curation_pipeline": _q_image_curation,
     }
 
 

@@ -131,3 +131,84 @@ def phash_hamming_to_prev(
             F.bit_count(F.col(phash_col).bitwiseXOR(prev))
         ),
     )
+
+
+def curate_images(df: DataFrame, *, bytes_col: str = "bytes",
+                  fmt_col: str = "fmt", w_col: str = "w", h_col: str = "h",
+                  min_w: int = 64, min_h: int = 64, max_aspect: float = 4.0,
+                  fmts: tuple[str, ...] = ("png", "ppm"),
+                  lum_bounds: tuple[float, float] = (5.0, 250.0),
+                  min_lum_var: float = 1.0, min_edge_density: float = 0.0,
+                  mode: str = "flag") -> DataFrame:
+    """Image curation gate for training corpora — two tiers, decode last.
+
+    Tier 1 (metadata): resolution floor, aspect-ratio cap, format
+    allowlist — plain Catalyst predicates over scalar columns, pushed to
+    the parquet scan. **Bytes of rows failing tier 1 are never decoded**
+    (the filter runs before ``mapInPandas``), which is the property that
+    matters at 10^12 images: the binary column is only read for rows
+    that survive the cheap scalar gate.
+
+    Tier 2 (pixel): ``decode_ok`` plus luminance-mean bounds (over-/
+    under-exposed), a variance floor (flat/blank detector), and an
+    edge-density floor (blur proxy) over :func:`add_image_features` on
+    the tier-1 survivors only.
+
+    ``mode='flag'`` returns every input row with the pixel-stat columns
+    (NULL for rows tier 1 rejected — they were never decoded), plus
+    ``meta_ok`` / ``pixel_ok`` / ``keep_image`` and a first-failing
+    ``reject_reason`` in {meta_small, meta_aspect, meta_fmt, decode,
+    lum_bounds, flat, blur}. The binary column is dropped from the
+    output so downstream stages never shuffle payload bytes.
+    ``mode='drop'`` returns only keepers with the ORIGINAL columns
+    (bytes preserved — the curated corpus is the product).
+
+    Reference parity: ProFET's validity/length gates F1/F2 transplanted
+    to the image payload ([R] FastaFilter.py ~L20-90 drops non-standard
+    letters and short sequences before any feature work; the same
+    cheap-gate-before-expensive-kernel shape).
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(
+            f"curate_images: mode must be 'flag' or 'drop', got {mode!r}")
+    if not fmts:
+        raise ValueError("curate_images: fmts allowlist must be non-empty")
+    lo, hi = lum_bounds
+    w, h = F.col(w_col).cast("double"), F.col(h_col).cast("double")
+    aspect = F.greatest(w, h) / F.least(w, h)
+    meta_small = (F.col(w_col) < min_w) | (F.col(h_col) < min_h)
+    meta_aspect = (F.least(w, h) <= 0) | (aspect > max_aspect)
+    meta_fmt = ~F.col(fmt_col).isin(*fmts)
+    meta_ok = ~(meta_small | meta_aspect | meta_fmt)
+
+    survivors = add_image_features(df.where(meta_ok), bytes_col=bytes_col,
+                                   fmt_col=fmt_col,
+                                   drop_bytes=(mode == "flag"))
+    pixel_bad_reason = (
+        F.when(~F.col("decode_ok"), F.lit("decode"))
+        .when((F.col("lum_mean") < lo) | (F.col("lum_mean") > hi),
+              F.lit("lum_bounds"))
+        .when(F.col("lum_var") < min_lum_var, F.lit("flat"))
+        .when(F.col("edge_density") < min_edge_density, F.lit("blur")))
+    if mode == "drop":
+        return (survivors.where(pixel_bad_reason.isNull())
+                .select(*df.columns))
+
+    flagged_ok = survivors.select(
+        "*", F.lit(True).alias("meta_ok"),
+        pixel_bad_reason.isNull().alias("pixel_ok"),
+        pixel_bad_reason.alias("reject_reason"))
+    feat_names = [n for n, _ in IMG_FEATURES]
+    meta_reason = (F.when(meta_small, F.lit("meta_small"))
+                   .when(meta_aspect, F.lit("meta_aspect"))
+                   .otherwise(F.lit("meta_fmt")))
+    rejected = df.where(~meta_ok).select(
+        *[c for c in df.columns if c != bytes_col],
+        *[F.lit(None).cast(t).alias(n) for n, t in IMG_FEATURES],
+        F.lit(False).alias("meta_ok"), F.lit(False).alias("pixel_ok"),
+        meta_reason.alias("reject_reason"))
+    out = flagged_ok.unionByName(rejected)
+    return out.withColumn("keep_image",
+                          F.col("meta_ok") & F.col("pixel_ok")).select(
+        *[c for c in df.columns if c != bytes_col], *feat_names,
+        "meta_ok", "pixel_ok", "keep_image", "reject_reason")

@@ -302,3 +302,79 @@ def test_sql_registry_image_stats_matches_kernel(spark):
         s = r.s.asDict()
         assert s == want, r.image_id
     assert got[0].s.decode_ok is True and got[1].s.decode_ok is False
+
+
+def test_curate_images_two_tier_gate(spark):
+    """curate_images: metadata rejects carry NULL pixel stats (never
+    decoded), pixel rejects carry the first-failing reason, keepers pass
+    both tiers; drop mode preserves the original columns incl. bytes."""
+    from profet_spark import imaging
+    from profet_spark.functions import image_descriptors as imgd
+
+    rng = np.random.default_rng(11)
+
+    def img(w, h, const=None):
+        if const is None:
+            arr = rng.integers(20, 230, (h, w, 3), dtype=np.uint8)
+        else:
+            arr = np.full((h, w, 3), const, dtype=np.uint8)
+        return bytearray(imaging.encode_ppm(arr))
+
+    rows = [
+        ("keep", img(64, 64), 64, 64, "ppm"),
+        ("small", img(8, 8), 8, 8, "ppm"),
+        ("stretch", img(300, 64), 300, 64, "ppm"),
+        ("badfmt", img(64, 64), 64, 64, "jpg"),
+        ("corrupt", bytearray(b"junk"), 64, 64, "ppm"),
+        ("flat", img(64, 64, const=128), 64, 64, "ppm"),
+        ("dark", img(64, 64, const=1), 64, 64, "ppm"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    got = {r["image_id"]: r for r in imgd.curate_images(df).collect()}
+
+    assert got["keep"]["keep_image"] and got["keep"]["reject_reason"] is None
+    assert got["small"]["reject_reason"] == "meta_small"
+    assert got["stretch"]["reject_reason"] == "meta_aspect"
+    assert got["badfmt"]["reject_reason"] == "meta_fmt"
+    # tier-1 rejects were never decoded: NULL stats, not zero-stats
+    for rid in ("small", "stretch", "badfmt"):
+        assert got[rid]["lum_mean"] is None and not got[rid]["meta_ok"]
+    assert got["corrupt"]["reject_reason"] == "decode"
+    assert got["flat"]["reject_reason"] == "flat"
+    assert got["flat"]["lum_var"] == 0.0          # decoded, stats present
+    assert got["dark"]["reject_reason"] == "lum_bounds"
+    # flag mode never emits the binary column
+    assert "bytes" not in imgd.curate_images(df).columns
+
+    kept = imgd.curate_images(df, mode="drop")
+    assert kept.columns == ["image_id", "bytes", "w", "h", "fmt"]
+    assert [r["image_id"] for r in kept.collect()] == ["keep"]
+
+    with pytest.raises(ValueError, match="mode"):
+        imgd.curate_images(df, mode="audit")
+    with pytest.raises(ValueError, match="allowlist"):
+        imgd.curate_images(df, fmts=())
+
+
+def test_curate_images_rejected_branch_prunes_bytes(spark, tmp_path):
+    """The tier-1 reject branch's parquet scan must not read the binary
+    column (column pruning keeps the 10^12-scale property honest)."""
+    from profet_spark import imaging
+    from profet_spark.functions import image_descriptors as imgd
+
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    pdf = pd.DataFrame({
+        "image_id": ["a", "b"],
+        "bytes": [bytearray(imaging.encode_ppm(arr))] * 2,
+        "w": [8, 64], "h": [8, 64], "fmt": ["ppm", "ppm"],
+    })
+    path = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    out = imgd.curate_images(spark.read.parquet(path), min_w=16, min_h=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two scans: the decode branch reads bytes, the reject branch must not
+    schemas = [seg for seg in plan.split("ReadSchema: ")[1:]]
+    assert len(schemas) >= 2
+    assert any("bytes" not in seg.split("\n")[0] for seg in schemas)
