@@ -30,7 +30,7 @@ import sys
 
 
 def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
-           ngram: int = 13):
+           ngram: int = 13, min_side: int = 64):
     from pyspark.sql import functions as F
 
     from profet_spark.functions import image_descriptors as imgd
@@ -58,6 +58,12 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         docs = load_table(spark, input_root, "documents")
         return textstats.add_fingerprint(
             textstats.add_quality_features(docs)).drop("text")
+    if pipeline == "image_curate":
+        # two-tier image gate: metadata predicates (bytes of rejects are
+        # never decoded), then pixel-stat thresholds; flag mode keeps the
+        # audit columns for inspection
+        snaps = load_table(spark, input_root, "images")
+        return imgd.curate_images(snaps, min_w=min_side, min_h=min_side)
     if pipeline == "scrub":
         # T6: mask emails/SSNs/IPs/phones, keep the per-doc mask counts
         docs = load_table(spark, input_root, "documents")
@@ -88,7 +94,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
-             "ingest", "compact", "scrub", "decontaminate")
+             "ingest", "compact", "scrub", "decontaminate", "image_curate")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -115,6 +121,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     ap.add_argument("--ngram", type=int, default=13,
                     help="decontaminate only: overlap shingle width "
                          "(13 = the GPT-3/Llama convention)")
+    ap.add_argument("--min-side", type=int, default=64,
+                    help="image_curate only: resolution floor for w and h")
     args = ap.parse_args(argv)
 
     if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
@@ -143,7 +151,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             spark.stop()
         return 0
     out = _build(spark, args.pipeline, args.input, eval_root=args.eval_input,
-                 ngram=args.ngram)
+                 ngram=args.ngram, min_side=args.min_side)
     quarantine = None
     if isinstance(out, tuple):  # ingest: (clean, quarantine)
         out, quarantine = out

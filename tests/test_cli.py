@@ -131,3 +131,23 @@ def test_cli_scrub_and_decontaminate(spark, tmp_path):
     rc = main(["--pipeline", "decontaminate", "--input", SF,
                "--eval-input", SF, "--ngram", "3"], _spark=spark)
     assert rc == 0
+
+
+def test_cli_image_curate(spark, tmp_path):
+    pdf = fixtures.make_fixture(n_entities=20, img_sizes=(16,))
+    root = tmp_path / "root"
+    root.mkdir()
+    fixtures.stage_parquet(spark, pdf, str(root / "images.parquet"))
+    out_dir = str(tmp_path / "curated")
+    rc = main(["--pipeline", "image_curate", "--input", str(root),
+               "--min-side", "8", "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert {"meta_ok", "pixel_ok", "keep_image", "reject_reason"} \
+        <= set(back.columns)
+    assert "bytes" not in back.columns
+    assert back.count() == len(pdf)
+    # default floor (64) rejects every 16px fixture image at the meta tier
+    rc = main(["--pipeline", "image_curate", "--input", str(root)],
+              _spark=spark)
+    assert rc == 0
