@@ -275,9 +275,13 @@ def main():
         docs = load_table(spark, sf_dir, "documents").repartition(docs_parts)
         sp = corpus.hash_split(docs, {"train": 0.9, "val": 0.05,
                                       "test": 0.05})
+        # drop mode: one shingle pass over the corpus (flag mode's
+        # n_shingles audit column would recompute the shingle set — the
+        # lazy DAG reads it in two branches; see decontaminate docstring)
         clean = corpus.decontaminate(
             sp.where(F.col("split") == "train").drop("split"),
-            sp.where(F.col("split") == "test").drop("split"), n=3)
+            sp.where(F.col("split") == "test").drop("split"), n=3,
+            mode="drop")
         return textstats.scrub_pii(clean).drop("text", "text_scrubbed")
 
     stages = {

@@ -456,7 +456,10 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
     the id key. The hit table holds ONLY contaminated ids, so attaching
     it back to ``docs`` broadcasts too — the wide corpus never shuffles.
     Set ``broadcast=False`` (huge eval set / rampant contamination) to
-    let AQE pick the join strategy instead.
+    let AQE pick the join strategy instead. Cost note: ``mode='flag'``
+    evaluates the per-doc shingle set twice — once exploded for the hit
+    count, once for ``n_shingles`` (two branches of a lazy DAG) —
+    roughly doubling the hash CPU; ``mode='drop'`` pays one pass.
 
     Reference parity: ProFET has no corpus hygiene (single-process
     per-sequence loop, [R] FeatureGen.py ~L600-700 walks files as-is);
