@@ -33,7 +33,14 @@ from profet_spark.functions.alphabets import (
     R8_MAP,
     translate_pair,
 )
-from profet_spark.operators import asof, corpus, dedup, similarity, temporal
+from profet_spark.operators import (
+    asof,
+    batching,
+    corpus,
+    dedup,
+    similarity,
+    temporal,
+)
 from profet_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1289,6 +1296,56 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.when(k % 5 == 0,
                   F.concat(F.lit("no pii for key "), ks)).otherwise(pii_text)
     return ts.scrub_pii(cust.select("c_custkey", text.alias("text")), "text")
+
+
+def _planted_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image dimensions from event_id arithmetic (the sf
+    tables carry no w/h columns — same planting pattern as t6's PII):
+    w, h span 64..2050 over coprime strides so every aspect bucket is
+    hit. The oracle builds the SAME ints (_PLANTED_SHAPES_SQL)."""
+    k = F.col("event_id")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        (F.lit(64) + k % 1987).cast("bigint").alias("w"),
+        (F.lit(64) + (k * 31) % 1987).cast("bigint").alias("h"))
+
+
+_PLANTED_SHAPES_SQL = """
+        SELECT event_id, CAST(64 + event_id % 1987 AS BIGINT) AS w,
+               CAST(64 + (event_id * 31) % 1987 AS BIGINT) AS h
+        FROM events"""
+_B1_BATCH, _B1_SHARDS = 8, 4
+_B2_CROP, _B2_EPOCHS = 256, 2
+
+
+def _q_aspect_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 aspect-ratio bucketing + fixed-size batch assembly
+    (operators/batching.py plan_aspect_batches): SDXL-style nearest-
+    ratio buckets in exact cross-multiplied integer arithmetic, salted-
+    h32 order within (bucket, shard), batch_size groups — ONE exchange,
+    bounded window partitions. ProFET has no batching tier
+    ([R] Model_trainer.py builds one in-memory sklearn matrix); this is
+    the task-mandated image-training addition."""
+    out = batching.plan_aspect_batches(
+        _planted_shapes(spark, sf_dir), id_col="event_id",
+        batch_size=_B1_BATCH, n_shards=_B1_SHARDS)
+    return out.select(
+        "event_id", "w", "h", "aspect_bucket", "aspect_bucket_label",
+        "shard", "batch_id", "batch_pos", "is_complete")
+
+
+def _q_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 deterministic augmentation planning
+    (operators/batching.py plan_augmentations): per-(row, epoch) crop
+    origin + flip from the salted portable h32 — epoch explode + one
+    codegen'd projection, zero shuffle, reproducible across engines and
+    cluster sizes."""
+    out = batching.plan_augmentations(
+        _planted_shapes(spark, sf_dir), id_col="event_id",
+        crop_w=_B2_CROP, crop_h=_B2_CROP, epochs=_B2_EPOCHS)
+    return out.select(
+        "event_id", "w", "h", F.col("epoch").cast("bigint").alias("epoch"),
+        "crop_x", "crop_y", "flip")
 
 
 def _q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2737,6 +2794,65 @@ def _q_stream_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.unionByName(sli).unionByName(mat)
 
 
+def _q_j4j5_range_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J5 merged suite (frees a grading-window slot for the round-4
+    hygiene suite): the purchase-validity interval join and the
+    no-orders anti join part-tagged in one generic (part, e, t, i1, s)
+    layout. Components stay registered at 51+ and mirror-graded."""
+    j4 = _q_range_join(spark, sf_dir).select(
+        F.lit("j4").alias("part"), F.col("user_id").cast("bigint").alias("e"),
+        F.col("start_ts").cast("timestamp_ntz").alias("t"),
+        F.col("n_events").cast("bigint").alias("i1"), F.col("sv").alias("s"))
+    j5 = _q_anti_join(spark, sf_dir).select(
+        F.lit("j5").alias("part"),
+        F.col("c_nationkey").cast("bigint").alias("e"),
+        F.lit(None).cast("timestamp_ntz").alias("t"),
+        F.col("n_custs").cast("bigint").alias("i1"), F.lit("").alias("s"))
+    return j4.unionByName(j5)
+
+
+def _q_a7a8_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+A8 merged suite (frees a grading-window slot so the image
+    curation gate gets a driver row): per-document Shannon entropy and
+    the four scalar biophysical aggregates in one generic
+    (part, e, x1-x4) layout. All doubles derive from exact integer
+    counts (A7 is round()ed) — the merged row hash-grades bitwise.
+    Components stay registered at 51+ and mirror-graded."""
+    neg = F.lit(-1.0)
+    a7 = _q_entropy(spark, sf_dir).select(
+        F.lit("a7").alias("part"), F.col("doc_id").alias("e"),
+        F.col("entropy").alias("x1"), neg.alias("x2"), neg.alias("x3"),
+        neg.alias("x4"))
+    a8 = _q_scalar_features(spark, sf_dir).select(
+        F.lit("a8").alias("part"), F.col("doc_id").alias("e"),
+        F.col("gravy").alias("x1"), F.col("aromaticity").alias("x2"),
+        F.col("net_charge").alias("x3"), F.col("frac_polar").alias("x4"))
+    return a7.unionByName(a8)
+
+
+def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+T6 merged suite — the round-4 corpus-hygiene tier in one
+    driver-graded row: benchmark decontamination (train docs sharing a
+    word 3-gram with the held-out test split) and PII scrubbing (typed
+    masks + per-row counts over planted deterministic PII), part-tagged
+    in one generic (part, e, s, i1-i4) layout. Each part grades against
+    the SAME SQL as its standalone key (composed verbatim in
+    oracle_sql); components stay registered at 51+ and mirror-graded."""
+    i64 = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    p6 = _q_decontaminate(spark, sf_dir).select(
+        F.lit("p6").alias("part"), i64("doc_id").alias("e"),
+        F.lit("").alias("s"), i64("n_shingles").alias("i1"),
+        i64("n_contaminated").alias("i2"),
+        F.col("contaminated").cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
+    t6 = _q_pii_scrub(spark, sf_dir).select(
+        F.lit("t6").alias("part"), i64("c_custkey").alias("e"),
+        F.col("text_scrubbed").alias("s"), i64("n_pii_email").alias("i1"),
+        i64("n_pii_ssn").alias("i2"), i64("n_pii_ipv4").alias("i3"),
+        i64("n_pii_phone").alias("i4"))
+    return p6.unionByName(t6)
+
+
 def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end composed pipeline — the user-facing "assemble a
     leakage-safe training set" query, chaining four already-graded
@@ -2801,15 +2917,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- joins (J2-J5) ---------------------------------- 8-12
         "j3_asof_join": _q_asof,
         "j2_broadcast_join": _q_bcast_join,
-        "j4_range_join": _q_range_join,
-        "j5_anti_join": _q_anti_join,
+        # J4+J5 share one graded row (merged suite) so the window can
+        # also grade the round-4 P6+T6 hygiene suite
+        "j4j5_range_anti_suite": _q_j4j5_range_anti_suite,
+        # -- corpus hygiene (P6+T6, round 4) -----------------
+        "hygiene_suite": _q_hygiene_suite,
         # -- aggregations / descriptors (A1-A14) ------------ 13-23
         "a9_pricing_summary": _q_pricing,
         "a1a3_kmer_composition": _q_kmer_composition,
         "a4a5_ctd_comp_trans": _q_ctd_comp_trans,
         "a6_ctd_distribution": _q_ctd_dist,
-        "a7_entropy": _q_entropy,
-        "a8_scalar_features": _q_scalar_features,
+        # A7+A8 share one graded row (merged suite) so the window can
+        # also grade the round-4 two-tier image curation gate
+        "a7a8_scalar_suite": _q_a7a8_scalar_suite,
+        "image_curation_pipeline": _q_image_curation,
         "a10_distinct_counts": _q_distinct,
         "a11_rollup": _q_rollup,
         # A12+A13+A14 share one graded row (merged suite) so the window
@@ -2963,12 +3084,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_hash_negatives": _q_hash_negatives,
         # J4 scale-path twin (no-equi-key binned interval join)
         "j4_interval_binned": _q_interval_binned,
-        # P6 benchmark decontamination (train split vs held-out test split)
+        # P6 benchmark decontamination (train split vs held-out test
+        # split) + T6 PII scrubbing: graded via hygiene_suite above
         "p6_decontaminate": _q_decontaminate,
-        # T6 PII scrubbing (planted deterministic PII over customer rows)
         "t6_pii_scrub": _q_pii_scrub,
-        # image curation gate (rows-only: binary codecs)
-        "image_curation_pipeline": _q_image_curation,
+        # merged-suite components (graded via j4j5 / a7a8 suites above)
+        "j4_range_join": _q_range_join,
+        "j5_anti_join": _q_anti_join,
+        "a7_entropy": _q_entropy,
+        "a8_scalar_features": _q_scalar_features,
+        # B1/B2 image-training batch tier (planted deterministic shapes)
+        "b1_aspect_batches": _q_aspect_batches,
+        "b2_augment_plan": _q_augment_plan,
     }
 
 
@@ -3902,6 +4029,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, text, {scrub_expr} AS text_scrubbed,
                {', '.join(scrub_counts)}
         FROM t
+    """
+    # B1/B2: same planted shapes, same h32/bucket arithmetic via the
+    # module's own SQL twins (single source of truth for the literals)
+    _b1_bucket = batching.aspect_bucket_sql_duckdb("w", "h")
+    _b1_label = "CASE " + " ".join(
+        f"WHEN {_b1_bucket} = {i} THEN '{bw}:{bh}'"
+        for i, (bw, bh) in enumerate(batching.DEFAULT_ASPECT_BUCKETS)
+    ) + " END"
+    _b1_oh = batching.order_hash_sql_duckdb("event_id", "batch")
+    d["b1_aspect_batches"] = f"""
+        WITH s AS ({_PLANTED_SHAPES_SQL}),
+        b AS (SELECT *, {_b1_bucket} AS aspect_bucket,
+                     {_b1_label} AS aspect_bucket_label,
+                     {_b1_oh} AS oh
+              FROM s),
+        r AS (SELECT *, oh % {_B1_SHARDS} AS shard,
+                     row_number() OVER (
+                       PARTITION BY aspect_bucket, oh % {_B1_SHARDS}
+                       ORDER BY oh, event_id) - 1 AS rn,
+                     count(*) OVER (
+                       PARTITION BY aspect_bucket, oh % {_B1_SHARDS})
+                       AS np
+              FROM b)
+        SELECT event_id, w, h, aspect_bucket, aspect_bucket_label,
+               CAST(shard AS BIGINT) AS shard,
+               CAST(rn // {_B1_BATCH} AS BIGINT) AS batch_id,
+               CAST(rn % {_B1_BATCH} AS BIGINT) AS batch_pos,
+               rn // {_B1_BATCH} < np // {_B1_BATCH} AS is_complete
+        FROM r
+    """
+    _b2_span = f"greatest(w - {_B2_CROP} + 1, 1)"
+    _b2_spany = f"greatest(h - {_B2_CROP} + 1, 1)"
+    aug = batching.augment_param_sql_duckdb
+    d["b2_augment_plan"] = f"""
+        WITH s AS ({_PLANTED_SHAPES_SQL}),
+        e AS (SELECT s.*, ep.epoch
+              FROM s, (SELECT unnest(range(1, {_B2_EPOCHS + 1})) AS epoch)
+                   ep)
+        SELECT event_id, w, h, CAST(epoch AS BIGINT) AS epoch,
+               {aug('x', _b2_span, 'event_id', 'epoch')} AS crop_x,
+               {aug('y', _b2_spany, 'event_id', 'epoch')} AS crop_y,
+               {aug('f', '2', 'event_id', 'epoch')} AS flip
+        FROM e
+    """
+    # J4+J5 merged suite: both join oracles composed verbatim, tagged
+    d["j4j5_range_anti_suite"] = f"""
+        SELECT 'j4' AS part, CAST(user_id AS BIGINT) AS e, start_ts AS t,
+               CAST(n_events AS BIGINT) AS i1, sv AS s
+        FROM ({d['j4_range_join']})
+        UNION ALL
+        SELECT 'j5', CAST(c_nationkey AS BIGINT), CAST(NULL AS TIMESTAMP),
+               CAST(n_custs AS BIGINT), ''
+        FROM ({d['j5_anti_join']})
+    """
+    # A7+A8 merged suite: entropy + scalar aggregates composed verbatim
+    d["a7a8_scalar_suite"] = f"""
+        SELECT 'a7' AS part, doc_id AS e, entropy AS x1,
+               CAST(-1.0 AS DOUBLE) AS x2, CAST(-1.0 AS DOUBLE) AS x3,
+               CAST(-1.0 AS DOUBLE) AS x4
+        FROM ({d['a7_entropy']})
+        UNION ALL
+        SELECT 'a8', doc_id, gravy, aromaticity, net_charge, frac_polar
+        FROM ({d['a8_scalar_features']})
+    """
+    # P6+T6 hygiene suite: both component oracles composed verbatim
+    d["hygiene_suite"] = f"""
+        SELECT 'p6' AS part, CAST(doc_id AS BIGINT) AS e, '' AS s,
+               CAST(n_shingles AS BIGINT) AS i1,
+               CAST(n_contaminated AS BIGINT) AS i2,
+               CAST(contaminated AS BIGINT) AS i3, CAST(-1 AS BIGINT) AS i4
+        FROM ({d['p6_decontaminate']})
+        UNION ALL
+        SELECT 't6', CAST(c_custkey AS BIGINT), text_scrubbed,
+               CAST(n_pii_email AS BIGINT), CAST(n_pii_ssn AS BIGINT),
+               CAST(n_pii_ipv4 AS BIGINT), CAST(n_pii_phone AS BIGINT)
+        FROM ({d['t6_pii_scrub']})
     """
     return d
 

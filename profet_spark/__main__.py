@@ -30,7 +30,8 @@ import sys
 
 
 def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
-           ngram: int = 13, min_side: int = 64):
+           ngram: int = 13, min_side: int = 64, batch_size: int = 64,
+           n_shards: int = 64):
     from pyspark.sql import functions as F
 
     from profet_spark.functions import image_descriptors as imgd
@@ -83,6 +84,15 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
             sp.where(F.col("split") == "train").drop("split"),
             sp.where(F.col("split") == "test").drop("split"),
             n=ngram, mode="drop")
+    if pipeline == "batch_plan":
+        # B1: aspect-bucketed fixed-size training batches over the image
+        # snapshot table; only (id, w, h) are read — bytes stay pruned
+        from profet_spark.operators import batching
+
+        snaps = load_table(spark, input_root, "images")
+        return batching.plan_aspect_batches(
+            snaps.select("image_id", "w", "h"), batch_size=batch_size,
+            n_shards=n_shards, drop_incomplete=True)
     if pipeline == "ingest":
         # here --input is a JSONL landing directory, not a table root;
         # returns (clean, quarantine) — main() writes the quarantine to
@@ -94,7 +104,8 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
-             "ingest", "compact", "scrub", "decontaminate", "image_curate")
+             "ingest", "compact", "scrub", "decontaminate", "image_curate",
+             "batch_plan")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -123,6 +134,11 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                          "(13 = the GPT-3/Llama convention)")
     ap.add_argument("--min-side", type=int, default=64,
                     help="image_curate only: resolution floor for w and h")
+    ap.add_argument("--batch-size", type=int, default=64,
+                    help="batch_plan only: images per training batch")
+    ap.add_argument("--n-shards", type=int, default=64,
+                    help="batch_plan only: numbering shards per bucket "
+                         "(size to the cluster; bounds window partitions)")
     args = ap.parse_args(argv)
 
     if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
@@ -151,7 +167,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             spark.stop()
         return 0
     out = _build(spark, args.pipeline, args.input, eval_root=args.eval_input,
-                 ngram=args.ngram, min_side=args.min_side)
+                 ngram=args.ngram, min_side=args.min_side,
+                 batch_size=args.batch_size, n_shards=args.n_shards)
     quarantine = None
     if isinstance(out, tuple):  # ingest: (clean, quarantine)
         out, quarantine = out

@@ -1,4 +1,10 @@
-from profet_spark.operators import corpus, dedup, encoding, similarity  # noqa: F401
+from profet_spark.operators import (  # noqa: F401
+    batching,
+    corpus,
+    dedup,
+    encoding,
+    similarity,
+)
 from profet_spark.operators.asof import asof_join
 from profet_spark.operators.feature_matrix import point_in_time_matrix
 from profet_spark.operators.temporal import (

@@ -151,3 +151,23 @@ def test_cli_image_curate(spark, tmp_path):
     rc = main(["--pipeline", "image_curate", "--input", str(root)],
               _spark=spark)
     assert rc == 0
+
+
+def test_cli_batch_plan(spark, tmp_path):
+    pdf = fixtures.make_fixture(n_entities=40, img_sizes=(16, 32))
+    root = tmp_path / "root"
+    root.mkdir()
+    fixtures.stage_parquet(spark, pdf, str(root / "images.parquet"))
+    out_dir = str(tmp_path / "batches")
+    rc = main(["--pipeline", "batch_plan", "--input", str(root),
+               "--batch-size", "4", "--n-shards", "2",
+               "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert {"image_id", "aspect_bucket", "shard", "batch_id",
+            "batch_pos"} <= set(back.columns)
+    assert "bytes" not in back.columns
+    # drop_incomplete: every written batch has exactly --batch-size rows
+    sizes = (back.groupBy("aspect_bucket", "shard", "batch_id").count()
+             .select("count").distinct().collect())
+    assert [r["count"] for r in sizes] == [4]

@@ -111,15 +111,19 @@ def test_grading_window_covers_every_operator_family():
         "w3w4_lag_ffill", "w9fm_profile_audit_suite", "w5_sessionize",
         "w6_topk_latest", "w7_tumbling", "w8_expanding",
         "w1_profile_summary",
-        # joins + the training-matrix composition + the composed
-        # end-to-end pipeline (FM→FM5→FE1→FE2, round 4)
-        "j2_broadcast_join", "j3_asof_join", "j4_range_join",
-        "j5_anti_join", "fm_training_matrix", "e2e_training_pipeline",
-        # aggregations / descriptors (A12-A14 merged round 4)
+        # joins (J4+J5 merged round 4) + the training-matrix composition
+        # + the composed end-to-end pipeline (FM→FM5→FE1→FE2, round 4)
+        "j2_broadcast_join", "j3_asof_join", "j4j5_range_anti_suite",
+        "fm_training_matrix", "e2e_training_pipeline",
+        # corpus hygiene (P6 decontamination + T6 PII scrub, round 4)
+        "hygiene_suite",
+        # aggregations / descriptors (A12-A14 and A7+A8 merged round 4)
         "a1a3_kmer_composition", "a4a5_ctd_comp_trans",
-        "a6_ctd_distribution", "a7_entropy", "a8_scalar_features",
+        "a6_ctd_distribution", "a7a8_scalar_suite",
         "a9_pricing_summary", "a10_distinct_counts", "a11_rollup",
         "a12a14_seqorder_suite",
+        # two-tier image curation gate (rows-only: binary codecs)
+        "image_curation_pipeline",
         # filters / scalars / set ops (C6+C8+C9 merged round 4)
         "f1_doc_filter", "f5_terminal_composition", "c5c7_event_scalars",
         "c6c9_scalar_suite", "o4o5_setops_topk",
