@@ -781,10 +781,17 @@ def _q_bcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    return no_orders.groupBy("c_nationkey").agg(F.count("*").alias("n_custs"))
+    """J5 anti temporal join: users with NO large purchase event
+    (value > 200), with their total event count. The earlier
+    customers-without-orders form returned ZERO rows at every testdata
+    SF (the synthetic keys are dense), making the graded signal
+    vacuous; this predicate leaves a real survivor set (11 users at
+    sf0.001, 118 at sf0.01)."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    big = ev.where((F.col("event_type") == "purchase")
+                   & (F.col("value") > 200))
+    return per_user.join(big, "user_id", "left_anti")
 
 
 # NB: DuckDB regexp_replace needs the 'g' flag (Spark's is global by default)
@@ -2805,9 +2812,9 @@ def _q_j4j5_range_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("i1"), F.col("sv").alias("s"))
     j5 = _q_anti_join(spark, sf_dir).select(
         F.lit("j5").alias("part"),
-        F.col("c_nationkey").cast("bigint").alias("e"),
+        F.col("user_id").cast("bigint").alias("e"),
         F.lit(None).cast("timestamp_ntz").alias("t"),
-        F.col("n_custs").cast("bigint").alias("i1"), F.lit("").alias("s"))
+        F.col("n_events").cast("bigint").alias("i1"), F.lit("").alias("s"))
     return j4.unionByName(j5)
 
 
@@ -4079,8 +4086,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_events AS BIGINT) AS i1, sv AS s
         FROM ({d['j4_range_join']})
         UNION ALL
-        SELECT 'j5', CAST(c_nationkey AS BIGINT), CAST(NULL AS TIMESTAMP),
-               CAST(n_custs AS BIGINT), ''
+        SELECT 'j5', CAST(user_id AS BIGINT), CAST(NULL AS TIMESTAMP),
+               CAST(n_events AS BIGINT), ''
         FROM ({d['j5_anti_join']})
     """
     # A7+A8 merged suite: entropy + scalar aggregates composed verbatim
@@ -4271,10 +4278,13 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY n_name
         """,
         "j5_anti_join": """
-            SELECT c_nationkey, count(*) AS n_custs
-            FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-            GROUP BY c_nationkey
+            SELECT user_id, count(*) AS n_events
+            FROM events e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type = 'purchase' AND p.value > 200)
+            GROUP BY user_id
         """,
         "a1_char_composition": f"""
             WITH d AS (SELECT doc_id, {_NORM.format(c='text')} AS s FROM documents),
