@@ -90,9 +90,9 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         from profet_spark.operators import batching
 
         snaps = load_table(spark, input_root, "images")
-        return batching.plan_aspect_batches(
+        return batching.with_resize_targets(batching.plan_aspect_batches(
             snaps.select("image_id", "w", "h"), batch_size=batch_size,
-            n_shards=n_shards, drop_incomplete=True)
+            n_shards=n_shards, drop_incomplete=True))
     if pipeline == "ingest":
         # here --input is a JSONL landing directory, not a table root;
         # returns (clean, quarantine) — main() writes the quarantine to

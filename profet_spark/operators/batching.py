@@ -215,6 +215,55 @@ def plan_aspect_batches(df: DataFrame, id_col: str = "image_id",
     return out
 
 
+def bucket_resize_targets(buckets: Sequence[tuple[int, int]]
+                          = DEFAULT_ASPECT_BUCKETS,
+                          pixel_budget: int = 1024 * 1024,
+                          multiple: int = 64) -> tuple[tuple[int, int], ...]:
+    """Per-bucket (target_w, target_h): the largest dimensions with the
+    bucket's aspect ratio that (a) are multiples of ``multiple`` (conv
+    stride / patch alignment) and (b) fit the ``pixel_budget`` (constant
+    activation memory per batch — the SDXL multi-aspect convention).
+
+    Pure driver-side constant generation (the float sqrt happens once
+    here, never per row); the emitted table is exact ints.
+    """
+    if pixel_budget < multiple * multiple:
+        raise ValueError("bucket_resize_targets: pixel_budget smaller "
+                         "than one multiple x multiple tile")
+    out = []
+    for bw, bh in buckets:
+        w = max(int((pixel_budget * bw / bh) ** 0.5 // multiple) * multiple,
+                multiple)
+        h = max(int((pixel_budget * bh / bw) ** 0.5 // multiple) * multiple,
+                multiple)
+        out.append((w, h))
+    return tuple(out)
+
+
+def with_resize_targets(df: DataFrame, bucket_col: str = "aspect_bucket",
+                        buckets: Sequence[tuple[int, int]]
+                        = DEFAULT_ASPECT_BUCKETS,
+                        pixel_budget: int = 1024 * 1024,
+                        multiple: int = 64) -> DataFrame:
+    """B1b: attach the shared resize target (``target_w``, ``target_h``)
+    for each row's aspect bucket — every image in a batch then resizes
+    to ONE shape. A CASE over exact int literals: zero shuffle, zero
+    Python; the actual resize is functions/imaging.py's job."""
+    for c in ("target_w", "target_h"):
+        if c in df.columns:
+            raise ValueError(
+                f"with_resize_targets: column {c!r} already exists on the "
+                "input — rename it first")
+    targets = bucket_resize_targets(buckets, pixel_budget, multiple)
+    tw = th = None
+    for i, (w, h) in enumerate(targets):
+        cond = F.col(bucket_col) == i
+        tw = F.when(cond, w) if tw is None else tw.when(cond, w)
+        th = F.when(cond, h) if th is None else th.when(cond, h)
+    return (df.withColumn("target_w", tw.cast("bigint"))
+            .withColumn("target_h", th.cast("bigint")))
+
+
 def plan_augmentations(df: DataFrame, id_col: str = "image_id",
                        w_col: str = "w", h_col: str = "h",
                        crop_w: int = 256, crop_h: int = 256,

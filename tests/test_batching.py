@@ -194,3 +194,32 @@ def test_augment_validation(imgs):
         B.plan_augmentations(df, crop_w=0)
     with pytest.raises(ValueError, match="already exists"):
         B.plan_augmentations(df.withColumn("crop_x", F.lit(1)))
+
+
+# ------------------------------------------------------- B1b resize targets
+
+def test_resize_targets_budget_multiple_and_ratio():
+    targets = B.bucket_resize_targets(pixel_budget=1024 * 1024, multiple=64)
+    assert targets[0] == (1024, 1024)  # square bucket uses the full budget
+    for (bw, bh), (tw, th) in zip(B.DEFAULT_ASPECT_BUCKETS, targets):
+        assert tw % 64 == 0 and th % 64 == 0
+        assert tw * th <= 1024 * 1024
+        # within one multiple step of the true ratio in each dimension
+        ideal_w = (1024 * 1024 * bw / bh) ** 0.5
+        ideal_h = (1024 * 1024 * bh / bw) ** 0.5
+        assert 0 <= ideal_w - tw < 64 or tw == 64
+        assert 0 <= ideal_h - th < 64 or th == 64
+    with pytest.raises(ValueError, match="pixel_budget"):
+        B.bucket_resize_targets(pixel_budget=100, multiple=64)
+
+
+def test_with_resize_targets_maps_buckets(imgs, spark):
+    df, _ = imgs
+    out = B.with_resize_targets(B.assign_aspect_buckets(df)).toPandas()
+    targets = B.bucket_resize_targets()
+    for r in out.itertuples():
+        tw, th = targets[r.aspect_bucket]
+        assert (r.target_w, r.target_h) == (tw, th)
+    with pytest.raises(ValueError, match="already exists"):
+        B.with_resize_targets(
+            B.assign_aspect_buckets(df).withColumn("target_w", F.lit(1)))

@@ -165,7 +165,7 @@ def test_cli_batch_plan(spark, tmp_path):
     assert rc == 0
     back = spark.read.parquet(out_dir)
     assert {"image_id", "aspect_bucket", "shard", "batch_id",
-            "batch_pos"} <= set(back.columns)
+            "batch_pos", "target_w", "target_h"} <= set(back.columns)
     assert "bytes" not in back.columns
     # drop_incomplete: every written batch has exactly --batch-size rows
     sizes = (back.groupBy("aspect_bucket", "shard", "batch_id").count()

@@ -747,3 +747,30 @@ def test_stream_scrub_pii_equal_batch(spark, sf_dir, tmp_path_factory):
     got = spark.table("t_scrub_stream")
     want = ts.scrub_pii(docs)
     assert _pdf(got).equals(_pdf(want))
+
+
+def test_stream_augment_plan_equal_batch(spark, sf_dir, tmp_path_factory):
+    """B2 plan_augmentations is a stateless explode + projection (zero
+    Exchange, plan-asserted in test_batching.py), so it streams
+    unchanged: the readStream replay derives bit-identical per-(row,
+    epoch) crops and flips."""
+    from profet_spark.operators import batching
+
+    k = F.col("doc_id")
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    (F.lit(64) + k % 500).cast("int").alias("w"),
+                    (F.lit(64) + (k * 7) % 500).cast("int").alias("h")))
+    out = str(tmp_path_factory.mktemp("docs_aug_stream"))
+    docs.coalesce(2).write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(docs.schema).parquet(out)
+
+    def plan(df):
+        return batching.plan_augmentations(
+            df, id_col="doc_id", crop_w=128, crop_h=128, epochs=2)
+
+    st.run_available_now(plan(stream), "t_aug_stream",
+                         output_mode="append")
+    got = spark.table("t_aug_stream")
+    want = plan(spark.read.parquet(out))
+    assert _pdf(got).equals(_pdf(want))
