@@ -31,7 +31,14 @@ from profet_spark import fixtures, get_spark
 from profet_spark.functions import image_descriptors as imgd
 from profet_spark.functions import text_descriptors as td
 from profet_spark.functions import textstats
-from profet_spark.operators import asof, corpus, dedup, similarity, temporal
+from profet_spark.operators import (
+    asof,
+    batching,
+    corpus,
+    dedup,
+    similarity,
+    temporal,
+)
 from profet_spark.sources import load_table, stats
 
 
@@ -284,6 +291,25 @@ def main():
             mode="drop")
         return textstats.scrub_pii(clean).drop("text", "text_scrubbed")
 
+    def batch_plan(spark, sf_dir):
+        """Image-training batch tier (new in round 4): B1 aspect-bucketed
+        fixed-size batch assembly + shared resize targets + B2 one-epoch
+        augmentation plan, over planted deterministic shapes (the sf
+        tables carry no w/h — same event_id arithmetic as the graded
+        b1/b2 keys). Own stage key so earlier-round totals stay
+        comparable by summing the shared keys."""
+        k = F.col("event_id")
+        shapes = (load_table(spark, sf_dir, "events")
+                  .repartition(ev_parts)
+                  .select("event_id",
+                          (F.lit(64) + k % 1987).cast("bigint").alias("w"),
+                          (F.lit(64) + (k * 31) % 1987).cast("bigint")
+                          .alias("h")))
+        plan = batching.with_resize_targets(batching.plan_aspect_batches(
+            shapes, id_col="event_id", batch_size=64, n_shards=64))
+        return batching.plan_augmentations(plan, id_col="event_id",
+                                           epochs=1)
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir, ev_parts),
         "profile_features": lambda: profile_features(spark, sf_dir),
@@ -296,6 +322,7 @@ def main():
         "corpus_pipeline": lambda: corpus_pipeline(spark, sf_dir),
         "feature_encoding": lambda: feature_encoding(spark, sf_dir),
         "corpus_hygiene": lambda: corpus_hygiene(spark, sf_dir),
+        "batch_plan": lambda: batch_plan(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start
