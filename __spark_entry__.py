@@ -1355,6 +1355,46 @@ def _q_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crop_x", "crop_y", "flip")
 
 
+_P7_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 3.0}
+
+
+def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 training-mixture oversampling (corpus.mixture_weights):
+    per-source repetition weights over documents — floor(w)/ceil(w)
+    copies decided by the P1/P2 salted hash bucket, strata outside the
+    spec dropped. Zero shuffle (explode + projection, plan-asserted in
+    tests/test_corpus.py); rep numbers the copies so downstream packing
+    and augmentation can treat each as a distinct example."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.mixture_weights(docs, _P7_WEIGHTS, strata_col="source")
+    return out.select("doc_id", "source", "rep")
+
+
+def _p7_oracle_sql() -> str:
+    """DuckDB twin of _q_mixture_weights: same CASE weight lookup, same
+    salted bucket, same range explode (built from the SAME _P7_WEIGHTS
+    literals so the spec cannot drift)."""
+    bucket = corpus.bucket_bp_sql_duckdb("doc_id", "mix")
+    whole_arms = " ".join(
+        f"WHEN '{k}' THEN {int(w)}" for k, w in _P7_WEIGHTS.items())
+    frac_arms = " ".join(
+        f"WHEN '{k}' THEN {round((w - int(w)) * corpus.SPLIT_BP)}"
+        for k, w in _P7_WEIGHTS.items())
+    return f"""
+        WITH b AS (
+          SELECT doc_id, source, {bucket} AS bp FROM documents),
+        c AS (
+          SELECT doc_id, source,
+                 CASE source {whole_arms} ELSE 0 END
+                 + CASE WHEN bp < CASE source {frac_arms} ELSE 0 END
+                        THEN 1 ELSE 0 END AS n
+          FROM b)
+        SELECT doc_id, source,
+               CAST(unnest(range(1, n + 1)) AS BIGINT) AS rep
+        FROM c
+    """
+
+
 def _q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: deterministic contrastive negative sampling — k salted-hash
     ring successors per doc within hash buckets (operators/corpus.py).
@@ -3103,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # B1/B2 image-training batch tier (planted deterministic shapes)
         "b1_aspect_batches": _q_aspect_batches,
         "b2_augment_plan": _q_augment_plan,
+        # P7 training-mixture oversampling
+        "p7_mixture_weights": _q_mixture_weights,
     }
 
 
@@ -4080,6 +4122,8 @@ def oracle_sql() -> dict[str, str]:
                {aug('f', '2', 'event_id', 'epoch')} AS flip
         FROM e
     """
+    # P7: same weight/bucket literals via _p7_oracle_sql
+    d["p7_mixture_weights"] = _p7_oracle_sql()
     # J4+J5 merged suite: both join oracles composed verbatim, tagged
     d["j4j5_range_anti_suite"] = f"""
         SELECT 'j4' AS part, CAST(user_id AS BIGINT) AS e, start_ts AS t,

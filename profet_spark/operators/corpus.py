@@ -1,4 +1,4 @@
-"""Corpus-level training-data pipeline operators (P1-P6).
+"""Corpus-level training-data pipeline operators (P1-P7).
 
 The operations a 100 TB pretraining-data pipeline runs after curation
 (dedup/quality, operators/dedup.py + functions/textstats.py) and before
@@ -35,6 +35,12 @@ P-row in-DAG window, not a collect).
 - P6 :func:`decontaminate` — benchmark decontamination by word n-gram
   overlap against a held-out eval set; broadcast probe set, the wide
   corpus never shuffles.
+- P7 :func:`mixture_weights` — per-domain UP-sampling (the training-mix
+  "books x2.5" step, the complement of P2's down-sampling): each row is
+  replicated floor(w) or ceil(w) times, the fractional part decided by
+  the same salted-hash bucket as P1/P2, so the realized mix converges to
+  the target weights deterministically. Epoch-explode + projection, zero
+  shuffle.
 
 Reference parity: ProFET exposes no corpus-level pipeline (single-process
 per-sequence loop); these are the task-mandated training-data additions
@@ -173,6 +179,67 @@ def stratified_sample(df: DataFrame, rates: Mapping[str, float] | float,
     else:
         rate_bp = F.lit(_bp(float(rates), "the frame"))
     return df.where(bucket < rate_bp)
+
+
+def mixture_weights(df: DataFrame, weights: Mapping[str, float],
+                    strata_col: str, id_col: str = "doc_id",
+                    salt: str = "mix", max_weight: float = 64.0,
+                    out_col: str = "rep") -> DataFrame:
+    """P7: deterministic per-domain oversampling for training mixtures.
+
+    ``weights`` maps stratum value -> target repetition weight (e.g.
+    ``{"books": 2.5, "web": 1.0}``): each row is emitted floor(w) or
+    ceil(w) times — the fractional part is granted iff the row's salted
+    hash bucket falls below ``frac(w) * SPLIT_BP``, the same portable
+    construction as P1/P2, so the realized mixture converges to the
+    target deterministically, reproducibly across engines/partitionings,
+    and stably under corpus growth. Weights below 1 down-sample with the
+    same rule (``0.3`` keeps 30%), so one operator expresses a full
+    mixture spec. Strata absent from the mapping are DROPPED (weight 0
+    — P2's explicit-allowlist convention). ``out_col`` numbers the
+    copies 1..n so downstream shuffles (P3 packing order, B2
+    augmentation seeds) can key on (id, rep) and treat each copy as a
+    distinct example.
+
+    Scale: a literal CASE for the weight lookup, the P1 hash bucket, and
+    one ``explode(sequence(...))`` — zero shuffle, zero Python; output
+    bytes scale by the mixture's mean weight exactly as the training set
+    does. ``max_weight`` guards against a typo'd weight exploding the
+    corpus (raise, don't 1000x the output silently).
+    """
+    if not weights:
+        raise ValueError(
+            "mixture_weights: empty weights mapping — pass at least one "
+            "stratum (strata absent from the mapping are dropped)")
+    if out_col in df.columns:
+        raise ValueError(
+            f"mixture_weights: column {out_col!r} already exists on the "
+            "input — rename it or pass a different out_col")
+    base = floor_bp = None
+    for value, w in weights.items():
+        w = float(w)
+        if not 0.0 <= w <= max_weight:
+            raise ValueError(
+                f"mixture_weights: weight for {value!r} must be in "
+                f"[0, {max_weight}], got {w}")
+        whole = int(w)
+        frac_bp = round((w - whole) * SPLIT_BP)
+        cond = F.col(strata_col) == value
+        b = F.lit(whole)
+        fb = F.lit(frac_bp)
+        base = F.when(cond, b) if base is None else base.when(cond, b)
+        floor_bp = (F.when(cond, fb) if floor_bp is None
+                    else floor_bp.when(cond, fb))
+    base = base.otherwise(F.lit(0))
+    floor_bp = floor_bp.otherwise(F.lit(0))
+    bucket = _bucket_bp(id_col, salt)
+    copies = base + (bucket < floor_bp).cast("int")
+    out = df.withColumn("__n_rep", copies).where(F.col("__n_rep") > 0)
+    # explode() cannot nest inside cast() — cast the emitted column after
+    return (out.withColumn(
+        out_col, F.explode(F.sequence(F.lit(1), F.col("__n_rep"))))
+        .withColumn(out_col, F.col(out_col).cast("bigint"))
+        .drop("__n_rep"))
 
 
 def pack_chunks(df: DataFrame, tokens_col: str, capacity: int,

@@ -424,3 +424,52 @@ def test_decontaminate_plan_broadcasts_both_small_sides(decon_tables):
     assert plan.count("BroadcastHashJoin") >= 2   # probes + hit-table joins
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------------ P7
+
+def test_mixture_weights_ground_truth(docs):
+    df, pdf = docs
+    w = {"en": 2.5, "de": 1.0, "fr": 0.4}
+    got = corpus.mixture_weights(df, w, strata_col="lang").toPandas()
+    rows = []
+    for r in pdf.itertuples():
+        wv = w.get(r.lang, 0.0)
+        n = int(wv) + (1 if _h32(f"mix:{r.doc_id}") % 10000
+                       < round((wv - int(wv)) * 10000) else 0)
+        rows.extend((r.doc_id, k) for k in range(1, n + 1))
+    want = sorted(rows)
+    assert sorted(zip(got.doc_id, got.rep)) == want
+    # realized mix approximates the target on a 400-row corpus
+    en = (pdf.lang == "en").sum()
+    got_en = (got.lang == "en").sum()
+    assert abs(got_en / en - 2.5) < 0.2
+
+
+def test_mixture_weights_zero_shuffle_plan_and_validation(docs):
+    df, _ = docs
+    plan = (corpus.mixture_weights(df, {"en": 2.0}, strata_col="lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    with pytest.raises(ValueError, match="empty weights"):
+        corpus.mixture_weights(df, {}, strata_col="lang")
+    with pytest.raises(ValueError, match="must be in"):
+        corpus.mixture_weights(df, {"en": 100.0}, strata_col="lang")
+    with pytest.raises(ValueError, match="must be in"):
+        corpus.mixture_weights(df, {"en": -0.5}, strata_col="lang")
+    with pytest.raises(ValueError, match="already exists"):
+        corpus.mixture_weights(df.withColumn("rep", F.lit(1)),
+                               {"en": 2.0}, strata_col="lang")
+
+
+def test_mixture_weights_down_and_drop(docs):
+    df, pdf = docs
+    got = corpus.mixture_weights(df, {"en": 0.3}, strata_col="lang").toPandas()
+    # sub-1 weight down-samples exactly like stratified_sample's rule
+    kept = corpus.stratified_sample(
+        df.where(F.col("lang") == "en"), 0.3, salt="mix").toPandas()
+    assert sorted(got.doc_id) == sorted(kept.doc_id)
+    assert (got.rep == 1).all()
+    # strata absent from the mapping are dropped
+    assert set(got.lang) == {"en"}
