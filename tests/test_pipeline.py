@@ -196,3 +196,41 @@ def test_raw_corpus_to_training_set(spark, tmp_path):
     assert {r.split for r in rows} <= {"train", "val", "test"}
     # every kept doc landed in exactly one chunk with a valid offset
     assert all(r.chunk_id >= 0 for r in rows)
+
+
+def test_image_corpus_to_batch_plan(spark, tmp_path):
+    """End-to-end image-training story (the task's image axis): snapshot
+    table -> two-tier curation gate (drop mode) -> aspect-bucketed
+    fixed-size batches + shared resize targets -> per-epoch augmentation
+    plan. Pins the cross-operator schema contract: the batch tier runs
+    directly on the curation gate's survivors."""
+    from profet_spark import fixtures
+    from profet_spark.functions import image_descriptors as imgd
+    from profet_spark.operators import batching
+
+    pdf = fixtures.make_fixture(n_entities=40, img_sizes=(16, 32))
+    root = tmp_path / "root"
+    root.mkdir()
+    fixtures.stage_parquet(spark, pdf, str(root / "images.parquet"))
+    snaps = spark.read.parquet(str(root / "images.parquet"))
+
+    kept = imgd.curate_images(snaps, min_w=8, min_h=8, mode="drop")
+    n_kept = kept.count()
+    assert 0 < n_kept <= len(pdf)  # the fixture plants decode poisons
+
+    plan = batching.with_resize_targets(batching.plan_aspect_batches(
+        kept.select("image_id", "ts", "w", "h"), batch_size=4, n_shards=2))
+    rows = plan.collect()
+    assert len(rows) == n_kept
+    targets = batching.bucket_resize_targets()
+    for r in rows:
+        assert 0 <= r.batch_pos < 4
+        assert (r.target_w, r.target_h) == targets[r.aspect_bucket]
+
+    aug = batching.plan_augmentations(plan, crop_w=8, crop_h=8,
+                                      epochs=2).collect()
+    assert len(aug) == 2 * n_kept
+    for r in aug:
+        assert 0 <= r.crop_x <= max(r.w - 8, 0)
+        assert 0 <= r.crop_y <= max(r.h - 8, 0)
+        assert r.flip in (0, 1)
