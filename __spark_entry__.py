@@ -2942,13 +2942,15 @@ def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver grades the FIRST 50 keys.
     Positions 1-50 are chosen so every SURVEY §2 operator has a graded
-    representative (merged suites cover A1-A3, A4+A5, A12-A14, T1-T5,
-    C5+C7, C6+C8+C9, O4+O5, W3+W4, W9-W12+FM2-FE2, S8+S9, and the
-    eleven §2.9 streaming twins — three standalone plus the profile and
-    curation stream suites — in one row each; e2e_training_pipeline is
-    the composed FM→FM5→FE1→FE2 integration row). Positions 51+ are
-    strategy variants and the merged suites' components — still run by
-    tests/test_entry_oracle.py, and the window composition is pinned by
+    representative (merged suites cover A1-A3, A4+A5, A7+A8, A12-A14,
+    T1-T5, P6+T6 (hygiene), C5+C7, C6+C8+C9, O4+O5, W3+W4, J4+J5,
+    W9-W12+FM2-FE2, S8+S9, and the eleven §2.9 streaming twins — three
+    standalone plus the profile and curation stream suites — in one row
+    each; e2e_training_pipeline is the composed FM→FM5→FE1→FE2
+    integration row; image_curation_pipeline is the rows-only image-gate
+    row). Positions 51+ are strategy variants and the merged suites'
+    components — still run by tests/test_entry_oracle.py, and the window
+    composition is pinned by
     test_grading_window_covers_every_operator_family."""
     return {
         # -- windows (W1-W11) ------------------------------- 1-7
