@@ -1204,13 +1204,14 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1-P5 merged suite (key name kept stable across rounds): one graded
-    driver row covers the whole corpus pipeline tier. Per-doc rows
+    """P1-P5 + P7 merged suite (key name kept stable across rounds): one
+    graded driver row covers the whole corpus pipeline tier. Per-doc rows
     (part='doc') carry split + sample-flag + packing columns; per-term
     rows (part='tfidf') carry tf/df/score; per-(doc, round) rows
-    (part='neg') carry the hash-ring negatives — all in the same generic
-    layout. -1 integer sentinels (never NULL) keep every column's dtype
-    kind unambiguous for the driver value hash."""
+    (part='neg') carry the hash-ring negatives; per-(doc, copy) rows
+    (part='mix') carry the P7 mixture repetitions — all in the same
+    generic layout. -1 integer sentinels (never NULL) keep every column's
+    dtype kind unambiguous for the driver value hash."""
     docs = load_table(spark, sf_dir, "documents")
     splits = corpus.hash_split(docs, _SPLIT_WEIGHTS)
     sampled = (corpus.stratified_sample(docs, _SAMPLE_RATES,
@@ -1249,7 +1250,17 @@ def _q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("i5"),
         F.lit(-1).cast("bigint").alias("i6"),
         F.lit(-1.0).alias("x"))
-    return doc_rows.unionByName(term_rows).unionByName(neg_rows)
+    mix_rows = _q_mixture_weights(spark, sf_dir).select(
+        F.lit("mix").alias("part"), "doc_id",
+        F.col("source").alias("s"), F.col("rep").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"),
+        F.lit(-1).cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"),
+        F.lit(-1).cast("bigint").alias("i5"),
+        F.lit(-1).cast("bigint").alias("i6"),
+        F.lit(-1.0).alias("x"))
+    return (doc_rows.unionByName(term_rows).unionByName(neg_rows)
+            .unionByName(mix_rows))
 
 
 _P5_K, _P5_BUCKETS = 3, 16
@@ -2877,6 +2888,48 @@ def _q_a7a8_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a7.unionByName(a8)
 
 
+def _q_a10a11_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+A11 merged suite (frees a grading-window slot for the round-4
+    B1+B2 batch suite): distinct-count diagnostics and the rollup with
+    grouping indicators in one generic (part, s1, s2, s3, i1-i3) layout
+    (rollup total rows keep their NULL group keys — the driver hashes
+    NULLs deterministically, as the standalone a11 row always did).
+    Components stay registered at 51+ and mirror-graded."""
+    i64 = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    a10 = _q_distinct(spark, sf_dir).select(
+        F.lit("a10").alias("part"), F.col("lang").alias("s1"),
+        F.lit("").alias("s2"), F.lit("").alias("s3"),
+        i64("n_docs").alias("i1"), i64("n_sources").alias("i2"),
+        i64("n_contents").alias("i3"))
+    a11 = _q_rollup(spark, sf_dir).select(
+        F.lit("a11").alias("part"), F.col("o_orderstatus").alias("s1"),
+        F.col("o_orderpriority").alias("s2"), F.col("total").alias("s3"),
+        i64("n").alias("i1"), i64("g_status").alias("i2"),
+        i64("g_prio").alias("i3"))
+    return a10.unionByName(a11)
+
+
+def _q_b1b2_batch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B2 merged suite — the round-4 image-training batch tier in one
+    driver-graded row: aspect-bucketed fixed-size batch assembly and the
+    deterministic augmentation plan, part-tagged in one generic
+    (part, e, s, i1-i5) layout. Each part grades against the SAME SQL as
+    its standalone key (composed verbatim in oracle_sql); components
+    stay registered at 51+ and mirror-graded."""
+    b1 = _q_aspect_batches(spark, sf_dir).select(
+        F.lit("b1").alias("part"), F.col("event_id").alias("e"),
+        F.col("aspect_bucket_label").alias("s"),
+        F.col("aspect_bucket").alias("i1"), F.col("shard").alias("i2"),
+        F.col("batch_id").alias("i3"), F.col("batch_pos").alias("i4"),
+        F.col("is_complete").cast("bigint").alias("i5"))
+    b2 = _q_augment_plan(spark, sf_dir).select(
+        F.lit("b2").alias("part"), F.col("event_id").alias("e"),
+        F.lit("").alias("s"), F.col("epoch").alias("i1"),
+        F.col("crop_x").alias("i2"), F.col("crop_y").alias("i3"),
+        F.col("flip").alias("i4"), F.lit(-1).cast("bigint").alias("i5"))
+    return b1.unionByName(b2)
+
+
 def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6+T6 merged suite — the round-4 corpus-hygiene tier in one
     driver-graded row: benchmark decontamination (train docs sharing a
@@ -2980,8 +3033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # also grade the round-4 two-tier image curation gate
         "a7a8_scalar_suite": _q_a7a8_scalar_suite,
         "image_curation_pipeline": _q_image_curation,
-        "a10_distinct_counts": _q_distinct,
-        "a11_rollup": _q_rollup,
+        # A10+A11 share one graded row (merged suite) so the window can
+        # also grade the round-4 B1+B2 batch suite
+        "a10a11_agg_suite": _q_a10a11_agg_suite,
+        "b1b2_batch_suite": _q_b1b2_batch_suite,
         # A12+A13+A14 share one graded row (merged suite) so the window
         # can also grade the round-4 store-maintenance / streaming /
         # composed-pipeline suites without losing coverage
@@ -3142,11 +3197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_anti_join": _q_anti_join,
         "a7_entropy": _q_entropy,
         "a8_scalar_features": _q_scalar_features,
-        # B1/B2 image-training batch tier (planted deterministic shapes)
+        # B1/B2 image-training batch tier (graded via b1b2_batch_suite)
         "b1_aspect_batches": _q_aspect_batches,
         "b2_augment_plan": _q_augment_plan,
-        # P7 training-mixture oversampling
+        # P7 training-mixture oversampling (graded via the corpus suite)
         "p7_mixture_weights": _q_mixture_weights,
+        # merged-suite components (graded via a10a11_agg_suite above)
+        "a10_distinct_counts": _q_distinct,
+        "a11_rollup": _q_rollup,
     }
 
 
@@ -3703,6 +3761,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
         FROM ({d['p5_hash_negatives']})
+        UNION ALL
+        SELECT 'mix', doc_id, source, rep,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+        FROM ({_p7_oracle_sql()})
     """
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
@@ -4126,6 +4189,31 @@ def oracle_sql() -> dict[str, str]:
     """
     # P7: same weight/bucket literals via _p7_oracle_sql
     d["p7_mixture_weights"] = _p7_oracle_sql()
+    # A10+A11 merged suite: both agg oracles composed verbatim, tagged
+    d["a10a11_agg_suite"] = f"""
+        SELECT 'a10' AS part, lang AS s1, '' AS s2, '' AS s3,
+               CAST(n_docs AS BIGINT) AS i1,
+               CAST(n_sources AS BIGINT) AS i2,
+               CAST(n_contents AS BIGINT) AS i3
+        FROM ({d['a10_distinct_counts']})
+        UNION ALL
+        SELECT 'a11', o_orderstatus, o_orderpriority, total,
+               CAST(n AS BIGINT), CAST(g_status AS BIGINT),
+               CAST(g_prio AS BIGINT)
+        FROM ({d['a11_rollup']})
+    """
+    # B1+B2 merged suite: both batch-tier oracles composed verbatim
+    d["b1b2_batch_suite"] = f"""
+        SELECT 'b1' AS part, event_id AS e, aspect_bucket_label AS s,
+               CAST(aspect_bucket AS BIGINT) AS i1, shard AS i2,
+               batch_id AS i3, batch_pos AS i4,
+               CAST(is_complete AS BIGINT) AS i5
+        FROM ({d['b1_aspect_batches']})
+        UNION ALL
+        SELECT 'b2', event_id, '', epoch, crop_x, crop_y, flip,
+               CAST(-1 AS BIGINT)
+        FROM ({d['b2_augment_plan']})
+    """
     # J4+J5 merged suite: both join oracles composed verbatim, tagged
     d["j4j5_range_anti_suite"] = f"""
         SELECT 'j4' AS part, CAST(user_id AS BIGINT) AS e, start_ts AS t,

@@ -117,13 +117,15 @@ def test_grading_window_covers_every_operator_family():
         "fm_training_matrix", "e2e_training_pipeline",
         # corpus hygiene (P6 decontamination + T6 PII scrub, round 4)
         "hygiene_suite",
-        # aggregations / descriptors (A12-A14 and A7+A8 merged round 4)
+        # aggregations / descriptors (A12-A14, A7+A8, A10+A11 merged
+        # round 4)
         "a1a3_kmer_composition", "a4a5_ctd_comp_trans",
         "a6_ctd_distribution", "a7a8_scalar_suite",
-        "a9_pricing_summary", "a10_distinct_counts", "a11_rollup",
+        "a9_pricing_summary", "a10a11_agg_suite",
         "a12a14_seqorder_suite",
-        # two-tier image curation gate (rows-only: binary codecs)
-        "image_curation_pipeline",
+        # two-tier image curation gate (rows-only: binary codecs) + the
+        # B1/B2 image-training batch tier (round 4)
+        "image_curation_pipeline", "b1b2_batch_suite",
         # filters / scalars / set ops (C6+C8+C9 merged round 4)
         "f1_doc_filter", "f5_terminal_composition", "c5c7_event_scalars",
         "c6c9_scalar_suite", "o4o5_setops_topk",
