@@ -223,3 +223,56 @@ def test_with_resize_targets_maps_buckets(imgs, spark):
     with pytest.raises(ValueError, match="already exists"):
         B.with_resize_targets(
             B.assign_aspect_buckets(df).withColumn("target_w", F.lit(1)))
+
+
+# ----------------------------------------------- exact-argmin property
+
+def _int_key_bucket(w: int, h: int) -> int:
+    """The lcm-scaled integer key argmin, replicated in pure Python from
+    batching._bucket_keys (same formula, same tiebreak)."""
+    from math import gcd
+    bks = B.DEFAULT_ASPECT_BUCKETS
+    lcm = 1
+    for _, bh in bks:
+        lcm = lcm * bh // gcd(lcm, bh)
+    n = len(bks)
+    keys = [abs(w * bh - bw * h) * (lcm // bh * n) + i
+            for i, (bw, bh) in enumerate(bks)]
+    return min(keys) % n
+
+
+def test_int_argmin_equals_exact_fraction_nearest_fuzz():
+    """Property: the cross-multiplied integer argmin equals the TRUE
+    exact nearest ratio (Fraction arithmetic, least-index ties) for any
+    positive dimensions — the claim the float ground-truth test cannot
+    make at ties."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    bks = B.DEFAULT_ASPECT_BUCKETS
+
+    @settings(max_examples=3000, deadline=None)
+    @given(w=hst.integers(1, 1 << 20), h=hst.integers(1, 1 << 20))
+    def check(w, h):
+        r = Fraction(w, h)
+        dists = [abs(r - Fraction(bw, bh)) for bw, bh in bks]
+        want = dists.index(min(dists))   # least index on exact ties
+        assert _int_key_bucket(w, h) == want, (w, h)
+
+    check()
+
+
+def test_spark_bucket_equals_python_int_key(spark):
+    """The JVM expression computes the same integer-key argmin as the
+    Python replica (cross-checks _bucket_keys' codegen form)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(str(i), rng.randint(1, 1 << 16), rng.randint(1, 1 << 16))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    got = B.assign_aspect_buckets(df).toPandas().set_index("image_id")
+    for i, w, h in rows:
+        assert got.loc[i, "aspect_bucket"] == _int_key_bucket(w, h)
