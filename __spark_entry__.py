@@ -2116,6 +2116,29 @@ def _q_checkpoint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket int, rows bigint, checksum bigint")
 
 
+def _q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1b raw-ingest roundtrip, driver-graded end to end: write the
+    documents table to a JSONL landing dir (fresh temp dir), read it
+    back through the explicit-schema ingest reader
+    (sources/ingest.py ingest_jsonl — no inference scan, FAILFAST mode:
+    the writer guarantees clean lines), and return the table. The
+    oracle is the raw projection — JSON string escaping is lossless, so
+    the roundtrip must be value-exact; the quarantine path for dirty
+    lines is pinned separately in tests/test_ingest.py."""
+    import tempfile
+
+    from profet_spark.sources import ingest as ing
+
+    docs = load_table(spark, sf_dir, "documents")
+    landing = tempfile.mkdtemp(prefix="s1b_ingest_") + "/landing"
+    docs.coalesce(2).write.mode("overwrite").json(landing)
+    # the table's own schema (the default DOCUMENTS_DDL is the minimal
+    # landing contract and omits the optional `source` column)
+    back = ing.ingest_jsonl(spark, landing, schema=docs.schema,
+                            mode="fail")
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 incremental upsert, driver-graded end to end: materialize the
     pre-Jan-20 events into a hidden-partitioned store (fresh temp dir),
@@ -3205,6 +3228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged-suite components (graded via a10a11_agg_suite above)
         "a10_distinct_counts": _q_distinct,
         "a11_rollup": _q_rollup,
+        # S1b raw-ingest roundtrip (mirror-graded; quarantine in pytest)
+        "s1b_ingest_roundtrip": _q_ingest_roundtrip,
     }
 
 
@@ -4187,6 +4212,9 @@ def oracle_sql() -> dict[str, str]:
                {aug('f', '2', 'event_id', 'epoch')} AS flip
         FROM e
     """
+    # S1b: the roundtrip oracle is the raw projection
+    d["s1b_ingest_roundtrip"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents")
     # P7: same weight/bucket literals via _p7_oracle_sql
     d["p7_mixture_weights"] = _p7_oracle_sql()
     # A10+A11 merged suite: both agg oracles composed verbatim, tagged
