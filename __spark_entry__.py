@@ -2139,6 +2139,36 @@ def _q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+# comma + quoted token + newline + backslash: one of each CSV hazard
+# class, planted so the graded roundtrip exercises quoting/escaping
+# (the testdata text itself contains none of them)
+_CSV_HAZARD = ', "q"\nline2 \\tail'
+
+
+def _q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1b CSV twin of the JSONL roundtrip, with PLANTED hazards: a
+    comma, a quoted token, an embedded newline, and a backslash are
+    appended to every text (the testdata alone would grade only the
+    benign path) — written with Spark's default quoting and read back
+    through ingest_csv (multiLine=True for the in-quote newlines,
+    FAILFAST). Oracle: the same concat over the raw table, so the
+    quoting/escaping roundtrip must be value-exact."""
+    import tempfile
+
+    from profet_spark.sources import ingest as ing
+
+    docs = load_table(spark, sf_dir, "documents")
+    hazard = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_CSV_HAZARD)).alias("text"),
+        "lang", "source", "n_chars")
+    landing = tempfile.mkdtemp(prefix="s1b_csv_") + "/landing"
+    hazard.coalesce(2).write.mode("overwrite").option("header", True).csv(
+        landing)
+    back = ing.ingest_csv(spark, landing, schema=hazard.schema,
+                          mode="fail", multiLine=True)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 incremental upsert, driver-graded end to end: materialize the
     pre-Jan-20 events into a hidden-partitioned store (fresh temp dir),
@@ -3228,8 +3258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged-suite components (graded via a10a11_agg_suite above)
         "a10_distinct_counts": _q_distinct,
         "a11_rollup": _q_rollup,
-        # S1b raw-ingest roundtrip (mirror-graded; quarantine in pytest)
+        # S1b raw-ingest roundtrips (mirror-graded; quarantine in pytest)
         "s1b_ingest_roundtrip": _q_ingest_roundtrip,
+        "s1b_ingest_csv_roundtrip": _q_ingest_csv_roundtrip,
     }
 
 
@@ -4212,9 +4243,15 @@ def oracle_sql() -> dict[str, str]:
                {aug('f', '2', 'event_id', 'epoch')} AS flip
         FROM e
     """
-    # S1b: the roundtrip oracle is the raw projection
+    # S1b: the roundtrip oracles are raw projections (CSV plants the
+    # same hazard suffix the Spark query appends)
     d["s1b_ingest_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents")
+    d["s1b_ingest_csv_roundtrip"] = """
+        SELECT doc_id,
+               text || ', "q"' || chr(10) || 'line2 \\tail' AS text,
+               lang, source, n_chars
+        FROM documents"""
     # P7: same weight/bucket literals via _p7_oracle_sql
     d["p7_mixture_weights"] = _p7_oracle_sql()
     # A10+A11 merged suite: both agg oracles composed verbatim, tagged
