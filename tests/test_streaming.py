@@ -774,3 +774,26 @@ def test_stream_augment_plan_equal_batch(spark, sf_dir, tmp_path_factory):
     got = spark.table("t_aug_stream")
     want = plan(spark.read.parquet(out))
     assert _pdf(got).equals(_pdf(want))
+
+
+def test_stream_mixture_weights_equal_batch(spark, sf_dir, tmp_path_factory):
+    """P7 mixture_weights is a stateless CASE + hash-bucket + explode
+    (zero Exchange, plan-asserted in test_corpus.py), so it streams
+    unchanged: the readStream replay emits bit-identical copies."""
+    from profet_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    out = str(tmp_path_factory.mktemp("docs_mix_stream"))
+    docs.coalesce(2).write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(docs.schema).parquet(out)
+    w = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
+
+    def plan(df):
+        return corpus.mixture_weights(df, w, strata_col="source")
+
+    st.run_available_now(plan(stream), "t_mix_stream",
+                         output_mode="append")
+    got = spark.table("t_mix_stream")
+    want = plan(spark.read.parquet(out))
+    assert _pdf(got).equals(_pdf(want))
