@@ -2216,6 +2216,50 @@ def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "ts", "val"))
 
 
+_W3_BACKFILL_S = 3 * 86400.0  # the s10 trailing feature window (3 days)
+
+
+def _q_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 incremental feature materialization, driver-graded end to end
+    (the "compute only the delta" feature-store loop; north_rule:
+    resumable jobs with row-count metrics): bootstrap the store from the
+    pre-Jan-20 events with trailing 3-day per-user exact-int window
+    features computed at write, then run ONE incremental pass over the
+    full table — the watermark comes from the partition layout plus a
+    single-day probe (sources/partitioned.py:high_watermark, never a
+    full-history scan), the delta is the rows at/after it, ``lookback``
+    re-feeds 3 days of context so recomputed boundary features see their
+    full window, and the upsert replaces the re-emitted rows (dynamic
+    partition overwrite, idempotent re-runs). The oracle is the
+    FULL-history recompute: incremental == full, hash-exact, is the
+    graded contract."""
+    import datetime
+    import tempfile
+
+    from profet_spark.operators.feature_matrix import windowed_spine_agg
+    from profet_spark.sources import partitioned as P
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("val"))
+
+    def compute(df: DataFrame) -> DataFrame:
+        return windowed_spine_agg(
+            df, df.select("user_id", "ts", "event_id"),
+            {"w3_n": ("count", "event_id"), "w3_sum": ("sum", "event_id")},
+            entity="user_id", ts="ts", window_s=_W3_BACKFILL_S)
+
+    out = tempfile.mkdtemp(prefix="s10_incr_")
+    P.materialize_incremental(
+        spark, ev.where(F.col("ts") < F.lit("2024-01-20")), out,
+        compute=compute, ts_col="ts", entity_col="user_id", n_buckets=8)
+    P.materialize_incremental(
+        spark, ev, out, compute=compute, key_cols=["event_id"],
+        lookback=datetime.timedelta(seconds=_W3_BACKFILL_S))
+    return (spark.read.parquet(out)
+            .select("event_id", "user_id", "ts", "val", "w3_n", "w3_sum"))
+
+
 def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 Iceberg-style hidden partitioning, driver-graded end to end:
     write events through the days(ts) x bucket(8, user_id) partition spec
@@ -2815,18 +2859,28 @@ def _q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8+S9 merged suite, driver-graded end to end: the incremental
+    """S8+S9+S10 merged suite, driver-graded end to end: the incremental
     upsert (dynamic partition overwrite, merged table equals the
-    recomputed one) and the small-file compaction (content-invariant
-    rewrite) — both components run their full write→maintain→read-back
-    cycle against fresh temp stores; file-level mechanics (byte-identity
-    of untouched partitions, one-file-per-victim) are pinned in
+    recomputed one), the small-file compaction (content-invariant
+    rewrite), and the incremental feature backfill (watermark-delta
+    recompute with lookback context equals the full-history recompute,
+    parts s10n/s10s) — every component runs its full
+    write→maintain→read-back cycle against fresh temp stores; file-level
+    mechanics (byte-identity of untouched partitions,
+    one-file-per-victim, one-day watermark probe) are pinned in
     tests/test_partitioned.py."""
     s8 = _q_upsert_merge(spark, sf_dir).select(
         F.lit("s8").alias("part"), "event_id", "user_id", "ts", "val")
     s9 = _q_compaction(spark, sf_dir).select(
         F.lit("s9").alias("part"), "event_id", "user_id", "ts", "val")
-    return s8.unionByName(s9)
+    s10 = _q_incremental_backfill(spark, sf_dir)
+    s10n = s10.select(
+        F.lit("s10n").alias("part"), "event_id", "user_id", "ts",
+        F.col("w3_n").cast("double").alias("val"))
+    s10s = s10.select(
+        F.lit("s10s").alias("part"), "event_id", "user_id", "ts",
+        F.col("w3_sum").cast("double").alias("val"))
+    return s8.unionByName(s9).unionByName(s10n).unionByName(s10s)
 
 
 def _q_stream_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3261,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S1b raw-ingest roundtrips (mirror-graded; quarantine in pytest)
         "s1b_ingest_roundtrip": _q_ingest_roundtrip,
         "s1b_ingest_csv_roundtrip": _q_ingest_csv_roundtrip,
+        "s10_incremental_backfill": _q_incremental_backfill,
     }
 
 
@@ -3960,6 +4015,12 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 's9', event_id, user_id, ts, val
         FROM ({d['s9_compaction']})
+        UNION ALL
+        SELECT 's10n', event_id, user_id, ts, CAST(w3_n AS DOUBLE)
+        FROM ({d['s10_incremental_backfill']})
+        UNION ALL
+        SELECT 's10s', event_id, user_id, ts, CAST(w3_sum AS DOUBLE)
+        FROM ({d['s10_incremental_backfill']})
     """
     # §2.9 merged streaming suites: each part grades against the SAME
     # SQL as its standalone twin (composed verbatim), so one driver row
@@ -5094,5 +5155,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "s9_compaction": """
             SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS val
             FROM events
+        """,
+        # S10: the incrementally-materialized store equals the
+        # FULL-history recompute — trailing 3-day per-user exact-int
+        # window aggregates (same frame as windowed_spine_agg:
+        # (ts - 3d, ts], ties included; count/sum over self-joined rows)
+        "s10_incremental_backfill": """
+            WITH b AS (
+              SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS val
+              FROM events)
+            SELECT e.event_id, e.user_id, e.ts, e.val,
+                   CAST(count(f.event_id) AS BIGINT) AS w3_n,
+                   CAST(sum(f.event_id) AS BIGINT) AS w3_sum
+            FROM b e
+            LEFT JOIN b f ON e.user_id = f.user_id
+                         AND f.ts > e.ts - INTERVAL '259200' SECOND
+                         AND f.ts <= e.ts
+            GROUP BY e.event_id, e.user_id, e.ts, e.val
         """,
     }
