@@ -105,7 +105,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
-             "batch_plan")
+             "batch_plan", "materialize")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -139,6 +139,10 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     ap.add_argument("--n-shards", type=int, default=64,
                     help="batch_plan only: numbering shards per bucket "
                          "(size to the cluster; bounds window partitions)")
+    ap.add_argument("--late-days", type=float, default=0.0,
+                    help="materialize only: re-emit this many trailing "
+                         "days each run so late snapshot arrivals within "
+                         "the window are healed by the upsert")
     args = ap.parse_args(argv)
 
     if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
@@ -153,6 +157,35 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                           shuffle_partitions=args.shuffle_partitions)
     else:
         spark = _spark
+    if args.pipeline == "materialize":
+        # S10 incremental feature materialization: watermark from the
+        # store's partition layout + a one-day probe, compute ONLY the
+        # delta (per-row caption descriptors — trivially delta-closed,
+        # no lookback), idempotent upsert. First run bootstraps the
+        # store; re-runs write nothing unless the snapshot table grew.
+        # --input: snapshot table root; --output: the feature store.
+        import datetime
+        import json
+
+        from profet_spark.functions import text_descriptors as td
+        from profet_spark.sources import load_table
+        from profet_spark.sources.partitioned import materialize_incremental
+
+        if not args.output:
+            ap.error("--pipeline materialize requires --output "
+                     "(the feature-store root)")
+        snaps = load_table(spark, args.input, "images").select(
+            "image_id", "ts", "caption")
+        late = (datetime.timedelta(days=args.late_days)
+                if args.late_days else None)
+        m = materialize_incremental(
+            spark, snaps, args.output,
+            compute=td.add_caption_features_packed,
+            ts_col="ts", entity_col="image_id", late_window=late)
+        print(json.dumps(m, default=str))
+        if _spark is None:
+            spark.stop()
+        return 0
     if args.pipeline == "compact":
         # S9 store maintenance over a write_partitioned root: rewrites
         # only fragmented small partitions in place, returns the audit

@@ -171,3 +171,46 @@ def test_cli_batch_plan(spark, tmp_path):
     sizes = (back.groupBy("aspect_bucket", "shard", "batch_id").count()
              .select("count").distinct().collect())
     assert [r["count"] for r in sizes] == [4]
+
+
+def test_cli_materialize_incremental(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from profet_spark.functions import text_descriptors as td
+    from profet_spark.sources import partitioned as P
+
+    pdf = fixtures.make_fixture(n_entities=25, img_sizes=(16,))
+    cut = pdf["ts"].quantile(0.7)
+    root1, root2 = tmp_path / "r1", tmp_path / "r2"
+    root1.mkdir(), root2.mkdir()
+    fixtures.stage_parquet(spark, pdf[pdf["ts"] < cut],
+                           str(root1 / "images.parquet"))
+    fixtures.stage_parquet(spark, pdf, str(root2 / "images.parquet"))
+    store = str(tmp_path / "store")
+
+    # bootstrap over the early landing, then one incremental pass over
+    # the grown snapshot table: the store must equal the full recompute
+    rc = main(["--pipeline", "materialize", "--input", str(root1),
+               "--output", store], _spark=spark)
+    assert rc == 0
+    rc = main(["--pipeline", "materialize", "--input", str(root2),
+               "--output", store, "--late-days", "0.5"], _spark=spark)
+    assert rc == 0
+    got = spark.read.parquet(store).drop(P.DAY_COL, P.BUCKET_COL)
+    full = td.add_caption_features_packed(
+        spark.read.parquet(str(root2 / "images.parquet"))
+        .select("image_id", "ts", "caption")).select(*got.columns)
+    assert got.count() == len(pdf)
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    # a no-growth re-run writes nothing new beyond the late window
+    rc = main(["--pipeline", "materialize", "--input", str(root2),
+               "--output", store], _spark=spark)
+    assert rc == 0
+    assert spark.read.parquet(store).count() == len(pdf)
+    # the store root is mandatory
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "materialize", "--input", str(root2)],
+             _spark=spark)
