@@ -2260,6 +2260,30 @@ def _q_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "ts", "val", "w3_n", "w3_sum"))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 snapshot diff (sources/partitioned.py:snapshot_diff) — the
+    CDC-style store audit that closes the incremental loop (S8 upsert,
+    S10 materialization, S11 "what changed?"). Two deterministic versions
+    of the events table: the left drops event_id multiples of 97, the
+    right drops multiples of 101 and bumps value on multiples of 89 —
+    so all three statuses (added / removed / changed) are populated. The
+    engine reduces each side to (key, injective netstring-md5
+    fingerprint) BEFORE the full-outer join (wide payloads never
+    shuffle); the oracle computes the same statuses by direct
+    IS DISTINCT FROM comparison — fingerprint-equality must coincide
+    with value-equality column for column."""
+    from profet_spark.sources.partitioned import snapshot_diff
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    left = ev.where(F.col("event_id") % 97 != 0)
+    right = (ev.where(F.col("event_id") % 101 != 0)
+             .withColumn("value",
+                         F.when(F.col("event_id") % 89 == 0,
+                                F.col("value") + F.lit(1.0))
+                         .otherwise(F.col("value"))))
+    return snapshot_diff(left, right, key_cols=["event_id"])
+
+
 def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 Iceberg-style hidden partitioning, driver-graded end to end:
     write events through the days(ts) x bucket(8, user_id) partition spec
@@ -3316,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1b_ingest_roundtrip": _q_ingest_roundtrip,
         "s1b_ingest_csv_roundtrip": _q_ingest_csv_roundtrip,
         "s10_incremental_backfill": _q_incremental_backfill,
+        "s11_snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -5172,5 +5197,29 @@ def _oracle_sql_base() -> dict[str, str]:
                          AND f.ts > e.ts - INTERVAL '259200' SECOND
                          AND f.ts <= e.ts
             GROUP BY e.event_id, e.user_id, e.ts, e.val
+        """,
+        # S11 snapshot diff: direct value comparison (IS DISTINCT FROM)
+        # must coincide with the engine's fingerprint comparison
+        "s11_snapshot_diff": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_id % 97 <> 0),
+            r AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_id % 89 = 0 THEN value + 1.0
+                          ELSE value END AS value
+              FROM events WHERE event_id % 101 <> 0),
+            d AS (
+              SELECT COALESCE(l.event_id, r.event_id) AS event_id,
+                     CASE WHEN l.event_id IS NULL THEN 'added'
+                          WHEN r.event_id IS NULL THEN 'removed'
+                          WHEN (l.user_id IS DISTINCT FROM r.user_id)
+                            OR (l.ts IS DISTINCT FROM r.ts)
+                            OR (l.value IS DISTINCT FROM r.value)
+                          THEN 'changed'
+                          ELSE 'unchanged' END AS diff_status
+              FROM l FULL JOIN r ON l.event_id = r.event_id)
+            SELECT event_id, diff_status FROM d
+            WHERE diff_status <> 'unchanged'
         """,
     }

@@ -105,7 +105,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
-             "batch_plan", "materialize")
+             "batch_plan", "materialize", "diff")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -143,6 +143,9 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                     help="materialize only: re-emit this many trailing "
                          "days each run so late snapshot arrivals within "
                          "the window are healed by the upsert")
+    ap.add_argument("--right", default=None,
+                    help="diff only: the right-hand write_partitioned "
+                         "store root (--input is the left)")
     args = ap.parse_args(argv)
 
     if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
@@ -183,6 +186,32 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             compute=td.add_caption_features_packed,
             ts_col="ts", entity_col="image_id", late_window=late)
         print(json.dumps(m, default=str))
+        if _spark is None:
+            spark.stop()
+        return 0
+    if args.pipeline == "diff":
+        # S11 store audit: what changed between two versions of a
+        # write_partitioned store (e.g. the incrementally-maintained
+        # store vs a full recompute). Prints the per-status summary as
+        # the job's one-line JSON; with --output also writes the
+        # per-key (added/removed/changed) rows as parquet.
+        import json
+
+        from profet_spark.sources.partitioned import store_diff
+
+        if not args.right:
+            ap.error("--pipeline diff requires --right "
+                     "(the right-hand store root)")
+        summary = {r["diff_status"]: r["n"]
+                   for r in store_diff(spark, args.input, args.right,
+                                       mode="summary").collect()}
+        for k in ("added", "removed", "changed", "unchanged"):
+            summary.setdefault(k, 0)
+        print(json.dumps(summary, sort_keys=True))
+        if args.output:
+            (store_diff(spark, args.input, args.right)
+             .write.mode("overwrite").parquet(args.output))
+            print(f"wrote {args.output}")
         if _spark is None:
             spark.stop()
         return 0

@@ -560,3 +560,146 @@ def materialize_incremental(spark: SparkSession, source: DataFrame,
                 "partitions_rewritten": 0}
     m = upsert_partitioned(spark, out, out_dir, key_cols=key_cols)
     return {"bootstrap": False, "watermark": wm, "cutoff": cutoff, **m}
+
+
+def _netstring_fingerprint(cols: list[str]) -> F.Column:
+    """Injective row fingerprint over ``cols``: md5 of a netstring-style
+    serialization — NULL encodes as ``n``, a value as
+    ``v<len>:<cast-to-string>``. Length prefixes make the concatenation
+    uniquely parseable, so unlike a separator join (where ``('ab','c')``
+    and ``('a','bc')`` collide) or ``concat_ws`` (which silently SKIPS
+    nulls), two rows share a fingerprint iff every column's string cast
+    matches null-for-null.
+
+    Caveats of comparing through Spark's string cast: ``NaN`` equals
+    ``NaN`` (both cast to ``'NaN'`` — pandas-style semantics, unlike SQL
+    ``=``) and ``-0.0`` differs from ``0.0``. Binary columns must be cast
+    explicitly (e.g. ``md5(bytes)``) before diffing; Spark's
+    binary→string cast is the raw bytes and may not be valid UTF-8.
+    """
+    pieces = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        pieces.append(
+            F.when(s.isNull(), F.lit("n"))
+            .otherwise(F.concat(F.lit("v"), F.length(s), F.lit(":"), s)))
+    return F.md5(F.concat(*pieces))
+
+
+def snapshot_diff(left: DataFrame, right: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None,
+                  include_unchanged: bool = False,
+                  mode: str = "rows") -> DataFrame:
+    """S11: content diff between two snapshots of the same table — the
+    CDC-style audit that pairs with :func:`materialize_incremental`
+    (is the incrementally-maintained store byte-equivalent to a full
+    recompute? what did this backfill actually touch?).
+
+    A row is identified by ``key_cols``; ``compare_cols`` (default: all
+    shared non-key columns, which must agree between the two sides) are
+    reduced to an injective 128-bit fingerprint per side. Status per key:
+    ``added`` (only in ``right``), ``removed`` (only in ``left``),
+    ``changed`` (both sides, fingerprints differ), ``unchanged``.
+
+    ``mode='rows'`` returns ``key_cols + diff_status`` (``unchanged``
+    rows excluded unless ``include_unchanged``); ``mode='summary'``
+    returns ``(diff_status, n)`` counts — ``unchanged`` included, since
+    an audit total that silently omits the biggest class reads as data
+    loss.
+
+    Scale (10^12 rows): each side is projected to ``key_cols`` + one
+    32-char fingerprint BEFORE the full-outer join, so the join exchange
+    carries ~50 bytes/row regardless of payload width — wide feature
+    vectors / image bytes never shuffle (Catalyst prunes them into the
+    scan's ReadSchema; plan-asserted in tests/test_partitioned.py). The
+    single shuffle is on ``key_cols`` — for two stores written by
+    :func:`write_partitioned` with the same spec that key is already
+    co-bucketed on disk. Keys join null-safely (``<=>``), so a null key
+    is one key value, not a dropped row.
+
+    Reference parity: ProFET has no store maintenance at all (one-shot
+    script, [R] FeatureGen.py writes a single CSV); this belongs to the
+    engine's task-mandated incremental tier (S8 upsert, S9 compaction,
+    S10 materialization).
+    """
+    if mode not in ("rows", "summary"):
+        raise ValueError(
+            f"snapshot_diff: mode must be 'rows' or 'summary', got {mode!r}")
+    if not key_cols:
+        raise ValueError("snapshot_diff: key_cols must be non-empty")
+    for side, df in (("left", left), ("right", right)):
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"snapshot_diff: key_cols {missing} not in {side} columns")
+    if compare_cols is None:
+        lc = [c for c in left.columns if c not in key_cols]
+        rc = [c for c in right.columns if c not in key_cols]
+        if set(lc) != set(rc):
+            raise ValueError(
+                "snapshot_diff: sides disagree on non-key columns "
+                f"(left-only {sorted(set(lc) - set(rc))}, right-only "
+                f"{sorted(set(rc) - set(lc))}) — pass compare_cols")
+        compare_cols = lc  # left's order: deterministic fingerprint
+    else:
+        overlap = set(compare_cols) & set(key_cols)
+        if overlap:
+            raise ValueError(
+                f"snapshot_diff: {sorted(overlap)} in both key_cols and "
+                "compare_cols")
+        for side, df in (("left", left), ("right", right)):
+            missing = [c for c in compare_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"snapshot_diff: compare_cols {missing} not in {side}")
+    if "diff_status" in key_cols:
+        raise ValueError(
+            "snapshot_diff: 'diff_status' collides with the output column")
+    fp = _netstring_fingerprint(compare_cols)
+    l = left.select(*key_cols, fp.alias("__sd_fp")).alias("l")
+    r = right.select(*key_cols, fp.alias("__sd_fp")).alias("r")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = c if cond is None else cond & c
+    lk = F.col("l.__sd_fp")
+    rk = F.col("r.__sd_fp")
+    status = (F.when(lk.isNull(), F.lit("added"))
+              .when(rk.isNull(), F.lit("removed"))
+              .when(lk != rk, F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    out = (l.join(r, cond, "full_outer")
+           .select(*[F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+                     for k in key_cols],
+                   status.alias("diff_status")))
+    if mode == "summary":
+        return out.groupBy("diff_status").agg(F.count("*").alias("n"))
+    if not include_unchanged:
+        out = out.where(F.col("diff_status") != "unchanged")
+    return out
+
+
+def store_diff(spark: SparkSession, left_dir: str, right_dir: str,
+               compare_cols: list[str] | None = None,
+               include_unchanged: bool = False,
+               mode: str = "rows") -> DataFrame:
+    """S11 front door over two :func:`write_partitioned` roots: key on
+    each store's ``(entity, ts)`` spec (which must agree), hide the
+    ``_p_*`` layout columns from the comparison, and
+    :func:`snapshot_diff` the payloads. The two scans stay pruned to
+    keys + compared columns; nothing else is read."""
+    ls, rs = read_spec(left_dir), read_spec(right_dir)
+    if ls is None or rs is None:
+        raise ValueError("store_diff: both roots must carry a "
+                         f"{SPEC_FILE} (written by write_partitioned)")
+    lk = [ls["entity_col"], ls["ts_col"]]
+    if lk != [rs["entity_col"], rs["ts_col"]]:
+        raise ValueError(
+            f"store_diff: key specs disagree: {lk} vs "
+            f"[{rs['entity_col']!r}, {rs['ts_col']!r}]")
+    hidden = [DAY_COL, BUCKET_COL]
+    left = spark.read.parquet(left_dir).drop(*hidden)
+    right = spark.read.parquet(right_dir).drop(*hidden)
+    return snapshot_diff(left, right, key_cols=lk,
+                         compare_cols=compare_cols,
+                         include_unchanged=include_unchanged, mode=mode)

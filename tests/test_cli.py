@@ -214,3 +214,34 @@ def test_cli_materialize_incremental(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["--pipeline", "materialize", "--input", str(root2)],
              _spark=spark)
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from profet_spark.sources import partitioned as P
+
+    pdf = fixtures.make_fixture(n_entities=20, img_sizes=(16,))
+    df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "caption")
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    P.write_partitioned(df, left, ts_col="ts", entity_col="image_id",
+                        n_buckets=4)
+    P.write_partitioned(df, right, ts_col="ts", entity_col="image_id",
+                        n_buckets=4)
+    P.upsert_partitioned(
+        spark, df.orderBy("image_id", "ts").limit(2)
+        .withColumn("caption", F.lit("EDITED")), right)
+    out = str(tmp_path / "rows")
+    rc = main(["--pipeline", "diff", "--input", left, "--right", right,
+               "--output", out], _spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert summary == {"added": 0, "removed": 0, "changed": 2,
+                       "unchanged": len(pdf) - 2}
+    rows = spark.read.parquet(out)
+    assert rows.count() == 2
+    assert {r["diff_status"] for r in rows.collect()} == {"changed"}
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "diff", "--input", left], _spark=spark)

@@ -635,3 +635,115 @@ def test_incremental_validation(spark, tmp_path):
         P.materialize_incremental(
             spark, ev, d, ts_col="ts", entity_col="user_id",
             compute=lambda df: df.drop("user_id"))
+
+
+# ---------------------------------------------------------------- S11 diff
+
+
+def _diff_map(df):
+    return {tuple(r[:-1]): r["diff_status"] for r in df.collect()}
+
+
+def test_snapshot_diff_statuses(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, None, 40.0)],
+        "k int, s string, v double")
+    right = spark.createDataFrame(
+        [(2, "b", 20.0),          # unchanged
+         (3, "c", 30.0),          # null -> value: changed
+         (4, None, 40.0),         # null == null: unchanged
+         (5, "e", 50.0)],         # added
+        "k int, s string, v double")
+    got = {r["k"]: r["diff_status"]
+           for r in P.snapshot_diff(left, right, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    withu = {r["k"]: r["diff_status"]
+             for r in P.snapshot_diff(left, right, ["k"],
+                                      include_unchanged=True).collect()}
+    assert withu[2] == "unchanged" and withu[4] == "unchanged"
+    summary = {r["diff_status"]: r["n"]
+               for r in P.snapshot_diff(left, right, ["k"],
+                                        mode="summary").collect()}
+    assert summary == {"added": 1, "removed": 1, "changed": 1,
+                       "unchanged": 2}
+
+
+def test_snapshot_diff_fingerprint_is_injective(spark):
+    # separator-join collisions: ('ab','c') vs ('a','bc') must be CHANGED
+    left = spark.createDataFrame([(1, "ab", "c"), (2, "n", "x")],
+                                 "k int, a string, b string")
+    right = spark.createDataFrame([(1, "a", "bc"), (2, None, "x")],
+                                  "k int, a string, b string")
+    got = _diff_map(P.snapshot_diff(left, right, ["k"]))
+    # row 2: literal 'n' (the null tag) vs NULL must also be CHANGED
+    assert got == {(1,): "changed", (2,): "changed"}
+
+
+def test_snapshot_diff_null_keys_join_null_safely(spark):
+    left = spark.createDataFrame([(None, "x"), (1, "y")], "k int, v string")
+    right = spark.createDataFrame([(None, "x"), (1, "z")], "k int, v string")
+    got = P.snapshot_diff(left, right, ["k"], include_unchanged=True)
+    m = _diff_map(got)
+    assert m == {(None,): "unchanged", (1,): "changed"}
+
+
+def test_snapshot_diff_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    other = spark.createDataFrame([(1, "a", 2)], "k int, v string, w int")
+    with pytest.raises(ValueError, match="mode"):
+        P.snapshot_diff(df, df, ["k"], mode="nope")
+    with pytest.raises(ValueError, match="non-empty"):
+        P.snapshot_diff(df, df, [])
+    with pytest.raises(ValueError, match="not in right"):
+        P.snapshot_diff(df, other.select("k", "w"), ["k"],
+                        compare_cols=["v"])
+    with pytest.raises(ValueError, match="disagree on non-key"):
+        P.snapshot_diff(df, other, ["k"])
+    with pytest.raises(ValueError, match="both key_cols and compare"):
+        P.snapshot_diff(df, df, ["k"], compare_cols=["k", "v"])
+
+
+def test_snapshot_diff_exchange_never_carries_payload(spark):
+    """The full-outer join must shuffle (keys, md5) only — a wide payload
+    column may appear in the scans but never in a join Exchange input."""
+    from profet_spark.plans import formatted_plan
+    left = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.repeat(F.lit("x"), 10000).alias("payload"))
+    right = left.where("k % 2 = 0")
+    plan = formatted_plan(P.snapshot_diff(left, right, ["k"]))
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange" in ln:
+            window = "".join(lines[i:i + 3])
+            assert "payload#" not in window, window
+
+
+def test_store_diff_after_incremental_materialize(spark, tmp_path):
+    """S10 + S11 composition: an incrementally-maintained store diffs as
+    100% unchanged against a one-shot full recompute."""
+    pdf = fixtures.make_fixture(n_entities=30, with_images=False)
+    df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "caption")
+    cut = df.agg(F.expr("percentile(cast(ts as double), 0.6)")).collect()[0][0]
+    early = df.where(F.col("ts").cast("double") < cut)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    P.materialize_incremental(spark, early, inc, ts_col="ts",
+                              entity_col="image_id", n_buckets=4)
+    P.materialize_incremental(spark, df, inc)
+    P.write_partitioned(df, full, ts_col="ts", entity_col="image_id",
+                        n_buckets=4)
+    summary = {r["diff_status"]: r["n"]
+               for r in P.store_diff(spark, inc, full,
+                                     mode="summary").collect()}
+    assert summary == {"unchanged": df.count()}
+    # and a real difference is reported as one
+    P.upsert_partitioned(
+        spark, df.orderBy("image_id", "ts").limit(1)
+        .withColumn("caption", F.lit("EDITED")), full)
+    rows = P.store_diff(spark, inc, full).collect()
+    assert [r["diff_status"] for r in rows] == ["changed"]
+
+
+def test_store_diff_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="_partition_spec"):
+        P.store_diff(spark, str(tmp_path / "a"), str(tmp_path / "b"))
