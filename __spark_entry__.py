@@ -1259,8 +1259,30 @@ def _q_corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("i5"),
         F.lit(-1).cast("bigint").alias("i6"),
         F.lit(-1.0).alias("x"))
+    chunk_rows = _q_chunk_docs(spark, sf_dir).select(
+        F.lit("chunk").alias("part"), "doc_id",
+        F.col("chunk_text").alias("s"),
+        F.col("chunk_idx").alias("i1"),
+        F.col("chunk_start").alias("i2"),
+        F.col("chunk_len").alias("i3"),
+        F.col("n_chunks").alias("i4"),
+        F.lit(-1).cast("bigint").alias("i5"),
+        F.lit(-1).cast("bigint").alias("i6"),
+        F.lit(-1.0).alias("x"))
+    vocab_rows = _q_vocab_topk(spark, sf_dir).select(
+        F.lit("vocab").alias("part"),
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.col("token").alias("s"),
+        F.col("cnt").alias("i1"),
+        F.col("rank").alias("i2"),
+        F.col("cum_cnt").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"),
+        F.lit(-1).cast("bigint").alias("i5"),
+        F.lit(-1).cast("bigint").alias("i6"),
+        F.col("coverage").alias("x"))
     return (doc_rows.unionByName(term_rows).unionByName(neg_rows)
-            .unionByName(mix_rows))
+            .unionByName(mix_rows).unionByName(chunk_rows)
+            .unionByName(vocab_rows))
 
 
 _P5_K, _P5_BUCKETS = 3, 16
@@ -1404,6 +1426,40 @@ def _p7_oracle_sql() -> str:
                CAST(unnest(range(1, n + 1)) AS BIGINT) AS rep
         FROM c
     """
+
+
+_P8_CHUNK, _P8_STRIDE = 160, 120
+_P9_TOPK = 64
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 overlapping context-window chunking (corpus.chunk_documents):
+    one row per [i*stride, i*stride+chunk) character window, total
+    coverage, no degenerate tails, empty docs survive as one empty
+    chunk. Zero-shuffle explode projection (plan-asserted in
+    tests/test_corpus.py); substring is character-indexed in BOTH
+    engines, so chunk_text hash-grades bitwise on unicode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(
+        docs, chunk_chars=_P8_CHUNK, stride=_P8_STRIDE)
+
+
+def _p8_oracle_sql() -> str:
+    return corpus.chunk_documents_sql_duckdb(_P8_CHUNK, _P8_STRIDE)
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 vocabulary + coverage curve (corpus.build_vocab): top-k tokens
+    by (count DESC, token ASC) over the shared whitespace tokenization,
+    exact-int cumulative counts, one IEEE division for coverage. The
+    rank window runs AFTER TakeOrderedAndProject(top_k) — O(top_k),
+    never O(distinct tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.build_vocab(docs, top_k=_P9_TOPK)
+
+
+def _p9_oracle_sql() -> str:
+    return corpus.build_vocab_sql_duckdb(_P9_TOPK)
 
 
 def _q_hash_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3341,6 +3397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1b_ingest_csv_roundtrip": _q_ingest_csv_roundtrip,
         "s10_incremental_backfill": _q_incremental_backfill,
         "s11_snapshot_diff": _q_snapshot_diff,
+        # P8 chunking + P9 vocab (graded via p1p4_corpus_suite above)
+        "p8_chunk_docs": _q_chunk_docs,
+        "p9_vocab_topk": _q_vocab_topk,
     }
 
 
@@ -3902,7 +3961,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
         FROM ({_p7_oracle_sql()})
+        UNION ALL
+        SELECT 'chunk', doc_id, chunk_text, chunk_idx, chunk_start,
+               chunk_len, n_chunks, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1.0 AS DOUBLE)
+        FROM ({_p8_oracle_sql()})
+        UNION ALL
+        SELECT 'vocab', CAST(-1 AS BIGINT), token, cnt, rank, cum_cnt,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               coverage
+        FROM ({_p9_oracle_sql()})
     """
+    # P8/P9 standalone rows (graded via the corpus suite above)
+    d["p8_chunk_docs"] = _p8_oracle_sql()
+    d["p9_vocab_topk"] = _p9_oracle_sql()
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
     d["st_w7_sliding_stream"] = (

@@ -570,3 +570,207 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
         F.size(H.shingle_hashes(F.col(text_col), n)).alias("n_shingles"),
         n_cont.alias("n_contaminated"),
         (n_cont >= min_hits).alias("contaminated"))
+
+
+def chunk_documents(df: DataFrame, chunk_chars: int, stride: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """P8: overlapping fixed-window document chunking (context-window
+    splitting for long documents — the pretraining complement of P3's
+    concat-and-chunk: P3 packs SHORT docs together, P8 splits LONG docs
+    apart; real pipelines run P8 then P3).
+
+    Chunk ``i`` covers characters ``[i*stride, i*stride + chunk_chars)``;
+    the number of chunks for a document of length ``L`` is::
+
+        n_chunks(L) = 1                            if L <= chunk_chars
+                      1 + ceil((L - chunk_chars) / stride)   otherwise
+
+    so coverage is total (the last chunk always reaches the end of the
+    document), no chunk starts at/after the end, and the final chunk's
+    length is always strictly greater than the overlap
+    ``chunk_chars - stride`` — no degenerate all-overlap tails. An empty
+    document yields exactly one empty chunk (every doc survives chunking;
+    droppers filter on ``chunk_len`` downstream). Character windows, not
+    token windows, because ``substring`` is exact and engine-portable;
+    both Spark and DuckDB index strings by CHARACTER, so the oracle is
+    bitwise even on multi-byte unicode.
+
+    Returns one row per chunk:
+
+    ``(id_col, chunk_idx, chunk_start, chunk_len, n_chunks, chunk_text)``
+
+    with ``chunk_start`` 0-based and ``chunk_idx`` in ``[0, n_chunks)``.
+
+    Scale: a single codegen'd ``explode(sequence)`` projection — zero
+    shuffle, zero Python, no window (plan-asserted in
+    tests/test_corpus.py). Output size is ~``L/stride`` rows per doc; the
+    ceil uses exact integer arithmetic (``DIV`` on a non-negative
+    numerator), never float.
+
+    Reference parity: ProFET truncates/drops long sequences at windowing
+    time ([R] FeatureGen.py sliding-window loops); corpus-scale chunking
+    is part of the task-mandated training-data tier.
+    """
+    if chunk_chars < 1:
+        raise ValueError(
+            f"chunk_documents: chunk_chars must be >= 1, got {chunk_chars}")
+    if not 1 <= stride <= chunk_chars:
+        raise ValueError(
+            f"chunk_documents: stride must be in [1, chunk_chars"
+            f"={chunk_chars}], got {stride} (stride > chunk_chars would "
+            "leave uncovered gaps between consecutive chunks)")
+    for c in ("chunk_idx", "chunk_start", "chunk_len", "n_chunks",
+              "chunk_text"):
+        if c in df.columns:
+            raise ValueError(
+                f"chunk_documents: input already has a {c!r} column — "
+                "rename it first (output name collision)")
+    txt = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(F.lit(
+            f"chunk_documents: NULL {text_col} — chunking is a pure "
+            "function of the text; filter or fill NULLs first"))
+        .cast("string"),
+    ).otherwise(F.col(text_col))
+    ln = F.length(txt)
+    # exact integer ceil: numerator >= 1 in the long branch, so DIV
+    # (truncating) == floor and the +stride-1 trick is overflow-safe for
+    # any realistic document (L < 2^62)
+    n_chunks = F.when(ln <= chunk_chars, F.lit(1).cast("bigint")).otherwise(
+        F.lit(1).cast("bigint")
+        + F.expr(f"(length({text_col}) - {chunk_chars} + {stride} - 1) "
+                 f"DIV {stride}"))
+    out = (df.select(F.col(id_col), txt.alias("__p8_txt"),
+                     n_chunks.alias("n_chunks"))
+           .select(id_col, "__p8_txt", "n_chunks",
+                   F.explode(F.sequence(
+                       F.lit(0).cast("bigint"),
+                       F.col("n_chunks") - F.lit(1))).alias("chunk_idx")))
+    start = (F.col("chunk_idx") * stride).cast("bigint")
+    chunk = F.expr(f"substring(__p8_txt, CAST(chunk_idx * {stride} + 1 "
+                   f"AS INT), {chunk_chars})")
+    return (out.withColumn("chunk_start", start)
+            .withColumn("chunk_text", chunk)
+            .withColumn("chunk_len",
+                        F.length("chunk_text").cast("bigint"))
+            .select(id_col, "chunk_idx", "chunk_start", "chunk_len",
+                    "n_chunks", "chunk_text"))
+
+
+def chunk_documents_sql_duckdb(chunk_chars: int, stride: int,
+                               table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`chunk_documents`: same n_chunks formula
+    (integer ``//`` on the same non-negative numerator), same 1-based
+    ``substr`` window, same character semantics."""
+    return f"""
+        WITH n AS (
+          SELECT {id_col}, {text_col} AS t,
+                 CASE WHEN length({text_col}) <= {chunk_chars}
+                      THEN CAST(1 AS BIGINT)
+                      ELSE CAST(1 + (length({text_col}) - {chunk_chars}
+                                     + {stride} - 1) // {stride} AS BIGINT)
+                 END AS n_chunks
+          FROM {table}),
+        e AS (
+          SELECT {id_col}, t, n_chunks,
+                 CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+          FROM n)
+        SELECT {id_col}, chunk_idx,
+               CAST(chunk_idx * {stride} AS BIGINT) AS chunk_start,
+               CAST(length(substr(t, CAST(chunk_idx * {stride} + 1 AS INT),
+                                  {chunk_chars})) AS BIGINT) AS chunk_len,
+               n_chunks,
+               substr(t, CAST(chunk_idx * {stride} + 1 AS INT),
+                      {chunk_chars}) AS chunk_text
+        FROM e
+    """
+
+
+def build_vocab(df: DataFrame, top_k: int, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
+    """P9: corpus vocabulary with coverage curve — the tokenizer-prep
+    step of a pretraining pipeline (pick a vocab size by reading off the
+    token-coverage ratio; audit OOV mass before training).
+
+    Tokens come from the shared whitespace tokenization
+    (functions/hashing.words — the same convention as P4 TF-IDF and the
+    T-family text stats, so vocab/tfidf/quality numbers are comparable).
+    Returns the ``top_k`` tokens by frequency:
+
+    ``(token, cnt, rank, cum_cnt, coverage)``
+
+    - ``rank``: 1-based by ``(cnt DESC, token ASC)`` — the token tiebreak
+      makes the cut at ``top_k`` deterministic and engine-portable;
+    - ``cum_cnt``: exact BIGINT running sum of ``cnt`` in rank order;
+    - ``coverage``: ``cum_cnt / total_tokens`` where ``total_tokens``
+      counts ALL token occurrences in the corpus (pre-``min_count``, so
+      coverage is the true fraction of the training stream the vocab
+      explains). One IEEE division of two exact integers — bitwise
+      reproducible in any engine.
+
+    Scale: the token count is ONE narrow exchange on the token key with
+    map-side partial aggregation (text never shuffles); the corpus total
+    is a scalar aggregate broadcast back (1 row). The rank/cumsum window
+    runs AFTER ``orderBy(...).limit(top_k)`` — a TakeOrderedAndProject
+    that ships only ``top_k`` rows — so the single-partition window is
+    O(top_k), bounded by the caller's parameter, never O(distinct
+    tokens). Same bounded-window convention as P3's partition-offset
+    scan (the ``pmod`` partition key keeps executor logs free of the
+    "No Partition Defined" warning).
+    """
+    if top_k < 1:
+        raise ValueError(f"build_vocab: top_k must be >= 1, got {top_k}")
+    if min_count < 1:
+        raise ValueError(
+            f"build_vocab: min_count must be >= 1, got {min_count}")
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.explode(H.words(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    if min_count > 1:
+        counts = counts.where(F.col("cnt") >= min_count)
+    total = toks.agg(F.count("*").alias("__total"))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+           .limit(top_k))
+    w = (Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1)))
+         .orderBy(F.col("cnt").desc(), F.col("token").asc()))
+    return (top.join(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("cum_cnt", F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("token", "cnt", "rank", "cum_cnt",
+                    (F.col("cum_cnt").cast("double")
+                     / F.col("__total").cast("double")).alias("coverage")))
+
+
+def build_vocab_sql_duckdb(top_k: int, table: str = "documents",
+                           text_col: str = "text",
+                           min_count: int = 1) -> str:
+    """DuckDB twin of :func:`build_vocab`: same tokenization macro, same
+    (cnt DESC, token ASC) total order, same exact-int cumsum and single
+    coverage division."""
+    from profet_spark.functions.hashing import WS_RE
+
+    duck_words = (f"list_filter(string_split_regex(lower({text_col}), "
+                  f"'{WS_RE}'), x -> x <> '')")
+    having = (f"HAVING count(*) >= {min_count}" if min_count > 1 else "")
+    return f"""
+        WITH w AS (SELECT unnest({duck_words}) AS token FROM {table}),
+        c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1 {having}),
+        t AS (SELECT count(*) AS total FROM w),
+        r AS (SELECT token, cnt,
+                     CAST(row_number() OVER
+                          (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+                     CAST(sum(cnt) OVER
+                          (ORDER BY cnt DESC, token
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum_cnt
+              FROM c)
+        SELECT token, cnt, rank, cum_cnt,
+               CAST(cum_cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+        FROM r CROSS JOIN t
+        WHERE rank <= {top_k}
+    """

@@ -473,3 +473,183 @@ def test_mixture_weights_down_and_drop(docs):
     assert (got.rep == 1).all()
     # strata absent from the mapping are dropped
     assert set(got.lang) == {"en"}
+
+
+# ------------------------------------------------------------------ P8
+
+def _chunk_ref(text: str, C: int, S: int) -> list[tuple[int, int, str]]:
+    """Serial reference: (chunk_idx, chunk_start, chunk_text)."""
+    L = len(text)
+    n = 1 if L <= C else 1 + -((L - C) // -S)  # ceil
+    return [(i, i * S, text[i * S:i * S + C]) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def chunk_docs(spark):
+    texts = [
+        "",                         # empty -> one empty chunk
+        "x",                        # single char
+        "a" * 10,                   # exactly chunk_chars (C=10 below)
+        "b" * 11,                   # one past the boundary
+        "c" * 25,                   # multi-chunk
+        "héllo wörld ünïcode " * 5,  # multi-byte: char semantics, not bytes
+        " \t\n" * 7,                # whitespace-only
+        "".join(chr(0x3041 + (i % 80)) for i in range(97)),  # hiragana
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_chunk_documents_matches_serial_reference(chunk_docs):
+    df, pdf = chunk_docs
+    C, S = 10, 7
+    got = (corpus.chunk_documents(df, chunk_chars=C, stride=S)
+           .toPandas().sort_values(["doc_id", "chunk_idx"]))
+    want = []
+    for _, r in pdf.iterrows():
+        for i, st, tx in _chunk_ref(r.text, C, S):
+            want.append((r.doc_id, i, st, len(tx), tx))
+    got_t = list(got[["doc_id", "chunk_idx", "chunk_start", "chunk_len",
+                      "chunk_text"]].itertuples(index=False, name=None))
+    assert got_t == want
+    # n_chunks is constant per doc and equals the emitted row count
+    per = got.groupby("doc_id").agg(n=("chunk_idx", "size"),
+                                    nc=("n_chunks", "max"))
+    assert (per.n == per.nc).all()
+
+
+def test_chunk_documents_coverage_and_tail_invariants(chunk_docs):
+    df, pdf = chunk_docs
+    C, S = 10, 7
+    got = (corpus.chunk_documents(df, chunk_chars=C, stride=S)
+           .toPandas().sort_values(["doc_id", "chunk_idx"]))
+    for doc_id, g in got.groupby("doc_id"):
+        text = pdf.loc[pdf.doc_id == doc_id, "text"].iloc[0]
+        # overlap-trimmed concat reconstructs the document exactly
+        rebuilt = "".join(
+            t if i == 0 else t[C - S:]
+            for i, t in zip(g.chunk_idx, g.chunk_text))
+        assert rebuilt == text
+        last = g.iloc[-1]
+        # the last chunk reaches the end of the document
+        assert last.chunk_start + last.chunk_len == max(len(text), 0) \
+            or (len(text) == 0 and last.chunk_len == 0)
+        # multi-chunk tails always carry NEW content beyond the overlap
+        if len(g) > 1:
+            assert last.chunk_len > C - S
+
+
+def test_chunk_documents_matches_duckdb_oracle(chunk_docs):
+    import duckdb
+
+    df, pdf = chunk_docs
+    C, S = 10, 7
+    got = (corpus.chunk_documents(df, chunk_chars=C, stride=S)
+           .toPandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (con.execute(corpus.chunk_documents_sql_duckdb(C, S)).df()
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64"}), want.astype({"doc_id": "int64"}),
+        check_dtype=False)
+
+
+def test_chunk_documents_validation(chunk_docs, spark):
+    df, _ = chunk_docs
+    with pytest.raises(ValueError, match="chunk_chars must be >= 1"):
+        corpus.chunk_documents(df, chunk_chars=0, stride=1)
+    with pytest.raises(ValueError, match="stride must be in"):
+        corpus.chunk_documents(df, chunk_chars=10, stride=0)
+    with pytest.raises(ValueError, match="stride must be in"):
+        corpus.chunk_documents(df, chunk_chars=10, stride=11)
+    with pytest.raises(ValueError, match="collision"):
+        corpus.chunk_documents(df.withColumn("chunk_idx", F.lit(1)),
+                               chunk_chars=10, stride=7)
+    nul = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [None]}),
+        schema="doc_id bigint, text string")
+    with pytest.raises(Exception, match="NULL text"):
+        corpus.chunk_documents(nul, chunk_chars=10, stride=7).collect()
+
+
+def test_chunk_documents_zero_shuffle_plan(chunk_docs):
+    df, _ = chunk_docs
+    plan = (corpus.chunk_documents(df, chunk_chars=10, stride=7)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Window" not in plan
+
+
+def test_chunk_documents_stride_equals_chunk_no_overlap(chunk_docs):
+    df, pdf = chunk_docs
+    got = (corpus.chunk_documents(df, chunk_chars=8, stride=8)
+           .toPandas().sort_values(["doc_id", "chunk_idx"]))
+    for doc_id, g in got.groupby("doc_id"):
+        text = pdf.loc[pdf.doc_id == doc_id, "text"].iloc[0]
+        assert "".join(g.chunk_text) == text
+
+
+# ------------------------------------------------------------------ P9
+
+def test_build_vocab_matches_counter_ground_truth(docs):
+    from collections import Counter
+
+    df, pdf = docs
+    K = 3
+    got = corpus.build_vocab(df, top_k=K).toPandas() \
+        .sort_values("rank").reset_index(drop=True)
+    cnt = Counter(w for t in pdf.text for w in t.lower().split() if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    total = sum(cnt.values())
+    assert list(got.token) == [t for t, _ in ranked]
+    assert list(got.cnt) == [c for _, c in ranked]
+    assert list(got["rank"]) == list(range(1, len(ranked) + 1))
+    cum = np.cumsum([c for _, c in ranked])
+    assert list(got.cum_cnt) == list(cum)
+    np.testing.assert_array_equal(got.coverage.values, cum / float(total))
+
+
+def test_build_vocab_matches_duckdb_oracle(docs):
+    import duckdb
+
+    df, pdf = docs
+    got = corpus.build_vocab(df, top_k=4).toPandas() \
+        .sort_values("rank").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (con.execute(corpus.build_vocab_sql_duckdb(4)).df()
+            .sort_values("rank").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # bitwise on the float column, not just allclose
+    assert got.coverage.values.tobytes() == want.coverage.values.tobytes()
+
+
+def test_build_vocab_min_count_and_validation(docs, spark):
+    df, pdf = docs
+    from collections import Counter
+
+    cnt = Counter(w for t in pdf.text for w in t.lower().split() if w)
+    floor = max(cnt.values())  # only the top token(s) survive
+    got = corpus.build_vocab(df, top_k=100, min_count=floor).toPandas()
+    assert set(got.cnt) == {floor}
+    # coverage denominator stays the FULL token stream (pre-filter)
+    total = sum(cnt.values())
+    assert got.sort_values("rank").coverage.iloc[-1] == pytest.approx(
+        got.cnt.sum() / total)
+    with pytest.raises(ValueError, match="top_k"):
+        corpus.build_vocab(df, top_k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        corpus.build_vocab(df, top_k=1, min_count=0)
+
+
+def test_build_vocab_bounded_window_plan(docs):
+    df, _ = docs
+    out = corpus.build_vocab(df, top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # top-k ships via TakeOrderedAndProject: the window never sees the
+    # full distinct-token space
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
