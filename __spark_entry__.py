@@ -1388,6 +1388,47 @@ def _q_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crop_x", "crop_y", "flip")
 
 
+_B3_EPOCHS = 2
+
+
+def _q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 deterministic per-epoch batch serving order
+    (operators/batching.py epoch_serving_order): a fresh global batch
+    permutation every epoch from the salted h32 of (epoch, batch
+    identity), with the dense position computed by the distributed
+    global_row_number (operators/ordering.py) — range exchange +
+    streaming Arrow scan + P x epochs offset window, NO data-sized
+    global window. Bitwise engine-portable (hash tiebroken by batch
+    identity)."""
+    plan = batching.plan_aspect_batches(
+        _planted_shapes(spark, sf_dir), id_col="event_id",
+        batch_size=_B1_BATCH, n_shards=_B1_SHARDS)
+    return batching.epoch_serving_order(plan, epochs=_B3_EPOCHS)
+
+
+def _b3_oracle_sql() -> str:
+    """DuckDB twin of _q_epoch_order: B1's distinct batch identities,
+    the same serve_key h32, row_number over (key, identity)."""
+    k = batching.serve_key_sql_duckdb(
+        ["aspect_bucket", "shard", "batch_id"])
+    return f"""
+        WITH b AS (
+          SELECT DISTINCT aspect_bucket, shard, batch_id
+          FROM ({{b1}})),
+        rep AS (
+          SELECT b.*, CAST(e.epoch AS BIGINT) AS epoch
+          FROM b, (SELECT unnest(range(1, {_B3_EPOCHS + 1})) AS epoch) e),
+        keyed AS (SELECT *, {k} AS serve_key FROM rep)
+        SELECT epoch, CAST(aspect_bucket AS BIGINT) AS aspect_bucket,
+               shard, batch_id, serve_key,
+               CAST(row_number() OVER (
+                 PARTITION BY epoch
+                 ORDER BY serve_key, aspect_bucket, shard, batch_id)
+                 - 1 AS BIGINT) AS serve_pos
+        FROM keyed
+    """
+
+
 _P7_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 3.0}
 
 
@@ -3114,7 +3155,13 @@ def _q_b1b2_batch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("s"), F.col("epoch").alias("i1"),
         F.col("crop_x").alias("i2"), F.col("crop_y").alias("i3"),
         F.col("flip").alias("i4"), F.lit(-1).cast("bigint").alias("i5"))
-    return b1.unionByName(b2)
+    b3 = _q_epoch_order(spark, sf_dir).select(
+        F.lit("b3").alias("part"), F.col("epoch").alias("e"),
+        F.lit("").alias("s"),
+        F.col("aspect_bucket").cast("bigint").alias("i1"),
+        F.col("shard").alias("i2"), F.col("batch_id").alias("i3"),
+        F.col("serve_key").alias("i4"), F.col("serve_pos").alias("i5"))
+    return b1.unionByName(b2).unionByName(b3)
 
 
 def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3400,6 +3447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # P8 chunking + P9 vocab (graded via p1p4_corpus_suite above)
         "p8_chunk_docs": _q_chunk_docs,
         "p9_vocab_topk": _q_vocab_topk,
+        # B3 epoch serving order (graded via b1b2_batch_suite above)
+        "b3_epoch_order": _q_epoch_order,
     }
 
 
@@ -4425,7 +4474,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(g_prio AS BIGINT)
         FROM ({d['a11_rollup']})
     """
-    # B1+B2 merged suite: both batch-tier oracles composed verbatim
+    # B3: serving order over B1's batch identities (same b1 oracle text)
+    d["b3_epoch_order"] = _b3_oracle_sql().format(
+        b1=d["b1_aspect_batches"])
+    # B1+B2+B3 merged suite: batch-tier oracles composed verbatim
     d["b1b2_batch_suite"] = f"""
         SELECT 'b1' AS part, event_id AS e, aspect_bucket_label AS s,
                CAST(aspect_bucket AS BIGINT) AS i1, shard AS i2,
@@ -4436,6 +4488,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'b2', event_id, '', epoch, crop_x, crop_y, flip,
                CAST(-1 AS BIGINT)
         FROM ({d['b2_augment_plan']})
+        UNION ALL
+        SELECT 'b3', epoch, '', aspect_bucket, shard, batch_id,
+               serve_key, serve_pos
+        FROM ({d['b3_epoch_order']})
     """
     # J4+J5 merged suite: both join oracles composed verbatim, tagged
     d["j4j5_range_anti_suite"] = f"""

@@ -317,3 +317,79 @@ def augment_param_sql_duckdb(tag: str, span_expr: str, id_expr: str,
     key = (f"'{salt}:{tag}:' || CAST({epoch_expr} AS VARCHAR) || ':' || "
            f"CAST({id_expr} AS VARCHAR)")
     return f"({H.h32_sql_duckdb(key)} % ({span_expr}))"
+
+
+def epoch_serving_order(plan: DataFrame, epochs: int,
+                        batch_cols: Sequence[str]
+                        = ("aspect_bucket", "shard", "batch_id"),
+                        salt: str = "serve",
+                        n_partitions: int | None = None) -> DataFrame:
+    """B3: deterministic per-epoch batch serving order — the loader-side
+    shuffle. Training wants a DIFFERENT global batch permutation every
+    epoch, identical on every rerun (bitwise-reproducible training) and
+    on every worker (no coordinator broadcast of a permutation array).
+
+    Input is a B1 plan (or any frame containing ``batch_cols``); one
+    output row per (epoch, batch):
+
+    ``(epoch, *batch_cols, serve_key, serve_pos)``
+
+    - ``serve_key``: ``h32(salt:epoch:bucket:shard:batch)`` — a pure
+      function of (salt, epoch, batch identity), so epoch permutations
+      are independent draws yet fully reproducible;
+    - ``serve_pos``: dense 0-based position of the batch within its
+      epoch under ``(serve_key, *batch_cols)`` — the hash tiebroken by
+      the batch identity, making the total order engine-portable even
+      across h32 collisions.
+
+    Scale: batches are ``rows/batch_size`` — still data-sized, so the
+    position comes from :func:`operators.ordering.global_row_number`
+    (range exchange + streaming Arrow scan + P x epochs offset window),
+    NOT a global ``row_number`` window; the only other exchange is the
+    batch-key distinct. The loader reads ``ORDER BY epoch, serve_pos``
+    (or range-partitions by ``serve_pos`` for striped consumption).
+
+    Reference parity: ProFET shuffles with sklearn's in-memory RNG
+    state ([R] Model_trainer.py train_test_split / CV folds) — nothing
+    distributed or replayable; this is the task-mandated training-data
+    tier's reproducibility analog of B2's augmentation plan.
+    """
+    from profet_spark.operators.ordering import global_row_number
+
+    if epochs < 1:
+        raise ValueError("epoch_serving_order: epochs must be >= 1")
+    batch_cols = list(batch_cols)
+    missing = [c for c in batch_cols if c not in plan.columns]
+    if missing:
+        raise ValueError(
+            f"epoch_serving_order: batch_cols {missing} not on the input "
+            f"(has {plan.columns}) — pass the B1 plan_aspect_batches "
+            "output or name your batch identity columns")
+    for c in ("epoch", "serve_key", "serve_pos"):
+        if c in plan.columns:
+            raise ValueError(
+                f"epoch_serving_order: column {c!r} already exists on the "
+                "input — rename it first")
+    batches = plan.select(*batch_cols).distinct()
+    rep = (batches
+           .withColumn("epoch",
+                       F.explode(F.sequence(F.lit(1), F.lit(epochs))))
+           .withColumn("epoch", F.col("epoch").cast("bigint")))
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col("epoch").cast("string"),
+        *[F.col(c).cast("string") for c in batch_cols])
+    rep = rep.withColumn("serve_key", H.h32(key))
+    out = global_row_number(
+        rep, order_cols=["serve_key"] + batch_cols, group_cols=["epoch"],
+        out_col="serve_pos", n_partitions=n_partitions)
+    return out.select("epoch", *batch_cols, "serve_key", "serve_pos")
+
+
+def serve_key_sql_duckdb(batch_cols: Sequence[str],
+                         epoch_expr: str = "epoch",
+                         salt: str = "serve") -> str:
+    """DuckDB twin of B3's serve_key (same concat layout, same h32)."""
+    parts = f"'{salt}' || ':' || CAST({epoch_expr} AS VARCHAR)"
+    for c in batch_cols:
+        parts += f" || ':' || CAST({c} AS VARCHAR)"
+    return H.h32_sql_duckdb(parts)

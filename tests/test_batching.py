@@ -276,3 +276,88 @@ def test_spark_bucket_equals_python_int_key(spark):
     got = B.assign_aspect_buckets(df).toPandas().set_index("image_id")
     for i, w, h in rows:
         assert got.loc[i, "aspect_bucket"] == _int_key_bucket(w, h)
+
+
+# ------------------------------------------------------------- B3 serving
+
+def test_serving_order_matches_hash_rank_ground_truth(imgs):
+    df, _ = imgs
+    plan = B.plan_aspect_batches(df, batch_size=16, n_shards=4)
+    got = B.epoch_serving_order(plan, epochs=3).toPandas()
+    batches = (plan.select("aspect_bucket", "shard", "batch_id")
+               .distinct().toPandas())
+    n_batches = len(batches)
+    for epoch in (1, 2, 3):
+        g = got[got.epoch == epoch]
+        assert len(g) == n_batches
+        # ground truth: sort by (h32 key, batch identity)
+        keys = batches.apply(
+            lambda r: (_h32(f"serve:{epoch}:{r.aspect_bucket}:{r.shard}"
+                            f":{r.batch_id}"),
+                       r.aspect_bucket, r.shard, r.batch_id), axis=1)
+        want = batches.assign(k=keys).sort_values("k").reset_index(drop=True)
+        want["serve_pos"] = range(len(want))
+        m = g.merge(want, on=["aspect_bucket", "shard", "batch_id"],
+                    suffixes=("", "_w"))
+        assert (m.serve_pos == m.serve_pos_w).all()
+        assert (m.serve_key == m.k.map(lambda t: t[0])).all()
+        # dense permutation of [0, n_batches)
+        assert sorted(g.serve_pos) == list(range(n_batches))
+
+
+def test_serving_order_epochs_are_distinct_permutations(imgs):
+    df, _ = imgs
+    plan = B.plan_aspect_batches(df, batch_size=16, n_shards=4)
+    got = B.epoch_serving_order(plan, epochs=2).toPandas()
+    p1 = (got[got.epoch == 1]
+          .sort_values(["aspect_bucket", "shard", "batch_id"])
+          .serve_pos.tolist())
+    p2 = (got[got.epoch == 2]
+          .sort_values(["aspect_bucket", "shard", "batch_id"])
+          .serve_pos.tolist())
+    assert p1 != p2   # different epochs shuffle differently
+    # rerun is bitwise identical (pure function of salt/epoch/identity)
+    again = B.epoch_serving_order(plan, epochs=2).toPandas()
+    m = got.merge(again, on=["epoch", "aspect_bucket", "shard", "batch_id"],
+                  suffixes=("", "_2"))
+    assert (m.serve_pos == m.serve_pos_2).all()
+
+
+def test_serving_order_matches_duckdb_oracle(imgs):
+    import duckdb
+
+    df, _ = imgs
+    plan = B.plan_aspect_batches(df, batch_size=16, n_shards=4)
+    got = (B.epoch_serving_order(plan, epochs=2).toPandas()
+           .sort_values(["epoch", "serve_pos"]).reset_index(drop=True))
+    bpdf = (plan.select("aspect_bucket", "shard", "batch_id")
+            .distinct().toPandas())
+    con = duckdb.connect()
+    con.register("batches", bpdf)
+    cols = ["aspect_bucket", "shard", "batch_id"]
+    k = B.serve_key_sql_duckdb(cols)
+    want = con.execute(f"""
+        WITH rep AS (
+          SELECT b.*, CAST(e.epoch AS BIGINT) AS epoch
+          FROM batches b, (SELECT unnest(range(1, 3)) AS epoch) e),
+        keyed AS (SELECT *, {k} AS serve_key FROM rep)
+        SELECT epoch, aspect_bucket, shard, batch_id, serve_key,
+               CAST(row_number() OVER (
+                 PARTITION BY epoch
+                 ORDER BY serve_key, aspect_bucket, shard, batch_id)
+                 - 1 AS BIGINT) AS serve_pos
+        FROM keyed ORDER BY epoch, serve_pos
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_serving_order_validation(imgs):
+    df, _ = imgs
+    plan = B.plan_aspect_batches(df, batch_size=16, n_shards=4)
+    with pytest.raises(ValueError, match="epochs"):
+        B.epoch_serving_order(plan, epochs=0)
+    with pytest.raises(ValueError, match="batch_cols"):
+        B.epoch_serving_order(df, epochs=1)  # no plan columns
+    with pytest.raises(ValueError, match="already exists"):
+        B.epoch_serving_order(plan.withColumn("serve_pos", F.lit(1)),
+                              epochs=1)
