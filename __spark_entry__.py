@@ -2381,6 +2381,33 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(left, right, key_cols=["event_id"])
 
 
+_S12_CUTOFF = "2024-01-10"
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 TTL retention (sources/partitioned.py:expire_partitions),
+    driver-graded end to end: materialize events into a hidden-
+    partitioned store (fresh temp dir), expire every day-partition
+    strictly older than the cutoff (pure metadata: directory listing +
+    parquet-footer row metrics, no Spark job, survivors byte-identical
+    — pinned in tests/test_partitioned.py), and return the surviving
+    table. The oracle applies the same closed-left day predicate to the
+    raw table: retention must equal a day filter, exactly."""
+    import tempfile
+
+    from profet_spark.sources import partitioned as P
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("val"))
+    out = tempfile.mkdtemp(prefix="s12_retain_")
+    P.write_partitioned(ev, out, ts_col="ts", entity_col="user_id",
+                        n_buckets=4)
+    P.expire_partitions(spark, out, older_than=_S12_CUTOFF)
+    return (spark.read.parquet(out)
+            .select("event_id", "user_id", "ts", "val"))
+
+
 def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 Iceberg-style hidden partitioning, driver-graded end to end:
     write events through the days(ts) x bucket(8, user_id) partition spec
@@ -2980,16 +3007,17 @@ def _q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8+S9+S10 merged suite, driver-graded end to end: the incremental
-    upsert (dynamic partition overwrite, merged table equals the
-    recomputed one), the small-file compaction (content-invariant
-    rewrite), and the incremental feature backfill (watermark-delta
+    """S8+S9+S10+S12 merged suite, driver-graded end to end: the
+    incremental upsert (dynamic partition overwrite, merged table equals
+    the recomputed one), the small-file compaction (content-invariant
+    rewrite), the incremental feature backfill (watermark-delta
     recompute with lookback context equals the full-history recompute,
-    parts s10n/s10s) — every component runs its full
+    parts s10n/s10s), and the TTL retention (day-partition expiry equals
+    a closed-left day filter, part s12) — every component runs its full
     write→maintain→read-back cycle against fresh temp stores; file-level
     mechanics (byte-identity of untouched partitions,
-    one-file-per-victim, one-day watermark probe) are pinned in
-    tests/test_partitioned.py."""
+    one-file-per-victim, one-day watermark probe, metadata-only expiry)
+    are pinned in tests/test_partitioned.py."""
     s8 = _q_upsert_merge(spark, sf_dir).select(
         F.lit("s8").alias("part"), "event_id", "user_id", "ts", "val")
     s9 = _q_compaction(spark, sf_dir).select(
@@ -3001,7 +3029,10 @@ def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     s10s = s10.select(
         F.lit("s10s").alias("part"), "event_id", "user_id", "ts",
         F.col("w3_sum").cast("double").alias("val"))
-    return s8.unionByName(s9).unionByName(s10n).unionByName(s10s)
+    s12 = _q_retention(spark, sf_dir).select(
+        F.lit("s12").alias("part"), "event_id", "user_id", "ts", "val")
+    return (s8.unionByName(s9).unionByName(s10n).unionByName(s10s)
+            .unionByName(s12))
 
 
 def _q_stream_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3449,6 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_vocab_topk": _q_vocab_topk,
         # B3 epoch serving order (graded via b1b2_batch_suite above)
         "b3_epoch_order": _q_epoch_order,
+        # S12 TTL retention (graded via s8s9_store_maintenance above)
+        "s12_retention": _q_retention,
     }
 
 
@@ -4155,6 +4188,12 @@ def oracle_sql() -> dict[str, str]:
         FROM ({d['c9_json_props']})
     """
     # S8+S9 merged suite: both maintenance oracles verbatim, tagged
+    # S12: retention == a closed-left day filter over the raw table
+    d["s12_retention"] = f"""
+        SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS val
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '{_S12_CUTOFF}'
+    """
     d["s8s9_store_maintenance"] = f"""
         SELECT 's8' AS part, event_id, user_id, ts, val
         FROM ({d['s8_upsert_merge']})
@@ -4167,6 +4206,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 's10s', event_id, user_id, ts, CAST(w3_sum AS DOUBLE)
         FROM ({d['s10_incremental_backfill']})
+        UNION ALL
+        SELECT 's12', event_id, user_id, ts, val
+        FROM ({d['s12_retention']})
     """
     # §2.9 merged streaming suites: each part grades against the SAME
     # SQL as its standalone twin (composed verbatim), so one driver row

@@ -703,3 +703,81 @@ def store_diff(spark: SparkSession, left_dir: str, right_dir: str,
     return snapshot_diff(left, right, key_cols=lk,
                          compare_cols=compare_cols,
                          include_unchanged=include_unchanged, mode=mode)
+
+
+def expire_partitions(spark: SparkSession, out_dir: str,
+                      older_than=None, keep_days: int | None = None,
+                      dry_run: bool = False) -> dict:
+    """S12: TTL retention — drop whole day-partitions strictly older
+    than a cutoff (the GDPR/compliance + storage-cost maintenance pass;
+    the production twin is Iceberg's ``expire_snapshots`` +
+    ``delete_orphan_files`` driven off a partition-level retention
+    policy).
+
+    Exactly one of:
+
+    - ``older_than``: the cutoff day — a ``'yyyy-MM-dd'`` string or a
+      date/datetime; day-partitions with ``day < cutoff`` are dropped
+      (the cutoff day itself is KEPT — retention windows are closed on
+      the left, so "older than 2024-01-10" never deletes Jan 10);
+    - ``keep_days``: keep the newest N day-partitions PRESENT in the
+      store (calendar gaps don't shrink the retained history).
+
+    Pure metadata operation at any scale: victim discovery is the
+    O(day-partitions) directory listing (``_day_dirs`` — the parquet
+    analog of reading Iceberg's partition summary), the dropped-row
+    metric comes from parquet FOOTERS via pyarrow (exact, O(files),
+    zero data pages read — same mechanism as sources/stats.py), and the
+    deletion is a directory remove. No Spark job runs; nothing is
+    rewritten, so surviving partitions are byte-identical by
+    construction (pinned in tests/test_partitioned.py).
+
+    ``dry_run=True`` reports the victims without deleting — the audit
+    step a production retention job logs before acting. Returns
+    ``{"days_dropped": [...], "partitions_dropped": n_bucket_dirs,
+    "files_dropped": n, "rows_dropped": n, "dry_run": bool}``.
+    """
+    if read_spec(out_dir) is None:
+        raise ValueError(
+            "expire_partitions: no _partition_spec.json — not a "
+            "write_partitioned store")
+    if (older_than is None) == (keep_days is None):
+        raise ValueError(
+            "expire_partitions: pass exactly one of older_than / "
+            "keep_days (an unbounded retention delete is almost "
+            "certainly a bug)")
+    days = _day_dirs(out_dir)
+    if older_than is not None:
+        cutoff = (older_than if isinstance(older_than, str)
+                  else _day_str(older_than))
+        if len(cutoff) != 10 or cutoff[4] != "-" or cutoff[7] != "-":
+            raise ValueError(
+                f"expire_partitions: older_than must be 'yyyy-MM-dd' "
+                f"(got {cutoff!r}) — lexicographic day comparison "
+                "requires the zero-padded ISO form")
+        victims = [d for d in days if d < cutoff]
+    else:
+        if keep_days < 1:
+            raise ValueError(
+                f"expire_partitions: keep_days must be >= 1, got "
+                f"{keep_days} (0 would delete the whole store)")
+        victims = days[:-keep_days] if len(days) > keep_days else []
+    import pyarrow.parquet as pq
+
+    n_parts = n_files = n_rows = 0
+    for day in victims:
+        day_dir = os.path.join(out_dir, f"{DAY_COL}={day}")
+        for root, _dirs, files in os.walk(day_dir):
+            if f"{BUCKET_COL}=" in os.path.basename(root):
+                n_parts += 1
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    n_files += 1
+                    n_rows += pq.ParquetFile(
+                        os.path.join(root, f)).metadata.num_rows
+    if not dry_run:
+        for day in victims:
+            shutil.rmtree(os.path.join(out_dir, f"{DAY_COL}={day}"))
+    return {"days_dropped": victims, "partitions_dropped": n_parts,
+            "files_dropped": n_files, "rows_dropped": n_rows,
+            "dry_run": dry_run}

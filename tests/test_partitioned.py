@@ -747,3 +747,82 @@ def test_store_diff_after_incremental_materialize(spark, tmp_path):
 def test_store_diff_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="_partition_spec"):
         P.store_diff(spark, str(tmp_path / "a"), str(tmp_path / "b"))
+
+
+# ----------------------------------------------------------- S12 retention
+
+
+def test_expire_drops_old_days_keeps_cutoff_and_survivors_bytes(
+        spark, tmp_path):
+    ev = _upsert_fixture(spark)
+    d = str(tmp_path / "store")
+    P.write_partitioned(ev, d, ts_col="ts", entity_col="user_id",
+                        n_buckets=4)
+    days = P._day_dirs(d)
+    assert len(days) >= 3, "fixture must span several days"
+    cutoff = days[1]
+    # survivors' file bytes must not move: retention never rewrites
+    keep_files = {}
+    for root, _dirs, files in os.walk(d):
+        if "_p_day=" in root:
+            day = root.split("_p_day=")[1].split(os.sep)[0]
+            if day >= cutoff:
+                for f in files:
+                    p = os.path.join(root, f)
+                    keep_files[p] = os.stat(p).st_mtime_ns
+    want_drop = ev.where(
+        F.to_date("ts") < F.lit(cutoff).cast("date")).count()
+    stats = P.expire_partitions(spark, d, older_than=cutoff)
+    assert stats["days_dropped"] == [days[0]]
+    assert stats["rows_dropped"] == want_drop > 0
+    assert stats["partitions_dropped"] > 0
+    assert P._day_dirs(d) == days[1:]   # cutoff day itself KEPT
+    for p, mtime in keep_files.items():
+        assert os.path.exists(p) and os.stat(p).st_mtime_ns == mtime
+    got = spark.read.parquet(d).drop(P.DAY_COL, P.BUCKET_COL)
+    exp = ev.where(F.to_date("ts") >= F.lit(cutoff).cast("date"))
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # the spec survives retention
+    assert P.read_spec(d)["n_buckets"] == 4
+
+
+def test_expire_keep_days_and_dry_run(spark, tmp_path):
+    ev = _upsert_fixture(spark)
+    d = str(tmp_path / "store")
+    P.write_partitioned(ev, d, ts_col="ts", entity_col="user_id",
+                        n_buckets=2)
+    days = P._day_dirs(d)
+    dry = P.expire_partitions(spark, d, keep_days=2, dry_run=True)
+    assert dry["dry_run"] is True
+    assert dry["days_dropped"] == days[:-2]
+    assert P._day_dirs(d) == days  # nothing deleted
+    wet = P.expire_partitions(spark, d, keep_days=2)
+    assert wet["days_dropped"] == dry["days_dropped"]
+    assert wet["rows_dropped"] == dry["rows_dropped"] > 0
+    assert P._day_dirs(d) == days[-2:]
+    # keeping more days than exist is a no-op, not an error
+    none = P.expire_partitions(spark, d, keep_days=100)
+    assert none["days_dropped"] == [] and none["rows_dropped"] == 0
+
+
+def test_expire_validation(spark, tmp_path):
+    ev = _upsert_fixture(spark)
+    d = str(tmp_path / "store")
+    P.write_partitioned(ev, d, ts_col="ts", entity_col="user_id",
+                        n_buckets=2)
+    with pytest.raises(ValueError, match="exactly one"):
+        P.expire_partitions(spark, d)
+    with pytest.raises(ValueError, match="exactly one"):
+        P.expire_partitions(spark, d, older_than="2024-01-10", keep_days=1)
+    with pytest.raises(ValueError, match="keep_days must be >= 1"):
+        P.expire_partitions(spark, d, keep_days=0)
+    with pytest.raises(ValueError, match="yyyy-MM-dd"):
+        P.expire_partitions(spark, d, older_than="1/10/2024")
+    with pytest.raises(ValueError, match="not a"):
+        P.expire_partitions(spark, str(tmp_path / "nope"),
+                            older_than="2024-01-10")
+    # date/datetime cutoffs accepted via _day_str
+    out = P.expire_partitions(
+        spark, d, older_than=datetime.date(2000, 1, 1))
+    assert out["days_dropped"] == []
