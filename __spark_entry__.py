@@ -3195,14 +3195,54 @@ def _q_b1b2_batch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b1.unionByName(b2).unionByName(b3)
 
 
+def _q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1 declarative data-quality audit
+    (operators/quality.py:check_constraints): four contract checks over
+    the events table compiled into ONE aggregate pass — a not-null, a
+    closed range, an injective-fingerprint uniqueness, and an in-set
+    membership — chosen so the report is non-vacuous (range and set
+    membership FAIL on this data, the others pass). Plan shape
+    (partial+final agg, the single-distinct narrow md5 exchange, no
+    Expand) is pinned in tests/test_quality.py; the oracle recomputes
+    every count with DuckDB FILTER aggregates and the same netstring-md5
+    fingerprint."""
+    from profet_spark.operators import quality as Q
+
+    ev = _events(spark, sf_dir)
+    return Q.check_constraints(ev, [
+        Q.not_null("user_id"),
+        Q.in_range("value", 0, 100),
+        Q.unique("event_id"),
+        Q.in_set("event_type", ["click", "view", "purchase"]),
+    ])
+
+
+def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2 shuffle-planning skew histogram
+    (operators/quality.py:skew_profile): the 20 heaviest user_id keys of
+    the events table with exact basis-point share and the recommended
+    per-key salt fan-out at 32 shuffle partitions — the measured input
+    to the salted as-of strategy (operators/asof.py). One partial-agg
+    key shuffle + broadcast totals + TakeOrderedAndProject (plan pinned
+    in tests/test_quality.py). NULL keys are filtered on BOTH sides:
+    Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST, so a null key
+    row would make the tie order engine-dependent."""
+    from profet_spark.operators import quality as Q
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    return Q.skew_profile(ev, "user_id", top_n=20, num_partitions=32)
+
+
 def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6+T6 merged suite — the round-4 corpus-hygiene tier in one
-    driver-graded row: benchmark decontamination (train docs sharing a
-    word 3-gram with the held-out test split) and PII scrubbing (typed
-    masks + per-row counts over planted deterministic PII), part-tagged
-    in one generic (part, e, s, i1-i4) layout. Each part grades against
-    the SAME SQL as its standalone key (composed verbatim in
-    oracle_sql); components stay registered at 51+ and mirror-graded."""
+    """P6+T6+DQ1+DQ2 merged suite — the round-4 corpus-hygiene tier plus
+    the data-quality/skew pre-flight in one driver-graded row: benchmark
+    decontamination (train docs sharing a word 3-gram with the held-out
+    test split), PII scrubbing (typed masks + per-row counts over
+    planted deterministic PII), the one-pass constraint audit, and the
+    skew histogram, part-tagged in one generic (part, e, s, i1-i4)
+    layout. Each part grades against the SAME SQL as its standalone key
+    (composed verbatim in oracle_sql); components stay registered at 51+
+    and mirror-graded."""
     i64 = lambda c: F.col(c).cast("bigint")  # noqa: E731
     p6 = _q_decontaminate(spark, sf_dir).select(
         F.lit("p6").alias("part"), i64("doc_id").alias("e"),
@@ -3215,7 +3255,18 @@ def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text_scrubbed").alias("s"), i64("n_pii_email").alias("i1"),
         i64("n_pii_ssn").alias("i2"), i64("n_pii_ipv4").alias("i3"),
         i64("n_pii_phone").alias("i4"))
-    return p6.unionByName(t6)
+    dq1 = _q_constraint_audit(spark, sf_dir).select(
+        F.lit("dq1").alias("part"), F.col("idx").cast("bigint").alias("e"),
+        F.col("constraint_name").alias("s"), i64("rows").alias("i1"),
+        i64("violations").alias("i2"),
+        F.col("passed").cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
+    dq2 = _q_skew_profile(spark, sf_dir).select(
+        F.lit("dq2").alias("part"), i64("rank").alias("e"),
+        F.col("user_id").cast("string").alias("s"), i64("cnt").alias("i1"),
+        i64("share_bp").alias("i2"), i64("salt").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
+    return p6.unionByName(t6).unionByName(dq1).unionByName(dq2)
 
 
 def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3482,6 +3533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_epoch_order": _q_epoch_order,
         # S12 TTL retention (graded via s8s9_store_maintenance above)
         "s12_retention": _q_retention,
+        # DQ1+DQ2 data-quality audit + skew profile (graded via
+        # hygiene_suite above)
+        "dq1_constraint_audit": _q_constraint_audit,
+        "dq2_skew_profile": _q_skew_profile,
     }
 
 
@@ -4556,6 +4611,42 @@ def oracle_sql() -> dict[str, str]:
         FROM ({d['a8_scalar_features']})
     """
     # P6+T6 hygiene suite: both component oracles composed verbatim
+    # DQ1: every count recomputed with FILTER aggregates + the same
+    # injective netstring-md5 fingerprint for the uniqueness check
+    d["dq1_constraint_audit"] = """
+        WITH agg AS (
+          SELECT COUNT(*) AS n,
+                 COUNT(*) FILTER (user_id IS NULL) AS v0,
+                 COUNT(*) FILTER (value IS NOT NULL
+                                  AND (value < 0 OR value > 100)) AS v1,
+                 COUNT(*) - COUNT(DISTINCT md5(CASE WHEN event_id IS NULL
+                     THEN 'n' ELSE 'v' || length(CAST(event_id AS VARCHAR))
+                     || ':' || CAST(event_id AS VARCHAR) END)) AS v2,
+                 COUNT(*) FILTER (event_type IS NOT NULL AND event_type
+                     NOT IN ('click', 'view', 'purchase')) AS v3
+          FROM events)
+        SELECT 0 AS idx, 'not_null(user_id)' AS constraint_name,
+               'user_id' AS "column", n AS rows, v0 AS violations,
+               v0 = 0 AS passed FROM agg
+        UNION ALL SELECT 1, 'in_range(value,0,100)', 'value', n, v1,
+               v1 = 0 FROM agg
+        UNION ALL SELECT 2, 'unique(event_id)', 'event_id', n, v2,
+               v2 = 0 FROM agg
+        UNION ALL SELECT 3, 'in_set(event_type)', 'event_type', n, v3,
+               v3 = 0 FROM agg
+    """
+    # DQ2: exact integer share/salt arithmetic (// == Spark's DIV);
+    # SUM(cnt) is cast back to BIGINT (DuckDB sums BIGINT into HUGEINT)
+    d["dq2_skew_profile"] = """
+        WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+                   WHERE user_id IS NOT NULL GROUP BY user_id),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
+        r AS (SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank,
+                     user_id, cnt, cnt * 10000 // tot AS share_bp,
+                     (cnt * 32 + tot - 1) // tot AS salt
+              FROM c, t)
+        SELECT rank, user_id, cnt, share_bp, salt FROM r WHERE rank <= 20
+    """
     d["hygiene_suite"] = f"""
         SELECT 'p6' AS part, CAST(doc_id AS BIGINT) AS e, '' AS s,
                CAST(n_shingles AS BIGINT) AS i1,
@@ -4567,6 +4658,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_pii_email AS BIGINT), CAST(n_pii_ssn AS BIGINT),
                CAST(n_pii_ipv4 AS BIGINT), CAST(n_pii_phone AS BIGINT)
         FROM ({d['t6_pii_scrub']})
+        UNION ALL
+        SELECT 'dq1', CAST(idx AS BIGINT), constraint_name,
+               CAST(rows AS BIGINT), CAST(violations AS BIGINT),
+               CAST(passed AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['dq1_constraint_audit']})
+        UNION ALL
+        SELECT 'dq2', CAST(rank AS BIGINT), CAST(user_id AS VARCHAR),
+               CAST(cnt AS BIGINT), CAST(share_bp AS BIGINT),
+               CAST(salt AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['dq2_skew_profile']})
     """
     return d
 

@@ -116,6 +116,7 @@ def test_grading_window_covers_every_operator_family():
         "j2_broadcast_join", "j3_asof_join", "j4j5_range_anti_suite",
         "fm_training_matrix", "e2e_training_pipeline",
         # corpus hygiene (P6 decontamination + T6 PII scrub, round 4)
+        # + data quality / skew pre-flight (DQ1+DQ2 parts, round 4)
         "hygiene_suite",
         # aggregations / descriptors (A12-A14, A7+A8, A10+A11 merged
         # round 4)
