@@ -3233,16 +3233,60 @@ def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.skew_profile(ev, "user_id", top_n=20, num_partitions=32)
 
 
+# P10 per-key cap + L1 z-order layout constants (shared with the oracle)
+_P10_CAP, _P10_SALT = 7, "cap-r4"
+_L1_BITS, _L1_BUCKETS = 16, 16
+_L1_DIMS = {"user_id": (0, 150), "sec": (0, 86399)}
+
+
+def _q_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 per-key frequency capping (operators/corpus.py cap_per_key):
+    keep the 7 'fairest' docs per source — ranked by the salted portable
+    h32 of the doc id, so the kept set is a uniform deterministic sample,
+    stable across engines/cluster sizes. The hot-key hazard (row_number
+    over a domain with 10^9 pages) is bounded by the exact hash-threshold
+    pre-filter: survivors ~ cap*margin per key REGARDLESS of key size,
+    with an in-plan assert_true guard for the vanishingly-rare margin
+    bust (plan + losslessness pinned in tests/test_corpus.py). ProFET has
+    no corpus-mix control; this is the C4/RefinedWeb per-domain cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.cap_per_key(docs, "source", cap=_P10_CAP,
+                              id_col="doc_id", salt=_P10_SALT, mode="rank")
+
+
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 z-order layout + skipping audit (operators/layout.py): Morton-
+    interleave (user_id, second-of-day) into one exact-int key, bucket it
+    with the deterministic equal-width DIV (no sampled boundaries), and
+    return the per-bucket min/max spans a min/max-pruning planner reads
+    from parquet footers — the OPTIMIZE ZORDER step as a graded operator.
+    All arithmetic is shift/AND/OR/div on BIGINT, bitwise equal in the
+    DuckDB twin; the key projection is a zero-exchange codegen'd chain
+    and the audit is ONE hash aggregate (plans pinned in
+    tests/test_layout.py)."""
+    from profet_spark.operators import layout as LY
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000) % 86400")
+        .alias("sec"))
+    c = LY.cluster_by_zorder(ev, _L1_DIMS, n_buckets=_L1_BUCKETS,
+                             bits=_L1_BITS)
+    return LY.layout_audit(c, ["user_id", "sec"])
+
+
 def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6+T6+DQ1+DQ2 merged suite — the round-4 corpus-hygiene tier plus
-    the data-quality/skew pre-flight in one driver-graded row: benchmark
-    decontamination (train docs sharing a word 3-gram with the held-out
-    test split), PII scrubbing (typed masks + per-row counts over
-    planted deterministic PII), the one-pass constraint audit, and the
-    skew histogram, part-tagged in one generic (part, e, s, i1-i4)
-    layout. Each part grades against the SAME SQL as its standalone key
-    (composed verbatim in oracle_sql); components stay registered at 51+
-    and mirror-graded."""
+    """P6+T6+DQ1+DQ2+P10+L1 merged suite — the round-4 corpus-hygiene
+    tier plus the data-quality/skew/layout pre-flight in one
+    driver-graded row: benchmark decontamination (train docs sharing a
+    word 3-gram with the held-out test split), PII scrubbing (typed
+    masks + per-row counts over planted deterministic PII), the one-pass
+    constraint audit, the skew histogram, the per-source frequency cap
+    (part p10), and the z-order layout audit (parts zxu/zxs — user and
+    second-of-day spans per bucket), part-tagged in one generic
+    (part, e, s, i1-i4) layout. Each part grades against the SAME SQL as
+    its standalone key (composed verbatim in oracle_sql); components
+    stay registered at 51+ and mirror-graded."""
     i64 = lambda c: F.col(c).cast("bigint")  # noqa: E731
     p6 = _q_decontaminate(spark, sf_dir).select(
         F.lit("p6").alias("part"), i64("doc_id").alias("e"),
@@ -3266,7 +3310,25 @@ def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("s"), i64("cnt").alias("i1"),
         i64("share_bp").alias("i2"), i64("salt").alias("i3"),
         F.lit(-1).cast("bigint").alias("i4"))
-    return p6.unionByName(t6).unionByName(dq1).unionByName(dq2)
+    p10 = _q_cap_per_key(spark, sf_dir).select(
+        F.lit("p10").alias("part"), i64("doc_id").alias("e"),
+        F.col("source").alias("s"), i64("cap_rank").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"),
+        F.lit(-1).cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
+    zx = _q_zorder_layout(spark, sf_dir)
+    zxu = zx.select(
+        F.lit("zxu").alias("part"), i64("zbucket").alias("e"),
+        F.lit("").alias("s"), i64("n_rows").alias("i1"),
+        i64("user_id_min").alias("i2"), i64("user_id_max").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
+    zxs = zx.select(
+        F.lit("zxs").alias("part"), i64("zbucket").alias("e"),
+        F.lit("").alias("s"), i64("n_rows").alias("i1"),
+        i64("sec_min").alias("i2"), i64("sec_max").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
+    return (p6.unionByName(t6).unionByName(dq1).unionByName(dq2)
+            .unionByName(p10).unionByName(zxu).unionByName(zxs))
 
 
 def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3537,6 +3599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hygiene_suite above)
         "dq1_constraint_audit": _q_constraint_audit,
         "dq2_skew_profile": _q_skew_profile,
+        # P10 per-key cap + L1 z-order layout audit (graded via
+        # hygiene_suite above)
+        "p10_cap_per_key": _q_cap_per_key,
+        "l1_zorder_layout": _q_zorder_layout,
     }
 
 
@@ -4647,6 +4713,30 @@ def oracle_sql() -> dict[str, str]:
               FROM c, t)
         SELECT rank, user_id, cnt, share_bp, salt FROM r WHERE rank <= 20
     """
+    # P10: exact top-cap by (h32(salt:id), id) per key — the Spark
+    # two-step (hash-threshold pre-filter + guarded rank) reproduces the
+    # plain full-partition rank bitwise.
+    from profet_spark.operators.corpus import cap_per_key_sql_duckdb
+    d["p10_cap_per_key"] = cap_per_key_sql_duckdb(
+        "source", _P10_CAP, "doc_id", _P10_SALT, "documents")
+    # L1: same clamp/normalize/interleave/bucket arithmetic (all
+    # shift/AND/OR and truncating int division on BIGINT).
+    from profet_spark.operators.layout import (zbucket_sql_duckdb,
+                                               zorder_key_sql_duckdb)
+    _zo = zorder_key_sql_duckdb(_L1_DIMS, _L1_BITS)
+    _zb = zbucket_sql_duckdb("zkey", _L1_BUCKETS, len(_L1_DIMS), _L1_BITS)
+    d["l1_zorder_layout"] = f"""
+        WITH e AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 1000000) % 86400 AS sec
+          FROM events),
+        z AS (SELECT user_id, sec, {_zo} AS zkey FROM e),
+        b AS (SELECT user_id, sec, {_zb} AS zbucket FROM z)
+        SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+               min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+               min(sec) AS sec_min, max(sec) AS sec_max
+        FROM b GROUP BY zbucket
+    """
     d["hygiene_suite"] = f"""
         SELECT 'p6' AS part, CAST(doc_id AS BIGINT) AS e, '' AS s,
                CAST(n_shingles AS BIGINT) AS i1,
@@ -4668,6 +4758,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(cnt AS BIGINT), CAST(share_bp AS BIGINT),
                CAST(salt AS BIGINT), CAST(-1 AS BIGINT)
         FROM ({d['dq2_skew_profile']})
+        UNION ALL
+        SELECT 'p10', CAST(doc_id AS BIGINT), source,
+               CAST(cap_rank AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['p10_cap_per_key']})
+        UNION ALL
+        SELECT 'zxu', CAST(zbucket AS BIGINT), '',
+               CAST(n_rows AS BIGINT), CAST(user_id_min AS BIGINT),
+               CAST(user_id_max AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['l1_zorder_layout']})
+        UNION ALL
+        SELECT 'zxs', CAST(zbucket AS BIGINT), '',
+               CAST(n_rows AS BIGINT), CAST(sec_min AS BIGINT),
+               CAST(sec_max AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['l1_zorder_layout']})
     """
     return d
 

@@ -1,4 +1,4 @@
-"""Corpus-level training-data pipeline operators (P1-P7).
+"""Corpus-level training-data pipeline operators (P1-P10).
 
 The operations a 100 TB pretraining-data pipeline runs after curation
 (dedup/quality, operators/dedup.py + functions/textstats.py) and before
@@ -41,6 +41,13 @@ P-row in-DAG window, not a collect).
   the same salted-hash bucket as P1/P2, so the realized mix converges to
   the target weights deterministically. Epoch-explode + projection, zero
   shuffle.
+- P8 :func:`chunk_documents` — overlapping fixed-window chunking of
+  long documents (P3's complement; real pipelines run P8 then P3).
+- P9 :func:`build_vocab` — top-k vocabulary with exact cumulative
+  coverage curve; O(top_k) past the token-count aggregate.
+- P10 :func:`cap_per_key` — per-key (per-domain) frequency capping with
+  a fair salted-hash survivor set; the hot-key window is bounded by an
+  exact hash-threshold pre-filter, not by hoping the key is small.
 
 Reference parity: ProFET exposes no corpus-level pipeline (single-process
 per-sequence loop); these are the task-mandated training-data additions
@@ -773,4 +780,111 @@ def build_vocab_sql_duckdb(top_k: int, table: str = "documents",
                CAST(cum_cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
         FROM r CROSS JOIN t
         WHERE rank <= {top_k}
+    """
+
+
+def cap_per_key(df: DataFrame, key_cols: Iterable[str] | str, cap: int,
+                id_col: str = "doc_id", salt: str = "cap-v1",
+                margin: int = 8, mode: str = "drop",
+                rank_col: str = "cap_rank") -> DataFrame:
+    """P10 per-key frequency capping: keep at most ``cap`` rows per key.
+
+    The per-domain cap every web-scale corpus applies so one hot host
+    cannot dominate the training mix (C4 / RefinedWeb keep N pages per
+    domain). Which rows survive must be a *fair deterministic sample*,
+    not "whatever arrived first": rows are ranked within their key by
+    ``(h32(salt:id), id)`` — the same salted portable hash as P1/P2, so
+    the kept set is uniform, reproducible across engines and cluster
+    sizes, and stable under reruns.
+
+    Scale design (the naive plan melts): ``row_number() OVER
+    (PARTITION BY key)`` funnels a hot key's ENTIRE row set through one
+    window partition — exactly the skew this operator exists to fix. So
+    the rank is computed in two exact steps:
+
+    1. join each row with its key's total count ``n`` (one narrow
+       partial-agg shuffle on the key), and pre-filter to rows with
+       ``h * n < cap * margin * 2^32`` — an expected ``cap * margin``
+       survivors per key, REGARDLESS of key size. The cap smallest
+       hashes per key all fall below the threshold whenever at least
+       ``min(cap, n)`` rows do, so the pre-filter is lossless in
+       every case the in-plan guard accepts;
+    2. rank only the survivors (window partitions now bounded at
+       ~``cap * margin``), with an ``assert_true`` guard that each key
+       kept ``>= min(cap, n)`` survivors — the vanishingly-rare margin
+       bust (P < (e/margin)^(cap*margin) by a Chernoff bound, one-sided)
+       fails the JOB loudly instead of silently under-capping; rerun
+       with a larger ``margin``.
+
+    ``mode='drop'`` returns the surviving rows + ``rank_col``.
+    ``mode='rank'`` returns only the narrow ``(id, keys, rank)`` kept
+    set — join it back on the id if a flag column is wanted (a flag
+    mode that re-shuffles the wide rows is deliberately not offered).
+
+    Rows with a NULL key are dropped (the count join is inner; a no-key
+    row cannot be fairly capped) — ``coalesce`` the key to a sentinel
+    first if they must participate.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if cap <= 0:
+        raise ValueError(f"cap must be > 0, got {cap}")
+    if margin < 2:
+        raise ValueError(f"margin must be >= 2, got {margin}")
+    if mode not in ("drop", "rank"):
+        raise ValueError(f"mode must be 'drop' or 'rank', got {mode!r}")
+    for c in (rank_col, "__cap_h", "__cap_n", "__cap_ns"):
+        if c in df.columns:
+            raise ValueError(f"cap_per_key: column {c!r} already exists")
+
+    h = H.h32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cap_n"))
+    with_n = df.withColumn("__cap_h", h).join(counts, on=keys, how="inner")
+    # pre-filter threshold h <= (cap*margin*2^32 - 1) div n — pure int64
+    # (dividing rather than multiplying h*n, which overflows once a key
+    # holds > 2^30 rows). The exact threshold value does not affect the
+    # OUTPUT (that is always the exact top-cap, enforced by the guard
+    # below) — only the expected survivor count, ~cap*margin per key.
+    thr = int(cap) * int(margin) * 4294967296 - 1
+    surv = with_n.where(
+        (F.col("__cap_n") <= F.lit(int(cap) * int(margin)))
+        | (F.col("__cap_h")
+           <= F.expr(f"CAST({thr} AS BIGINT) div `__cap_n`")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("__cap_h").asc(), F.col(id_col).asc()))
+    ranked = (surv.withColumn(rank_col, F.row_number().over(w))
+              .withColumn("__cap_ns",
+                          F.count(F.lit(1)).over(Window.partitionBy(*keys))))
+    # guard: every key must keep >= min(cap, n) survivors, else the
+    # pre-filter MIGHT have dropped a row belonging to the true top-cap.
+    # The assert lives INSIDE the keep predicate (assert_true(..) IS
+    # NULL is tautologically true or raises) so column pruning can
+    # never optimize the check away. The count window shares the rank
+    # window's partition keys -> ONE Exchange feeding both WindowExecs.
+    guard = F.assert_true(
+        F.col("__cap_ns") >= F.least(F.lit(int(cap)).cast("bigint"),
+                                     F.col("__cap_n")),
+        F.lit(f"cap_per_key: margin={margin} bust - rerun with a "
+              "larger margin")).isNull()
+    kept = (ranked.where((F.col(rank_col) <= cap) & guard)
+            .drop("__cap_h", "__cap_n", "__cap_ns"))
+    if mode == "rank":
+        return kept.select(id_col, *keys, rank_col)
+    return kept
+
+
+def cap_per_key_sql_duckdb(key_expr: str, cap: int, id_expr: str,
+                           salt: str, table: str) -> str:
+    """DuckDB twin of :func:`cap_per_key` (mode='rank'): the exact
+    top-``cap`` by ``(h32(salt:id), id)`` per key, ranked over the FULL
+    partition — the semantics the two-step Spark plan reproduces."""
+    h = H.h32_sql_duckdb(f"'{salt}:' || CAST({id_expr} AS VARCHAR)")
+    return f"""
+        SELECT {id_expr} AS {id_expr}, {key_expr}, cap_rank FROM (
+          SELECT {id_expr}, {key_expr},
+                 CAST(row_number() OVER
+                      (PARTITION BY {key_expr}
+                       ORDER BY {h}, {id_expr}) AS INTEGER) AS cap_rank
+          FROM {table})
+        WHERE cap_rank <= {cap}
     """

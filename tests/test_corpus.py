@@ -653,3 +653,83 @@ def test_build_vocab_bounded_window_plan(docs):
     # full distinct-token space
     assert "TakeOrderedAndProject" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ----------------------------------------------------------------- P10
+
+def _cap_ground_truth(pdf, key, cap, salt, id_col="doc_id"):
+    x = pdf.copy()
+    x["_h"] = [_h32(f"{salt}:{i}") for i in x[id_col]]
+    x = x.sort_values([key, "_h", id_col])
+    x["cap_rank"] = x.groupby(key).cumcount() + 1
+    return x[x.cap_rank <= cap][[id_col, key, "cap_rank"]].reset_index(
+        drop=True)
+
+
+def test_cap_per_key_matches_brute_force(docs):
+    df, pdf = docs
+    out = (corpus.cap_per_key(df, "lang", cap=9, id_col="doc_id",
+                              salt="capT", mode="rank")
+           .toPandas().sort_values(["lang", "cap_rank"])
+           .reset_index(drop=True))
+    want = (_cap_ground_truth(pdf, "lang", 9, "capT")
+            .sort_values(["lang", "cap_rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "lang", "cap_rank"]].astype({"cap_rank": "int64"}),
+        want.astype({"cap_rank": "int64"}))
+
+
+def test_cap_per_key_drop_mode_keeps_columns(docs):
+    df, pdf = docs
+    out = corpus.cap_per_key(df, "lang", cap=5, salt="capT2")
+    assert set(out.columns) == set(df.columns) | {"cap_rank"}
+    counts = out.groupBy("lang").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_cap_per_key_prefilter_lossless_on_hot_key(docs):
+    # one giant key at the smallest legal margin: the pre-filter tier
+    # must still reproduce the exact brute-force top-cap
+    df, pdf = docs
+    hot = df.withColumn("lang", F.lit("hot"))
+    out = (corpus.cap_per_key(hot, "lang", cap=6, salt="capH", margin=2,
+                              mode="rank").toPandas()
+           .sort_values("cap_rank").reset_index(drop=True))
+    hp = pdf.copy(); hp["lang"] = "hot"
+    want = _cap_ground_truth(hp, "lang", 6, "capH")
+    assert list(out.doc_id) == list(want.doc_id)
+
+
+def test_cap_per_key_small_keys_pass_through(docs):
+    # cap above every key size: nothing dropped, ranks are a permutation
+    df, pdf = docs
+    out = corpus.cap_per_key(df, "lang", cap=10_000, salt="capT3")
+    assert out.count() == len(pdf)
+
+
+def test_cap_per_key_validation(docs):
+    df, _ = docs
+    with pytest.raises(ValueError, match="cap must be"):
+        corpus.cap_per_key(df, "lang", cap=0)
+    with pytest.raises(ValueError, match="margin"):
+        corpus.cap_per_key(df, "lang", cap=1, margin=1)
+    with pytest.raises(ValueError, match="mode"):
+        corpus.cap_per_key(df, "lang", cap=1, mode="flag")
+    with pytest.raises(ValueError, match="already exists"):
+        corpus.cap_per_key(df.withColumn("cap_rank", F.lit(1)),
+                           "lang", cap=1)
+
+
+def test_cap_per_key_plan_shape(docs):
+    # broadcast count join; ONE data exchange on the key feeding BOTH
+    # window execs (rank + survivor-count); Python-free
+    import re
+    from profet_spark.plans.inspect import formatted_plan, is_python_free
+    df, _ = docs
+    out = corpus.cap_per_key(df, "lang", cap=5, salt="capT4")
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+    # exchanges: one for the count aggregate, one for the key windows
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert is_python_free(out)
