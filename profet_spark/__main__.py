@@ -31,7 +31,7 @@ import sys
 
 def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
            ngram: int = 13, min_side: int = 64, batch_size: int = 64,
-           n_shards: int = 64):
+           n_shards: int = 64, cap: int = 1000):
     from pyspark.sql import functions as F
 
     from profet_spark.functions import image_descriptors as imgd
@@ -100,12 +100,33 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         from profet_spark.sources import ingest as ing
 
         return ing.split_corrupt(ing.ingest_jsonl(spark, input_root))
+    if pipeline == "cap":
+        # P10: at most --cap docs per source (fair salted-hash survivors;
+        # hot domains bounded by the exact pre-filter, never one task)
+        from profet_spark.operators import corpus
+
+        docs = load_table(spark, input_root, "documents")
+        return corpus.cap_per_key(docs, "source", cap=cap,
+                                  id_col="doc_id")
+    if pipeline == "zorder":
+        # L1: re-layout events by the (user_id, second-of-day) Morton
+        # key — the written files carry tight min/max on BOTH dims, so a
+        # 2-D predicate prunes at the footer level like a 1-D one
+        from profet_spark.operators import layout as LY
+
+        ev = load_table(spark, input_root, "events")
+        sec = F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000) % 86400")
+        return LY.cluster_by_zorder(
+            ev.withColumn("sec", sec),
+            {"user_id": (0, 1 << 20), "sec": (0, 86399)},
+            n_buckets=n_shards)
     raise SystemExit(f"unknown pipeline: {pipeline!r} (see --help)")
 
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
-             "batch_plan", "materialize", "diff")
+             "batch_plan", "materialize", "diff", "cap", "zorder")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -137,8 +158,11 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     ap.add_argument("--batch-size", type=int, default=64,
                     help="batch_plan only: images per training batch")
     ap.add_argument("--n-shards", type=int, default=64,
-                    help="batch_plan only: numbering shards per bucket "
+                    help="batch_plan: numbering shards per bucket; "
+                         "zorder: layout bucket count "
                          "(size to the cluster; bounds window partitions)")
+    ap.add_argument("--cap", type=int, default=1000,
+                    help="cap only: max docs kept per source")
     ap.add_argument("--late-days", type=float, default=0.0,
                     help="materialize only: re-emit this many trailing "
                          "days each run so late snapshot arrivals within "
@@ -230,7 +254,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         return 0
     out = _build(spark, args.pipeline, args.input, eval_root=args.eval_input,
                  ngram=args.ngram, min_side=args.min_side,
-                 batch_size=args.batch_size, n_shards=args.n_shards)
+                 batch_size=args.batch_size, n_shards=args.n_shards,
+                 cap=args.cap)
     quarantine = None
     if isinstance(out, tuple):  # ingest: (clean, quarantine)
         out, quarantine = out

@@ -245,3 +245,45 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert {r["diff_status"] for r in rows.collect()} == {"changed"}
     with pytest.raises(SystemExit):
         main(["--pipeline", "diff", "--input", left], _spark=spark)
+
+
+def test_cli_cap_per_source(spark, tmp_path):
+    out_dir = str(tmp_path / "capped")
+    rc = main(["--pipeline", "cap", "--input", SF, "--cap", "5",
+               "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert "cap_rank" in back.columns
+    per = back.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+
+
+def test_cli_zorder_writes_stats_tight_files(spark, tmp_path):
+    """The point of L1 is WRITE-side: the landed parquet files must carry
+    tight per-file min/max on BOTH clustered dimensions so a footer-level
+    pruner can skip them. Read the footers back and check the spans."""
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "zordered")
+    rc = main(["--pipeline", "zorder", "--input", SF, "--n-shards", "8",
+               "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert {"zkey", "zbucket", "sec"} <= set(back.columns)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert back.count() == ev.count()
+    # per-file sec stats: every multi-bucket file must span << the domain
+    spans = []
+    for fn in os.listdir(out_dir):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out_dir, fn))
+        sec_idx = next(c for c in range(md.num_columns)
+                       if md.schema.column(c).name == "sec")
+        stats = [md.row_group(i).column(sec_idx).statistics
+                 for i in range(md.num_row_groups)]
+        spans.append(max(s.max for s in stats) - min(s.min for s in stats))
+    assert spans, "no parquet files written"
+    # unclustered, every file would span ~86400; z-ordered files are
+    # each confined to their buckets' sec stripes
+    assert min(spans) < 86400 / 2
