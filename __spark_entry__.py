@@ -3147,25 +3147,64 @@ def _q_a7a8_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a7.unionByName(a8)
 
 
+_A16_DAY = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+
+
+def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 mergeable sketch rollups (operators/sketches.py): per-day HLL
+    distinct-user sketches ('hll' parts), the days→total union computed
+    from the SKETCH rows only ('hllm' part — the rescan-free span-query
+    path), and per-user KLL(200) medians of value ('kll' parts). Graded
+    in the documented EXACT regime (sparse-mode HLL at lgk=14, KLL below
+    k — see the module docstring's exactness contract), where all three
+    equal plain SQL distinct counts / quantile_disc bitwise; the
+    approximate large-cardinality regime is property-tested in
+    tests/test_sketches.py (5-sigma error envelope, idempotent union)."""
+    from profet_spark.operators import sketches
+
+    ev = _events(spark, sf_dir).withColumn("day", F.expr(_A16_DAY))
+    daily = sketches.distinct_rollup(ev, ["day"], "user_id")
+    hll = daily.select(
+        F.lit("hll").alias("part"), F.col("day").alias("i1"),
+        F.col("n_distinct_est").alias("i2"),
+        F.lit(-1.0).cast("double").alias("x1"))
+    hllm = sketches.merge_distinct_rollup(daily, []).select(
+        F.lit("hllm").alias("part"), F.lit(-1).cast("bigint").alias("i1"),
+        F.col("n_distinct_est").alias("i2"),
+        F.lit(-1.0).cast("double").alias("x1"))
+    kll = sketches.quantile_rollup(ev, ["user_id"], "value").select(
+        F.lit("kll").alias("part"), F.col("user_id").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"), F.col("q50").alias("x1"))
+    return hll.unionByName(hllm).unionByName(kll)
+
+
 def _q_a10a11_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10+A11 merged suite (frees a grading-window slot for the round-4
-    B1+B2 batch suite): distinct-count diagnostics and the rollup with
-    grouping indicators in one generic (part, s1, s2, s3, i1-i3) layout
-    (rollup total rows keep their NULL group keys — the driver hashes
-    NULLs deterministically, as the standalone a11 row always did).
-    Components stay registered at 51+ and mirror-graded."""
+    """A10+A11+A16 merged suite (frees a grading-window slot for the
+    round-4 B1+B2 batch suite): distinct-count diagnostics, the rollup
+    with grouping indicators, and the mergeable sketch rollups in one
+    generic (part, s1, s2, s3, i1-i3, x1) layout (rollup total rows keep
+    their NULL group keys — the driver hashes NULLs deterministically,
+    as the standalone a11 row always did). Components stay registered at
+    51+ and mirror-graded."""
     i64 = lambda c: F.col(c).cast("bigint")  # noqa: E731
     a10 = _q_distinct(spark, sf_dir).select(
         F.lit("a10").alias("part"), F.col("lang").alias("s1"),
         F.lit("").alias("s2"), F.lit("").alias("s3"),
         i64("n_docs").alias("i1"), i64("n_sources").alias("i2"),
-        i64("n_contents").alias("i3"))
+        i64("n_contents").alias("i3"),
+        F.lit(-1.0).cast("double").alias("x1"))
     a11 = _q_rollup(spark, sf_dir).select(
         F.lit("a11").alias("part"), F.col("o_orderstatus").alias("s1"),
         F.col("o_orderpriority").alias("s2"), F.col("total").alias("s3"),
         i64("n").alias("i1"), i64("g_status").alias("i2"),
-        i64("g_prio").alias("i3"))
-    return a10.unionByName(a11)
+        i64("g_prio").alias("i3"),
+        F.lit(-1.0).cast("double").alias("x1"))
+    a16 = _q_sketch_rollup(spark, sf_dir).select(
+        F.concat(F.lit("a16-"), F.col("part")).alias("part"),
+        F.lit("").alias("s1"), F.lit("").alias("s2"), F.lit("").alias("s3"),
+        i64("i1").alias("i1"), i64("i2").alias("i2"),
+        F.lit(-1).cast("bigint").alias("i3"), F.col("x1"))
+    return a10.unionByName(a11).unionByName(a16)
 
 
 def _q_b1b2_batch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3603,6 +3642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hygiene_suite above)
         "p10_cap_per_key": _q_cap_per_key,
         "l1_zorder_layout": _q_zorder_layout,
+        # A16 mergeable sketch rollups (graded via a10a11_agg_suite)
+        "a16_sketch_rollup": _q_sketch_rollup,
     }
 
 
@@ -4625,17 +4666,44 @@ def oracle_sql() -> dict[str, str]:
     # P7: same weight/bucket literals via _p7_oracle_sql
     d["p7_mixture_weights"] = _p7_oracle_sql()
     # A10+A11 merged suite: both agg oracles composed verbatim, tagged
+    # A16: the sketch rollup in its documented exact regime — per-day
+    # HLL == COUNT(DISTINCT), days→total union == global COUNT(DISTINCT),
+    # KLL(200) median == quantile_disc (all probed + property-tested).
+    d["a16_sketch_rollup"] = """
+        WITH e AS (
+          SELECT (epoch_us(ts) // 86400000000) AS day, user_id, value
+          FROM events)
+        SELECT 'hll' AS part, day AS i1,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS i2,
+               CAST(-1.0 AS DOUBLE) AS x1
+        FROM e GROUP BY day
+        UNION ALL
+        SELECT 'hllm', CAST(-1 AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(-1.0 AS DOUBLE)
+        FROM e
+        UNION ALL
+        SELECT 'kll', user_id, CAST(-1 AS BIGINT),
+               quantile_disc(value, 0.5)
+        FROM e GROUP BY user_id
+    """
     d["a10a11_agg_suite"] = f"""
         SELECT 'a10' AS part, lang AS s1, '' AS s2, '' AS s3,
                CAST(n_docs AS BIGINT) AS i1,
                CAST(n_sources AS BIGINT) AS i2,
-               CAST(n_contents AS BIGINT) AS i3
+               CAST(n_contents AS BIGINT) AS i3,
+               CAST(-1.0 AS DOUBLE) AS x1
         FROM ({d['a10_distinct_counts']})
         UNION ALL
         SELECT 'a11', o_orderstatus, o_orderpriority, total,
                CAST(n AS BIGINT), CAST(g_status AS BIGINT),
-               CAST(g_prio AS BIGINT)
+               CAST(g_prio AS BIGINT), CAST(-1.0 AS DOUBLE)
         FROM ({d['a11_rollup']})
+        UNION ALL
+        SELECT 'a16-' || part, '', '', '',
+               CAST(i1 AS BIGINT), CAST(i2 AS BIGINT),
+               CAST(-1 AS BIGINT), x1
+        FROM ({d['a16_sketch_rollup']})
     """
     # B3: serving order over B1's batch identities (same b1 oracle text)
     d["b3_epoch_order"] = _b3_oracle_sql().format(

