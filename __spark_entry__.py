@@ -2463,15 +2463,51 @@ def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs_lsh(emb, threshold=0.3)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 SemDeDup (operators/dedup.py semantic_dup_pairs/semdedup):
+    coarse k-means cells, then the near-dup pair search ONLY within each
+    cell — sum(m_c^2) instead of n^2 pair work, ONE cid-hash Exchange.
+    Graded with ``centroids='lowest_id'`` (the deterministic strategy,
+    same convention as n3_ivf_ann) so assignment (argmax cosine, ties ->
+    lowest cid), the within-cell exact int64 cosines, AND the keep-min-id
+    drop set all reproduce in SQL bit for bit; the production kmeans
+    default's recall is pytest-asserted instead. Parts: 'pair' rows
+    (id_a, id_b, cid, cosine) + 'drop' rows (the non-canonical member of
+    every semantic-duplicate component)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.semantic_dup_pairs(
+        emb, n_centroids=8, threshold=0.3, centroids="lowest_id")
+    clusters = dedup.dup_clusters(pairs)
+    drops = clusters.where(F.col("id") != F.col("cluster_id"))
+    p = pairs.select(F.lit("pair").alias("part"), "id_a", "id_b",
+                     "cid", "cosine")
+    dr = drops.select(F.lit("drop").alias("part"),
+                      F.col("id").alias("id_a"),
+                      F.lit(-1).cast("bigint").alias("id_b"),
+                      F.lit(-1).cast("int").alias("cid"),
+                      F.lit(-1.0).cast("double").alias("cosine"))
+    return p.unionByName(dr)
+
+
 def _q_embedding_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 both tiers in one graded row: brute-force verifier pairs plus
-    the LSH-bucketed scale path, tier-tagged. The LSH output is a strict
-    subset of brute (identical int64 cosine arithmetic), so one UNION ALL
-    oracle hash-grades recall AND exactness of both tiers at once."""
+    """D5+D9 in one graded row: brute-force verifier pairs, the
+    LSH-bucketed scale path, and the SemDeDup within-cluster tier plus
+    its keep-min-id drop set, tier-tagged. The LSH output is a strict
+    subset of brute (identical int64 cosine arithmetic) and the 'sem'
+    pairs are the same arithmetic restricted to same-cell pairs, so one
+    UNION ALL oracle hash-grades recall AND exactness of all tiers at
+    once."""
     brute = _q_embedding_dup(spark, sf_dir)
     lsh = _q_embedding_dup_lsh(spark, sf_dir)
-    return (brute.select(F.lit("brute").alias("tier"), "*")
-            .unionByName(lsh.select(F.lit("lsh").alias("tier"), "*")))
+    sem = _q_semantic_dedup(spark, sf_dir)
+    mcid = F.lit(-1).cast("int").alias("cid")
+    return (brute.select(F.lit("brute").alias("tier"), "id_a", "id_b",
+                         mcid, "cosine")
+            .unionByName(lsh.select(F.lit("lsh").alias("tier"), "id_a",
+                                    "id_b", mcid, "cosine"))
+            .unionByName(sem.select(
+                F.concat(F.lit("sem-"), F.col("part")).alias("tier"),
+                "id_a", "id_b", "cid", "cosine")))
 
 
 def _q_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3546,6 +3582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D5 tiers individually (graded via d5_embedding_suite)
         "d5_embedding_dup": _q_embedding_dup,
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
+        # D9 SemDeDup standalone (graded via d5_embedding_suite 'sem-*')
+        "d9_semantic_dedup": _q_semantic_dedup,
         # FM streaming twin (batch FM graded via fm_training_matrix)
         "st_fm_matrix_stream": _q_stream_matrix,
         # merged-suite components (graded via the suites above)
@@ -3805,6 +3843,47 @@ def _duck_ivf_ann_sql(n_centroids: int, n_probe: int, n_queries: int, k: int) ->
                               ORDER BY cosine DESC, nid) AS INT) AS rank
               FROM cz)
         WHERE rank <= {k}
+    """
+
+
+def _duck_semdedup_pairs_sql(n_centroids: int, threshold: float) -> str:
+    """Oracle twin of dedup.semantic_dup_pairs(centroids='lowest_id'):
+    centroid set (n_centroids lowest-id nonzero-norm vectors; cid = dense
+    id-order index, matching the driver-collected matrix row order),
+    argmax assignment (ties -> lowest cid, matching numpy first-max), and
+    the within-cell exact-int64-cosine pair search all reproduce in SQL —
+    the same integer-determinism argument as _duck_ivf_ann_sql."""
+    cos = ("CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE)"
+           " * CAST(nc.nrm AS DOUBLE))")
+    return f"""
+        WITH {_duck_quantized_cte()},
+        cids AS (SELECT cv, CAST(row_number() OVER (ORDER BY cv) - 1 AS INT) AS cid
+                 FROM (SELECT vec_id AS cv FROM nrm ORDER BY vec_id
+                       LIMIT {n_centroids})),
+        cdots AS (SELECT v.vec_id, cq.vec_id AS cv, sum(v.qx * cq.qx) AS dot
+                  FROM q v JOIN q cq ON cq.i = v.i
+                  JOIN cids ON cids.cv = cq.vec_id
+                  GROUP BY 1, 2),
+        ccos AS (SELECT c.vec_id, cids.cid, {cos} AS cosine
+                 FROM cdots c JOIN cids ON cids.cv = c.cv
+                 JOIN nrm nv ON nv.vec_id = c.vec_id
+                 JOIN nrm nc ON nc.vec_id = c.cv),
+        assign AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, cid) AS rn
+                     FROM ccos) WHERE rn = 1),
+        scand AS (SELECT a.vec_id AS ia, b.vec_id AS ib, a.cid
+                  FROM assign a JOIN assign b
+                    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        pdots AS (SELECT c.ia, c.ib, c.cid, sum(qa.qx * qb.qx) AS dot
+                  FROM scand c JOIN q qa ON qa.vec_id = c.ia
+                               JOIN q qb ON qb.vec_id = c.ib AND qb.i = qa.i
+                  GROUP BY 1, 2, 3)
+        SELECT ia AS id_a, ib AS id_b, cid, {_DUCK_COS} AS cosine
+        FROM pdots JOIN nrm na ON na.vec_id = ia
+                   JOIN nrm nb ON nb.vec_id = ib
+        WHERE {_DUCK_COS} >= {threshold}
     """
 
 
@@ -4223,10 +4302,34 @@ def oracle_sql() -> dict[str, str]:
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
     d["st_w7_sliding_stream"] = (
         f"SELECT user_id, win_start, n FROM ({d['w7_sliding']})")
-    d["d5_embedding_suite"] = f"""
-        SELECT 'brute' AS tier, * FROM ({d['d5_embedding_dup']})
+    # D9 SemDeDup: within-cell pairs + keep-min-id drops (connected
+    # components over the pair edges — same recursive-CTE twin as D6)
+    d["d9_semantic_dedup"] = f"""
+        WITH RECURSIVE sp AS ({_duck_semdedup_pairs_sql(8, 0.3)}),
+        e AS (SELECT id_a AS a, id_b AS b FROM sp
+              UNION ALL SELECT id_b, id_a FROM sp),
+        r(id, lbl) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b
+        ),
+        c AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+        SELECT 'pair' AS part, id_a, id_b, cid, cosine FROM sp
         UNION ALL
-        SELECT 'lsh' AS tier, * FROM ({d['d5_embedding_dup_lsh']})
+        SELECT 'drop', id, CAST(-1 AS BIGINT), CAST(-1 AS INTEGER),
+               CAST(-1.0 AS DOUBLE)
+        FROM c WHERE id <> cluster_id
+    """
+    d["d5_embedding_suite"] = f"""
+        SELECT 'brute' AS tier, id_a, id_b, CAST(-1 AS INTEGER) AS cid,
+               cosine
+        FROM ({d['d5_embedding_dup']})
+        UNION ALL
+        SELECT 'lsh', id_a, id_b, CAST(-1 AS INTEGER), cosine
+        FROM ({d['d5_embedding_dup_lsh']})
+        UNION ALL
+        SELECT 'sem-' || part, id_a, id_b, cid, cosine
+        FROM ({d['d9_semantic_dedup']})
     """
     # FM: chained DuckDB ASOF joins are the independent twin of the fused
     # single-window assembly; the *_asof_ts columns hash-grade the

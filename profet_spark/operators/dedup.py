@@ -35,6 +35,10 @@ D8  hamming_pairs        — the D4 pigeonhole block join generalized to ANY
                            precomputed 64-bit signature column: text
                            SimHash, T4 minhash fingerprints, image phash
                            (phash_dup_pairs is the image-table adapter).
+D9  semantic_dup_pairs   — SemDeDup (Abbas et al. 2023): coarse k-means
+                           cells, then the cosine pair search only WITHIN
+                           each cell — sum(m_c^2) pair work instead of n^2;
+                           semdedup packages the keep-min-id pruning.
 
 Scale notes:
 - Signatures/fingerprints are narrow projections: Catalyst prunes ``text``
@@ -803,6 +807,155 @@ def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     """
     pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, k=k,
                               threshold=threshold, **lsh_kwargs)
+    clusters = dup_clusters(pairs, algorithm=algorithm)
+    drops = (clusters.where(F.col("id") != F.col("cluster_id"))
+             .select(F.col("id").alias(id_col)))
+    return df.join(drops, id_col, "left_anti")
+
+
+def semantic_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_centroids: int = 8, threshold: float = 0.9,
+                       centroids: str = "kmeans", sample_size: int = 4096,
+                       kmeans_iter: int = 15, max_cluster: int | None = None,
+                       pair_chunk: int = 1024,
+                       persist: bool = True) -> DataFrame:
+    """D9: SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") — cluster the embedding space coarsely, then search
+    for near-duplicate pairs ONLY within each cluster.
+
+    This is the scale contract that makes embedding dedup tractable at
+    100 TB: the quadratic pair search runs per cluster (SemDeDup's core
+    observation — semantic duplicates land in the same k-means cell), so
+    cost is sum(m_c^2) over cluster sizes m_c instead of n^2, and the only
+    data-sized exchange hashes on ``cid`` (one shuffle of
+    (cid, id, quantized vector) rows; the raw ``vec_col``/other columns
+    never shuffle). Set ``n_centroids ~ n / target_cluster_size`` at
+    warehouse scale.
+
+    Plan shape:
+    - quantize (hashing.quantize_vec: exact int64 elements + norms, the
+      engine's portable cosine scheme) — narrow map-side projection;
+    - assign each vector to its nearest coarse centroid: the N3 IVF
+      machinery (similarity._build_centroids — ``centroids='kmeans'``
+      sampled spherical Lloyd for production, ``'lowest_id'`` for the
+      bit-exact SQL oracle), one Arrow mapInPandas matmul against the
+      broadcast centroid matrix, numpy first-max ties -> lowest cid;
+    - per-cluster pair search: ONE hash Exchange on cid feeding a grouped
+      Arrow kernel that computes the int64 Gram matrix in row chunks of
+      ``pair_chunk`` (peak memory O(pair_chunk * m_c) per cluster, never
+      m_c^2) and emits pairs with cosine >= threshold, id_a < id_b.
+      Cosine arithmetic is bit-identical to D5/N1-N3: exact int64 dot,
+      then dot/sqrt(na*nb) in correctly-rounded IEEE doubles — so with
+      ``n_centroids=1`` the output EQUALS embedding_dup_pairs (asserted
+      in tests), and with lowest_id centroids the whole operator
+      reproduces in DuckDB bit for bit.
+
+    ``max_cluster`` is the skew guard (the D2-D4 stop-shingle convention):
+    clusters larger than the cap are EXCLUDED from the pair search
+    (conservative — their rows are kept, not deduped) instead of letting
+    one degenerate cell go quadratic. Zero-norm vectors are excluded (the
+    D5/_quantized undefined-direction contract).
+
+    Output: ``(id_a, id_b, cid int, cosine double)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from profet_spark.operators import similarity as S
+
+    if n_centroids <= 0:
+        raise ValueError(f"n_centroids must be > 0, got {n_centroids}")
+    if pair_chunk <= 0:
+        raise ValueError(f"pair_chunk must be > 0, got {pair_chunk}")
+    id_type = dict(df.dtypes)[id_col]
+    spark = df.sparkSession
+    out_schema = (f"id_a {id_type}, id_b {id_type}, "
+                  "cid int, cosine double")
+
+    qd = S._quantized(df, id_col, vec_col)
+    Cm, cnrm = S._build_centroids(qd, n_centroids, centroids,
+                                  sample_size, kmeans_iter)
+    if len(Cm) == 0:
+        return spark.createDataFrame([], out_schema)
+
+    # centroid matrix rides a broadcast variable (once per executor)
+    bc = spark.sparkContext.broadcast((Cm, cnrm.astype(np.float64)))
+    assign_schema = f"id {id_type}, q array<bigint>, nrm bigint, cid int"
+
+    def assign(batches):
+        Cm, cnrm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            cos = (Q @ Cm.T).astype(np.float64) / np.sqrt(
+                nrm[:, None] * cnrm[None, :])
+            out = pdf[["id", "q", "nrm"]].copy()
+            # np.argmax returns the FIRST max — lowest centroid id on ties
+            out["cid"] = np.argmax(cos, axis=1).astype("int32")
+            yield out
+
+    assigned = _maybe_persist(qd.mapInPandas(assign, assign_schema), persist)
+    if max_cluster is not None:
+        big = (assigned.groupBy("cid").count()
+               .where(F.col("count") > max_cluster).select("cid"))
+        assigned = assigned.join(F.broadcast(big), "cid", "left_anti")
+
+    def pair_kernel(key, pdf):
+        cid = int(key[0])
+        ids = pdf["id"].to_numpy()
+        # deterministic processing order (grouped-map arrival order is not)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        Q = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])[o]
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)[o]
+        m = len(ids)
+        res = {"id_a": [], "id_b": [], "cid": [], "cosine": []}
+        for lo in range(0, m, pair_chunk):
+            hi = min(lo + pair_chunk, m)
+            # rows lo..hi against every LATER row (j > i): chunked Gram
+            dots = Q[lo:hi] @ Q[lo:].T               # (hi-lo, m-lo) int64
+            cos = dots.astype(np.float64) / np.sqrt(
+                nrm[lo:hi, None] * nrm[None, lo:])
+            ii, jj = np.nonzero(cos >= threshold)
+            # both indices are lo-relative; the pair (lo+ii, lo+jj) is a
+            # new (id_a < id_b) pair exactly when jj > ii
+            keep = jj > ii
+            ii, jj = ii[keep], jj[keep]
+            res["id_a"].extend(ids[lo + ii])
+            res["id_b"].extend(ids[lo + jj])
+            res["cid"].extend([cid] * len(ii))
+            res["cosine"].extend(cos[ii, jj])
+        return pd.DataFrame(res) if res["id_a"] else pd.DataFrame(
+            {k: pd.Series([], dtype=t) for k, t in
+             (("id_a", ids.dtype), ("id_b", ids.dtype),
+              ("cid", "int32"), ("cosine", "float64"))})
+
+    return assigned.groupBy("cid").applyInPandas(pair_kernel, out_schema)
+
+
+def semdedup(df: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             n_centroids: int = 8, threshold: float = 0.9,
+             algorithm: str = "propagate",
+             **pair_kwargs) -> DataFrame:
+    """D9 keep-one: SemDeDup pruning — drop all but one document per
+    semantic-duplicate group, keeping the MINIMUM id (the engine-wide D6
+    canonical-keeper convention; deterministic and engine-portable, where
+    the SemDeDup paper's 'keep lowest centroid-similarity' depends on
+    float reduction order).
+
+    Composition: semantic_dup_pairs (within-cluster cosine pairs) ->
+    dup_clusters (connected components — required: pair edges are not
+    transitively closed) -> anti-join of non-canonical ids. The anti-join
+    shuffles only ids; the wide input columns never move.
+    """
+    pairs = semantic_dup_pairs(df, id_col=id_col, vec_col=vec_col,
+                               n_centroids=n_centroids, threshold=threshold,
+                               **pair_kwargs)
     clusters = dup_clusters(pairs, algorithm=algorithm)
     drops = (clusters.where(F.col("id") != F.col("cluster_id"))
              .select(F.col("id").alias(id_col)))

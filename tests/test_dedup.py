@@ -503,3 +503,148 @@ def test_drop_near_duplicates_one_survivor_per_cluster(spark):
     assert 2 not in kept and 3 not in kept and 11 not in kept
     # schema is the input schema (anti-join, no extra columns)
     assert out.columns == docs.columns
+
+
+# --- D9 SemDeDup: within-cluster semantic near-dup pairs + keep-one ---
+
+
+@pytest.fixture(scope="module")
+def sem_vecs(spark):
+    """Four well-separated direction groups with planted near-dups inside
+    two of them — every semantic dup lands in its group's k-means cell."""
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.empty((48, 16))
+    for i in range(48):
+        vecs[i] = centers[i % 4] + rng.normal(scale=0.15, size=16)
+    vecs[13] = vecs[1] + rng.normal(scale=0.005, size=16)   # group-1 dup
+    vecs[26] = vecs[2] + rng.normal(scale=0.005, size=16)   # group-2 dup
+    vecs[38] = vecs[2] + rng.normal(scale=0.008, size=16)   # 3-member comp
+    vecs = vecs.astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(48), "embedding": list(map(list, vecs))})
+    return spark.createDataFrame(pdf), vecs
+
+
+def _sem_numpy_pairs(vecs, cids, threshold):
+    """Exact-arithmetic reference: quantized cosine within equal cells."""
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5)
+    n = (q * q).sum(axis=1)
+    cos = (q @ q.T) / np.sqrt(np.outer(n, n))
+    return {(a, b) for a in range(len(vecs)) for b in range(a + 1, len(vecs))
+            if cids[a] == cids[b] and cos[a, b] >= threshold}
+
+
+def test_semantic_dup_pairs_nc1_equals_brute(sem_vecs):
+    """With one cell the within-cluster search IS the brute-force tier —
+    identical pair set AND bitwise-identical cosines."""
+    df, _ = sem_vecs
+    sem = dedup.semantic_dup_pairs(
+        df, n_centroids=1, threshold=0.9, centroids="lowest_id").toPandas()
+    brute = dedup.embedding_dup_pairs(df, threshold=0.9).toPandas()
+    key = ["id_a", "id_b"]
+    assert sorted(map(tuple, sem[key].values.tolist())) == \
+        sorted(map(tuple, brute[key].values.tolist()))
+    m = sem.merge(brute, on=key, suffixes=("_s", "_b"))
+    assert (m.cosine_s.to_numpy() == m.cosine_b.to_numpy()).all()
+    assert (sem.cid == 0).all()
+
+
+def test_semantic_dup_pairs_vs_numpy_assignment(sem_vecs):
+    """lowest_id strategy: reproduce the centroid assignment in numpy and
+    check the pair set is exactly the within-cell threshold pairs."""
+    df, vecs = sem_vecs
+    got = dedup.semantic_dup_pairs(
+        df, n_centroids=6, threshold=0.9, centroids="lowest_id").toPandas()
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5)
+    n = (q * q).sum(axis=1)
+    C, cn = q[:6], n[:6]                      # 6 lowest ids, id order
+    cos_c = (q @ C.T) / np.sqrt(n[:, None] * cn[None, :])
+    cids = np.argmax(cos_c, axis=1)
+    want = _sem_numpy_pairs(vecs, cids, 0.9)
+    assert set(map(tuple, got[["id_a", "id_b"]].values)) == want
+    got_cid = dict(zip(map(tuple, got[["id_a", "id_b"]].values), got.cid))
+    for (a, b), cid in got_cid.items():
+        assert cid == cids[a] == cids[b]
+
+
+def test_semantic_dup_pairs_kmeans_recall(sem_vecs):
+    """Production default (sampled spherical k-means): the planted
+    same-group near-dups must land in one cell and be found."""
+    df, _ = sem_vecs
+    got = dedup.semantic_dup_pairs(df, n_centroids=4, threshold=0.95)
+    pairs = set(map(tuple, got.toPandas()[["id_a", "id_b"]].values))
+    assert {(1, 13), (2, 26), (2, 38), (26, 38)} <= pairs
+
+
+def test_semantic_dup_pairs_chunk_invariance(sem_vecs):
+    """pair_chunk is a memory knob, not a semantics knob."""
+    df, _ = sem_vecs
+    a = dedup.semantic_dup_pairs(df, n_centroids=4, threshold=0.9,
+                                 centroids="lowest_id", pair_chunk=3).toPandas()
+    b = dedup.semantic_dup_pairs(df, n_centroids=4, threshold=0.9,
+                                 centroids="lowest_id", pair_chunk=1024).toPandas()
+    key = ["id_a", "id_b", "cid", "cosine"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+
+
+def test_semantic_dup_pairs_max_cluster_drops_hot_cell(sem_vecs):
+    """The skew guard excludes oversized cells from the quadratic search
+    (rows kept, not deduped) — the D2-D4 stop-shingle convention."""
+    df, _ = sem_vecs
+    base = dedup.semantic_dup_pairs(
+        df, n_centroids=4, threshold=0.0, centroids="lowest_id").toPandas()
+    sizes = base.cid.value_counts()  # threshold 0 => every in-cell pair
+    capped = dedup.semantic_dup_pairs(
+        df, n_centroids=4, threshold=0.0, centroids="lowest_id",
+        max_cluster=11).toPandas()
+    import math
+    for cid, n_pairs in base.cid.value_counts().items():
+        m = (1 + math.isqrt(1 + 8 * n_pairs)) // 2  # m*(m-1)/2 = n_pairs
+        in_capped = (capped.cid == cid).sum()
+        assert in_capped == (0 if m > 11 else n_pairs)
+    assert len(capped) < len(base)
+
+
+def test_semdedup_keeps_min_id_survivors(sem_vecs):
+    """semdedup drops exactly the non-canonical members of each semantic
+    component; survivors = complement; schema preserved."""
+    df, _ = sem_vecs
+    out = dedup.semdedup(df, n_centroids=4, threshold=0.95,
+                         centroids="lowest_id")
+    kept = sorted(r.vec_id for r in out.select("vec_id").collect())
+    pairs = dedup.semantic_dup_pairs(df, n_centroids=4, threshold=0.95,
+                                     centroids="lowest_id")
+    cl = dedup.dup_clusters(pairs).toPandas()
+    drops = set(cl[cl.id != cl.cluster_id].id)
+    assert kept == sorted(set(range(48)) - drops)
+    assert 13 not in kept and 1 in kept          # planted pair: min id kept
+    assert out.columns == df.columns
+
+
+def test_semantic_dup_pairs_plan_one_exchange(sem_vecs):
+    """Scale contract: ONE hash Exchange (on cid) feeds the grouped pair
+    kernel; the raw embedding column never crosses an exchange."""
+    df, _ = sem_vecs
+    plan = dedup.semantic_dup_pairs(
+        df, n_centroids=4, threshold=0.9, centroids="lowest_id",
+        persist=False)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "cid" in exchanges[0]
+    assert all("embedding" not in ln for ln in exchanges)
+
+
+def test_semantic_dup_pairs_validation(sem_vecs):
+    df, _ = sem_vecs
+    with pytest.raises(ValueError, match="n_centroids"):
+        dedup.semantic_dup_pairs(df, n_centroids=0)
+    with pytest.raises(ValueError, match="pair_chunk"):
+        dedup.semantic_dup_pairs(df, pair_chunk=0)
+
+
+def test_semantic_dup_pairs_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = dedup.semantic_dup_pairs(df, n_centroids=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cid", "cosine"]
