@@ -31,7 +31,7 @@ import sys
 
 def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
            ngram: int = 13, min_side: int = 64, batch_size: int = 64,
-           n_shards: int = 64, cap: int = 1000):
+           n_shards: int = 64, cap: int = 1000, threshold: float = 0.9):
     from pyspark.sql import functions as F
 
     from profet_spark.functions import image_descriptors as imgd
@@ -108,6 +108,15 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         docs = load_table(spark, input_root, "documents")
         return corpus.cap_per_key(docs, "source", cap=cap,
                                   id_col="doc_id")
+    if pipeline == "semdedup":
+        # D9 SemDeDup: keep one row per semantic-duplicate cluster over
+        # the embeddings table — coarse k-means cells, within-cell exact
+        # cosine pairs, keep-min-id. --n-shards doubles as the cell count
+        # (size it ~ rows / target_cell_size at warehouse scale);
+        # --threshold is the duplicate cosine bar.
+        emb = load_table(spark, input_root, "embeddings")
+        return dedup.semdedup(emb, n_centroids=n_shards,
+                              threshold=threshold)
     if pipeline == "zorder":
         # L1: re-layout events by the (user_id, second-of-day) Morton
         # key — the written files carry tight min/max on BOTH dims, so a
@@ -126,7 +135,8 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
-             "batch_plan", "materialize", "diff", "cap", "zorder")
+             "batch_plan", "materialize", "diff", "cap", "zorder",
+             "semdedup")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -163,6 +173,9 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                          "(size to the cluster; bounds window partitions)")
     ap.add_argument("--cap", type=int, default=1000,
                     help="cap only: max docs kept per source")
+    ap.add_argument("--threshold", type=float, default=0.9,
+                    help="semdedup only: duplicate cosine bar; cells come "
+                         "from --n-shards (~ rows / target cell size)")
     ap.add_argument("--late-days", type=float, default=0.0,
                     help="materialize only: re-emit this many trailing "
                          "days each run so late snapshot arrivals within "
@@ -255,7 +268,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     out = _build(spark, args.pipeline, args.input, eval_root=args.eval_input,
                  ngram=args.ngram, min_side=args.min_side,
                  batch_size=args.batch_size, n_shards=args.n_shards,
-                 cap=args.cap)
+                 cap=args.cap, threshold=args.threshold)
     quarantine = None
     if isinstance(out, tuple):  # ingest: (clean, quarantine)
         out, quarantine = out

@@ -287,3 +287,23 @@ def test_cli_zorder_writes_stats_tight_files(spark, tmp_path):
     # unclustered, every file would span ~86400; z-ordered files are
     # each confined to their buckets' sec stripes
     assert min(spans) < 86400 / 2
+
+
+def test_cli_semdedup(spark, tmp_path):
+    """D9 pipeline: survivors land as parquet with the input schema and
+    match the library composition (keep-min-id per semantic component)."""
+    from profet_spark.operators import dedup
+    from profet_spark.sources import load_table
+
+    out_dir = str(tmp_path / "semdedup")
+    rc = main(["--pipeline", "semdedup", "--input", SF,
+               "--n-shards", "8", "--threshold", "0.3",
+               "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    emb = load_table(spark, SF, "embeddings")
+    assert back.columns == emb.columns
+    want = dedup.semdedup(emb, n_centroids=8, threshold=0.3)
+    assert (sorted(r.vec_id for r in back.select("vec_id").collect())
+            == sorted(r.vec_id for r in want.select("vec_id").collect()))
+    assert 0 < back.count() < emb.count()  # non-vacuous at this threshold
