@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five dedup strategies, each Spark-first and designed for the 100 TB case
+Nine dedup strategies, each Spark-first and designed for the 100 TB case
 (the task mandate adds these on top of ProFET's own operator set; the
 closest reference analog is ProFET's duplicate-record drop in
 [R] ProFET/feat_extract/FastaFilter.py ~L70-110, which is D1 here):
