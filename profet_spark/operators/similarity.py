@@ -140,9 +140,14 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ranks last — so a single zero embedding would both poison top-k
     results and make the arrow/jvm strategies diverge. Contract (mirrored
     by the oracles' ``HAVING nrm > 0``): zero-norm vectors participate in
-    no similarity result, as query or neighbor."""
+    no similarity result, as query or neighbor.
+
+    Only (id, q, nrm) are kept: mapInPandas ships its FULL input schema
+    to the Python worker (no column pruning through the black box), so
+    carrying the raw float vector here would add ~a third of redundant
+    Arrow transfer to every downstream sign/assign/rank kernel."""
     return df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"),
         H.quantize_vec(vec_col).alias("q"),
     ).withColumn("nrm", H.int_dot(F.col("q"), F.col("q"))).where(
         F.col("nrm") > 0)
