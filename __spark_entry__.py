@@ -1887,6 +1887,27 @@ def _q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phash_nibble_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 image variant (imgd.phash_ngrams): 3-gram spectrum over the
+    16-nibble stream of a 64-bit hash — the k-mer machinery on the phash
+    "sequence". The testdata has no image table, so the graded 64-bit
+    value is a pseudo-phash over documents: the (h32, h32_hi) pair folded
+    into a SIGNED two's-complement int64 with pure arithmetic (no
+    left-shift — DuckDB raises on << overflow), which deliberately
+    exercises negative hashes through the arithmetic-shift nibble
+    extractor in both engines. Output: the corpus gram spectrum."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = H.h32(F.col("text"))
+    h2 = H.h32_hi(F.col("text"))
+    ph = ((h1 - F.when(h1 >= F.lit(2 ** 31), F.lit(2 ** 32))
+           .otherwise(F.lit(0))) * F.lit(2 ** 32) + h2).cast("bigint")
+    d = docs.select("doc_id", ph.alias("phash"))
+    return (imgd.phash_ngrams(d, n=3)
+            .groupBy("gram")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
 def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 bit operators on a 32-bit content hash (the phash-analog over
     documents): nibble extraction, popcount, Hamming distance to the
@@ -3682,6 +3703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_zorder_layout": _q_zorder_layout,
         # A16 mergeable sketch rollups (graded via a10a11_agg_suite)
         "a16_sketch_rollup": _q_sketch_rollup,
+        # A3 image variant: k-mer spectrum over the phash nibble stream
+        "a3_phash_nibble_ngrams": _q_phash_nibble_ngrams,
     }
 
 
@@ -4789,6 +4812,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'kll', user_id, CAST(-1 AS BIGINT),
                quantile_disc(value, 0.5)
         FROM e GROUP BY user_id
+    """
+    # A3 phash-nibble spectrum: identical two's-complement fold +
+    # arithmetic-shift nibble extraction in both engines (W11's parity
+    # contract); gram packs nibbles p..p+2 lsb-first as nib(p+j)*16^j
+    d["a3_phash_nibble_ngrams"] = f"""
+        WITH d AS (SELECT doc_id, {H.h32_sql_duckdb('text')} AS h1,
+                          {H.h32_hi_sql_duckdb('text')} AS h2
+                   FROM documents),
+        p AS (SELECT doc_id,
+                     (h1 - CASE WHEN h1 >= 2147483648 THEN 4294967296
+                                ELSE 0 END) * 4294967296 + h2 AS ph
+              FROM d),
+        g AS (SELECT doc_id,
+                     CAST(((ph >> (4 * i)) & 15)
+                          + ((ph >> (4 * (i + 1))) & 15) * 16
+                          + ((ph >> (4 * (i + 2))) & 15) * 256
+                          AS INTEGER) AS gram
+              FROM p, (SELECT unnest(generate_series(0, 13)) AS i))
+        SELECT gram, count(*) AS n,
+               count(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY gram
     """
     d["a10a11_agg_suite"] = f"""
         SELECT 'a10' AS part, lang AS s1, '' AS s2, '' AS s3,

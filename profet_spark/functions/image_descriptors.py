@@ -117,6 +117,45 @@ def phash_nibbles(df: DataFrame, phash_col: str = "phash", out_col: str = "nibbl
     return df.withColumn(out_col, F.array(*nibs))
 
 
+def phash_ngrams(df: DataFrame, phash_col: str = "phash",
+                 n: int = 3) -> DataFrame:
+    """A3 image variant: n-gram stream over the 16-nibble decomposition
+    of a 64-bit perceptual hash (SURVEY §2.4 A3 — the k-mer spectrum
+    machinery applied to the phash "sequence" instead of caption text).
+
+    Nibble index i is the nibble at bit shift ``4*i`` (lsb-first, the
+    :func:`phash_nibbles` convention); the gram at position p packs
+    nibbles p..p+n-1 as ``sum(nib(p+j) * 16^j)`` — a pure codegen'd
+    shift/AND/multiply chain, zero shuffle, zero Python, one output row
+    per (row, position) via a constant-size explode.
+
+    Portability: ``(x >> 4i) & 15`` uses the ARITHMETIC right shift in
+    both engines (sign-fill enters above the masked low nibble, so the
+    extracted value equals the unsigned nibble for every i, any sign) —
+    the same two's-complement parity contract W11 pins for XOR/popcount.
+
+    Downstream: ``groupBy('gram').count()`` is the corpus spectrum;
+    per-row pivots reproduce ProFET's per-sequence k-mer count vector.
+    """
+    if not 1 <= n <= 16:
+        raise ValueError(f"phash_ngrams: n must be in 1..16, got {n}")
+
+    def nib(i: int) -> F.Column:
+        return F.shiftright(F.col(phash_col), 4 * i).bitwiseAND(F.lit(15))
+
+    entries = [
+        F.struct(
+            F.lit(p).cast("int").alias("pos"),
+            sum((nib(p + j) * F.lit(16 ** j) for j in range(1, n)),
+                start=nib(p)).cast("int").alias("gram"))
+        for p in range(16 - n + 1)
+    ]
+    return (df.select("*", F.explode(F.array(*entries)).alias("_pg"))
+            .withColumn("pos", F.col("_pg.pos"))
+            .withColumn("gram", F.col("_pg.gram"))
+            .drop("_pg"))
+
+
 def phash_hamming_to_prev(
     df: DataFrame, entity: str = "image_id", ts: str = "ts", phash_col: str = "phash",
     tiebreak: list[str] | None = None,

@@ -107,6 +107,32 @@ def test_phash_nibbles(spark, snap):
     assert list(row.nibbles) == want
 
 
+def test_phash_ngrams_vs_python(spark, snap):
+    """A3 image variant: 3-gram spectrum over the nibble stream matches a
+    pure-Python reference on real (signed) fixture phashes, msb nibbles
+    included; n=1 degenerates to the nibble stream itself."""
+    df, pdf = snap
+    got = (imgd.phash_ngrams(df.select("image_id", "ts", "phash"), n=3)
+           .toPandas())
+    want = []
+    for _, r in pdf.iterrows():
+        ph = int(r.phash) & (2 ** 64 - 1)
+        nib = [(ph >> (4 * i)) & 15 for i in range(16)]
+        for p in range(14):
+            want.append((r.image_id, p,
+                         nib[p] + nib[p + 1] * 16 + nib[p + 2] * 256))
+    got_set = sorted(map(tuple, got[["image_id", "pos", "gram"]].values))
+    assert got_set == sorted(want)
+    # n=1: gram == nibble, 16 positions
+    one = imgd.phash_ngrams(df.limit(1).select("phash"), n=1).toPandas()
+    ph = int(one.phash.iloc[0]) & (2 ** 64 - 1)
+    assert sorted(zip(one.pos, one.gram)) == \
+        [(i, (ph >> (4 * i)) & 15) for i in range(16)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must be"):
+        imgd.phash_ngrams(df, n=0)
+
+
 def test_zero_leakage_full_pipeline(spark, snap):
     """SURVEY.md §5.2-2: every feature at (e, t) must be identical when all
     rows with ts > t are dropped. Poison rows in the fixture make any
