@@ -2484,6 +2484,20 @@ def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs_lsh(emb, threshold=0.3)
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 product quantization (similarity.pq_encode/pq_topk): the
+    compressed embedding store (m=8 one-byte codes per row instead of
+    64 float32s) + asymmetric-distance top-k over it. Graded with the
+    deterministic ``codebooks='lowest_id'`` (same convention as N3/D9):
+    encoding argmins, the per-query LUTs, and the ADC sums are all exact
+    int64, so the APPROXIMATE result reproduces in SQL bit for bit —
+    approximation error and all. The production kmeans codebooks and the
+    exact-L2 rerank tier are pytest-asserted (recall vs brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, codebooks="lowest_id")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 SemDeDup (operators/dedup.py semantic_dup_pairs/semdedup):
     coarse k-means cells, then the near-dup pair search ONLY within each
@@ -3605,6 +3619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
         # D9 SemDeDup standalone (graded via d5_embedding_suite 'sem-*')
         "d9_semantic_dedup": _q_semantic_dedup,
+        # N4 product-quantization ADC top-k (mirror-graded, bit-exact)
+        "n4_pq_topk": _q_pq_topk,
         # FM streaming twin (batch FM graded via fm_training_matrix)
         "st_fm_matrix_stream": _q_stream_matrix,
         # merged-suite components (graded via the suites above)
@@ -3907,6 +3923,47 @@ def _duck_semdedup_pairs_sql(n_centroids: int, threshold: float) -> str:
         FROM pdots JOIN nrm na ON na.vec_id = ia
                    JOIN nrm nb ON nb.vec_id = ib
         WHERE {_DUCK_COS} >= {threshold}
+    """
+
+
+def _duck_pq_topk_sql(m: int, n_codes: int, n_queries: int, k: int,
+                      dim: int = 64) -> str:
+    """Oracle twin of similarity.pq_topk(codebooks='lowest_id'): the PQ
+    codebook (subvectors of the n_codes lowest-id vectors, code = id
+    rank), the encode argmin (ties -> lowest code), the per-query LUT,
+    and the ADC sum are all exact int64 arithmetic, so the approximate
+    top-k reproduces in SQL bit for bit — same integer-determinism
+    argument as _duck_ivf_ann_sql, extended to the compressed store."""
+    d_sub = dim // m
+    return f"""
+        WITH {_duck_quantized_cte()},
+        sub AS (SELECT q.vec_id, (q.i - 1) // {d_sub} AS s,
+                       (q.i - 1) % {d_sub} AS j, q.qx
+                FROM q JOIN nrm USING (vec_id)),
+        cb AS (SELECT cv, CAST(row_number() OVER (ORDER BY cv) - 1 AS INT) AS code
+               FROM (SELECT vec_id AS cv FROM nrm ORDER BY vec_id
+                     LIMIT {n_codes})),
+        cbs AS (SELECT cb.code, sub.s, sub.j, sub.qx AS cx
+                FROM cb JOIN sub ON sub.vec_id = cb.cv),
+        d2 AS (SELECT v.vec_id, v.s, c.code,
+                      sum((v.qx - c.cx) * (v.qx - c.cx)) AS d2
+               FROM sub v JOIN cbs c ON c.s = v.s AND c.j = v.j
+               GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, s, code FROM (
+                  SELECT vec_id, s, code,
+                         row_number() OVER (PARTITION BY vec_id, s
+                                            ORDER BY d2, code) AS rn
+                  FROM d2) WHERE rn = 1),
+        adc AS (SELECT l.vec_id AS qid, e.vec_id AS nid, sum(l.d2) AS dist
+                FROM enc e JOIN d2 l ON l.s = e.s AND l.code = e.code
+                WHERE l.vec_id < {n_queries} AND e.vec_id <> l.vec_id
+                GROUP BY 1, 2)
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(dist AS BIGINT) AS dist, rank
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist, nid) AS INT) AS rank
+              FROM adc)
+        WHERE rank <= {k}
     """
 
 
@@ -4325,6 +4382,8 @@ def oracle_sql() -> dict[str, str]:
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
     d["st_w7_sliding_stream"] = (
         f"SELECT user_id, win_start, n FROM ({d['w7_sliding']})")
+    # N4 PQ ADC top-k: exact-int approximate result (see the builder)
+    d["n4_pq_topk"] = _duck_pq_topk_sql(8, 256, 20, 5)
     # D9 SemDeDup: within-cell pairs + keep-min-id drops (connected
     # components over the pair edges — same recursive-CTE twin as D6)
     d["d9_semantic_dedup"] = f"""

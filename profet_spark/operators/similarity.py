@@ -1,7 +1,8 @@
 """Approximate/exact nearest-neighbor search over embedding columns.
 
-Three tiers (task mandate: similarity search as a first-class component;
-N3 ivf_ann is the partition-pruned scale path defined further below):
+Four tiers (task mandate: similarity search as a first-class component;
+N3 ivf_ann is the partition-pruned scale path and N4 pq_encode/pq_topk
+the compressed-store path, both defined further below):
 
 N1  cosine_topk — brute-force exact top-k: broadcast the (small) query set
     against the corpus, cosine per (query, corpus) pair, window top-k.
@@ -23,6 +24,10 @@ Scale notes (100 TB corpus):
   map-side (zero shuffle); signatures and re-rank cosines are one int64
   matmul per Arrow batch, and only (query_id, neighbor_id, cosine) winners
   ever cross an exchange.
+- N4 (pq_encode/pq_topk) stores m one-byte codes per row instead of the
+  vector — the footprint cut that lets a 10^12-row embedding store live
+  in executor memory; ADC scoring reads only codes + broadcast LUTs, and
+  the optional exact tier re-reads vectors for CANDIDATES only.
 """
 
 from __future__ import annotations
@@ -863,3 +868,260 @@ def ivf_ann_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("qid") != F.col("cand_id"))
             .select("qid", F.col("cand_id").alias("cid")))
     return _rank_narrow_pairs(cand, csigned, qsigned, k, out_schema)
+
+
+def _train_pq_codebooks(qd: DataFrame, m: int, n_codes: int,
+                        strategy: str, sample_size: int, kmeans_iter: int):
+    """Per-subspace PQ codebooks over the quantized corpus.
+
+    Returns int64 ndarray (m, c, d_sub) — integer codebook entries keep
+    every downstream encode/ADC distance an EXACT int64 sum.
+
+    - ``"kmeans"`` (production): plain-L2 Lloyd per subspace over the
+      same deterministic hash-ordered sample as _train_centroids_kmeans;
+      means are re-quantized floor(x+0.5) so the trained codebook is
+      integer too. Empty clusters reseed to the point worst-covered by
+      the current codebook (deterministic argmax of min-distance).
+    - ``"lowest_id"``: the subvectors of the n_codes lowest-id vectors in
+      id order (code = id rank) — the bit-exact SQL-oracle strategy,
+      same convention as the IVF/SemDeDup lowest_id centroids.
+    """
+    import numpy as np
+
+    if strategy == "lowest_id":
+        rows = qd.orderBy("id").limit(n_codes).select("q").collect()
+        if not rows:
+            return np.empty((m, 0, 0), dtype=np.int64)
+        X = np.asarray([r["q"] for r in rows], dtype=np.int64)
+        return np.ascontiguousarray(
+            X.reshape(len(X), m, -1).transpose(1, 0, 2))
+    if strategy != "kmeans":
+        raise ValueError(f"unknown PQ codebooks strategy: {strategy!r}")
+    rows = (qd.orderBy(H.h32(F.col("id").cast("string")), F.col("id"))
+            .limit(sample_size).select("q").collect())
+    if not rows:
+        return np.empty((m, 0, 0), dtype=np.int64)
+    X = np.asarray([r["q"] for r in rows], dtype=np.float64)
+    S = X.reshape(len(X), m, -1)
+    c = min(n_codes, len(X))
+    books = []
+    for s in range(m):
+        Xs = S[:, s, :]
+        C = Xs[:c].copy()
+        for _ in range(kmeans_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            labels = d2.argmin(axis=1)            # first-min: lowest code
+            worst = d2.min(axis=1).argsort(kind="stable")[::-1]  # desc cover
+            w_i = 0
+            newC = np.empty_like(C)
+            for j in range(c):
+                members = Xs[labels == j]
+                if len(members):
+                    newC[j] = members.mean(axis=0)
+                else:
+                    newC[j] = Xs[worst[w_i]]
+                    w_i += 1
+            if np.allclose(newC, C):
+                C = newC
+                break
+            C = newC
+        books.append(np.floor(C + 0.5).astype(np.int64))
+    return np.ascontiguousarray(np.stack(books))
+
+
+def _pq_subspace_d2(Cs, CBs):
+    """Exact int64 squared-L2 of every row of Cs (b, d) to every codebook
+    entry of CBs (c, d): ||a||^2 + ||b||^2 - 2ab via one integer matmul."""
+    import numpy as np
+
+    cn = (Cs * Cs).sum(axis=1)
+    bn = (CBs * CBs).sum(axis=1)
+    return cn[:, None] + bn[None, :] - 2 * (Cs @ CBs.T)
+
+
+def pq_encode(corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", m: int = 8, n_codes: int = 256,
+              codebooks: str = "kmeans", sample_size: int = 4096,
+              kmeans_iter: int = 15) -> DataFrame:
+    """N4: product-quantization encoding — the compressed embedding store.
+
+    Splits each quantized vector into ``m`` subspaces and stores only the
+    index of the nearest codebook entry per subspace: ``m`` small ints
+    (bytes at n_codes<=256) instead of ``dim*4`` float bytes per row — a
+    ~64x footprint cut for dim=64 float32 at m=8, the difference between
+    an embedding store that fits executor memory at 10^12 rows and one
+    that doesn't (Jegou et al. 2011, "Product quantization for nearest
+    neighbor search").
+
+    Plan: codebooks ride ONE broadcast variable (m*c*d_sub int64 —
+    ~128 KB at the defaults); encoding is one Arrow mapInPandas kernel
+    (exact int64 d2 via the matmul identity, argmin ties -> lowest
+    code), zero shuffle, zero data-sized driver state. Output:
+    ``(id, codes array<int>)``. Zero-norm vectors are excluded (the
+    engine-wide _quantized contract).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qd = _quantized(corpus, id_col, vec_col)
+    first = qd.select(F.size("q").alias("d")).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"id {dict(corpus.dtypes)[id_col]}, codes array<int>")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    CB = _train_pq_codebooks(qd, m, n_codes, codebooks,
+                             sample_size, kmeans_iter)
+    bcb = corpus.sparkSession.sparkContext.broadcast(CB)
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def kernel(batches):
+        CB = bcb.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            S = C.reshape(len(C), m, -1)
+            codes = np.empty((len(C), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = _pq_subspace_d2(S[:, s, :], CB[s]).argmin(axis=1)
+            out = pdf[["id"]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    return qd.mapInPandas(kernel, f"id {id_type}, codes array<int>")
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            m: int = 8, n_codes: int = 256, codebooks: str = "kmeans",
+            sample_size: int = 4096, kmeans_iter: int = 15,
+            rerank: int = 0, max_queries: int | None = None) -> DataFrame:
+    """N4: asymmetric-distance (ADC) top-k over the PQ-compressed corpus.
+
+    Per query, distance to a corpus row is approximated as the sum over
+    subspaces of the EXACT int64 squared-L2 between the query subvector
+    and the row's codebook entry — the classic ADC lookup: each query
+    ships one (m x c) int64 table, scoring a row is m integer gathers,
+    and the raw corpus vectors are never touched after encoding.
+
+    Determinism contract (same as N1-N3): every distance is an exact
+    integer, ranking is (dist asc, neighbor_id asc), encode/LUT argmins
+    tie to the lowest code — so with ``codebooks='lowest_id'`` the whole
+    operator reproduces in SQL bit for bit, approximation and all.
+
+    Plan: queries driver-collected (bounded; ``max_queries`` raises past
+    the cap), LUTs broadcast (queries x m x c ints); ONE encode kernel +
+    ONE scoring kernel over the corpus, per-batch top-k, final tiny
+    window over O(batches x queries x k) rows. ``rerank=R > 0`` adds the
+    exact tier: the ADC top-R candidates per query are re-scored with
+    the exact full-dim int64 L2 (broadcast-semi join back to the
+    quantized vectors — only candidates are ever re-read) and the top-k
+    re-cut; output ``dist`` is then the exact distance.
+
+    Output: ``(query_id, neighbor_id, dist bigint, rank)``; self matches
+    excluded. Squared-L2 ranking (the PQ-native metric), not cosine —
+    recall vs the exact-L2 brute force is pytest-asserted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if rerank and rerank < k:
+        raise ValueError(f"pq_topk: rerank={rerank} must be >= k={k}")
+    id_type = dict(corpus.dtypes)[id_col]
+    spark = corpus.sparkSession
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, dist bigint"
+    empty = lambda: spark.createDataFrame([], out_schema).withColumn(  # noqa: E731
+        "rank", F.lit(1).cast("int"))
+
+    q_rows = _collect_query_side(
+        _quantized(queries, id_col, vec_col), "pq_topk", max_queries)
+    if not q_rows:
+        return empty()
+    qd = _quantized(corpus, id_col, vec_col)
+    first = qd.select(F.size("q").alias("d")).first()
+    if first is None:
+        return empty()
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
+    CB = _train_pq_codebooks(qd, m, n_codes, codebooks,
+                             sample_size, kmeans_iter)
+    if CB.shape[1] == 0:
+        return empty()
+
+    qids = [r["id"] for r in q_rows]
+    Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
+    QS = Qm.reshape(len(Qm), m, -1)
+    # LUT[j, s, c] = exact d2(query_j subvector s, codebook entry c)
+    LUT = np.stack([np.stack([_pq_subspace_d2(QS[j:j + 1, s, :], CB[s])[0]
+                              for s in range(m)])
+                    for j in range(len(qids))])
+
+    bcb = spark.sparkContext.broadcast(CB)
+    blut = spark.sparkContext.broadcast((qids, LUT))
+    topn = rerank if rerank else k
+
+    def score(batches):
+        CB = bcb.value
+        qids, LUT = blut.value
+        sidx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            ids = pdf["id"].to_numpy()
+            S = C.reshape(len(C), m, -1)
+            codes = np.empty((len(C), m), dtype=np.int64)
+            for s in range(m):
+                codes[:, s] = _pq_subspace_d2(S[:, s, :], CB[s]).argmin(axis=1)
+            res = {"query_id": [], "neighbor_id": [], "dist": []}
+            for j, qid in enumerate(qids):
+                adc = LUT[j][sidx[None, :], codes].sum(axis=1)
+                mask = ids != qid                   # exclude self
+                mids, madc = ids[mask], adc[mask]
+                nn = min(topn, len(mids))
+                order = np.lexsort((mids, madc))[:nn]
+                res["query_id"] += [qid] * nn
+                res["neighbor_id"] += list(mids[order])
+                res["dist"] += [int(x) for x in madc[order]]
+            yield pd.DataFrame(res)
+
+    local = qd.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("neighbor_id"))
+    adc_top = local.withColumn("rank", F.row_number().over(w)) \
+                   .where(F.col("rank") <= topn)
+    if not rerank:
+        return adc_top.where(F.col("rank") <= k)
+
+    # exact tier: re-score the ADC top-R with full-dim int64 L2 — only
+    # candidate vectors are re-read (broadcast semi join), then re-cut
+    cand_ids = adc_top.select(F.col("neighbor_id").alias("id")).distinct()
+    qcand = qd.join(F.broadcast(cand_ids), "id", "left_semi")
+    bq = spark.sparkContext.broadcast(
+        (Qm, {qid: i for i, qid in enumerate(qids)}))
+
+    def exact(batches):
+        Qm, _ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            qi = pdf["qi"].to_numpy(dtype=np.int64)
+            diffs = C - Qm[qi]
+            d2 = (diffs * diffs).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "dist": [int(x) for x in d2]})
+
+    pairs = (adc_top.select("query_id", "neighbor_id")
+             .join(qcand.withColumnRenamed("id", "neighbor_id"),
+                   "neighbor_id"))
+    qi_map = F.create_map(*[x for i, qid in enumerate(qids)
+                            for x in (F.lit(qid), F.lit(i))])
+    pairs = pairs.withColumn("qi", qi_map[F.col("query_id")].cast("int"))
+    exact_scored = pairs.mapInPandas(exact, out_schema)
+    return (exact_scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

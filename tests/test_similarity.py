@@ -400,3 +400,93 @@ def test_ivf_n_centroids_zero_raises(emb):
         similarity.ivf_ann_distributed(df, q, n_centroids=0)
     with pytest.raises(ValueError, match="n_centroids"):
         similarity.ivf_ann_distributed(df, q, n_centroids=True)
+
+
+# --- N4 product quantization: compressed store + ADC top-k ---
+
+
+def _pq_numpy(vecs, m, n_codes):
+    """Reference: lowest_id codebooks, encode argmin, per-query LUTs."""
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    d_sub = q.shape[1] // m
+    S = q.reshape(len(q), m, d_sub)
+    CB = S[:n_codes].transpose(1, 0, 2)          # (m, c, d_sub), id order
+    codes = np.empty((len(q), m), dtype=np.int64)
+    for s in range(m):
+        d2 = ((S[:, s, None, :] - CB[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = d2.argmin(axis=1)          # first-min: lowest code
+    return q, S, CB, codes
+
+
+def test_pq_encode_matches_numpy(emb):
+    df, vecs = emb
+    got = similarity.pq_encode(df, m=8, codebooks="lowest_id").toPandas()
+    _, _, _, codes = _pq_numpy(vecs, 8, 256)
+    got = got.sort_values("id").reset_index(drop=True)
+    assert (np.stack(got.codes.to_numpy()) == codes[got.id]).all()
+
+
+def test_pq_topk_adc_matches_numpy(emb):
+    """Pure-ADC tier: (neighbor set, exact integer distance, rank) all
+    equal the numpy reference — the approximation is deterministic."""
+    df, vecs = emb
+    got = similarity.pq_topk(df, df.where(df.vec_id < 10), k=5,
+                             codebooks="lowest_id").toPandas()
+    _, S, CB, codes = _pq_numpy(vecs, 8, 256)
+    for qi in range(10):
+        lut = np.stack([((S[qi, s][None, :] - CB[s]) ** 2).sum(-1)
+                        for s in range(8)])       # (m, c)
+        adc = lut[np.arange(8)[None, :], codes].sum(axis=1)
+        ids = np.arange(len(vecs))
+        mask = ids != qi
+        order = np.lexsort((ids[mask], adc[mask]))[:5]
+        want = list(zip(ids[mask][order], adc[mask][order], range(1, 6)))
+        g = got[got.query_id == qi].sort_values("rank")
+        assert list(zip(g.neighbor_id, g.dist, g["rank"])) == \
+            [(int(a), int(b), r) for a, b, r in want]
+
+
+def test_pq_rerank_is_exact_l2_and_recovers_recall(emb):
+    """rerank tier: distances equal the exact full-dim int64 L2, and
+    recall@k vs exact L2 brute force is >= the pure-ADC tier's (and high
+    in absolute terms on the clustered fixture)."""
+    df, vecs = emb
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+
+    def exact_topk(qi, k=5):
+        d2 = ((q - q[qi]) ** 2).sum(axis=1)
+        ids = np.arange(len(q))
+        mask = ids != qi
+        order = np.lexsort((ids[mask], d2[mask]))[:k]
+        return ids[mask][order], d2[mask][order]
+
+    adc = similarity.pq_topk(df, df.where(df.vec_id < 10), k=5).toPandas()
+    rr = similarity.pq_topk(df, df.where(df.vec_id < 10), k=5,
+                            rerank=50).toPandas()
+    hits_adc = hits_rr = 0
+    for qi in range(10):
+        want_ids, want_d2 = exact_topk(qi)
+        hits_adc += len(set(want_ids)
+                        & set(adc[adc.query_id == qi].neighbor_id))
+        g = rr[rr.query_id == qi]
+        hits_rr += len(set(want_ids) & set(g.neighbor_id))
+        # every rerank distance IS the exact L2 of that pair
+        for _, r in g.iterrows():
+            d2 = int(((q[int(r.neighbor_id)] - q[qi]) ** 2).sum())
+            assert int(r.dist) == d2
+    assert hits_rr >= hits_adc
+    assert hits_rr >= 45  # >=90% recall@5 with rerank on clustered data
+
+
+def test_pq_validation_and_plan(emb):
+    df, vecs = emb
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_encode(df, m=7)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.pq_topk(df, df.where(df.vec_id < 5), k=5, rerank=3)
+    with pytest.raises(ValueError, match="codebooks"):
+        similarity.pq_encode(df, codebooks="nope")
+    # the compressed store is built with ZERO shuffles (scan -> kernel)
+    plan = (similarity.pq_encode(df, codebooks="lowest_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
