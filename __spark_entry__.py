@@ -2498,6 +2498,20 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 20), k=5, codebooks="lowest_id")
 
 
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4×N3 IVF-PQ (similarity.ivf_pq_topk): coarse L2 cell pruning over
+    the PQ-compressed store — the FAISS-IVFADC shape. Graded fully
+    deterministic (lowest_id coarse centroids AND codebooks): cell
+    assignment, probing, encode argmins, and ADC sums are all exact
+    int64, so the doubly-approximate result reproduces in SQL bitwise;
+    kmeans quality + the exact rerank tier are pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5,
+        n_centroids=16, n_probe=3, coarse="lowest_id",
+        codebooks="lowest_id")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 SemDeDup (operators/dedup.py semantic_dup_pairs/semdedup):
     coarse k-means cells, then the near-dup pair search ONLY within each
@@ -3621,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_semantic_dedup": _q_semantic_dedup,
         # N4 product-quantization ADC top-k (mirror-graded, bit-exact)
         "n4_pq_topk": _q_pq_topk,
+        "n4_ivf_pq_topk": _q_ivf_pq_topk,
         # FM streaming twin (batch FM graded via fm_training_matrix)
         "st_fm_matrix_stream": _q_stream_matrix,
         # merged-suite components (graded via the suites above)
@@ -3957,6 +3972,71 @@ def _duck_pq_topk_sql(m: int, n_codes: int, n_queries: int, k: int,
         adc AS (SELECT l.vec_id AS qid, e.vec_id AS nid, sum(l.d2) AS dist
                 FROM enc e JOIN d2 l ON l.s = e.s AND l.code = e.code
                 WHERE l.vec_id < {n_queries} AND e.vec_id <> l.vec_id
+                GROUP BY 1, 2)
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(dist AS BIGINT) AS dist, rank
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist, nid) AS INT) AS rank
+              FROM adc)
+        WHERE rank <= {k}
+    """
+
+
+def _duck_ivf_pq_sql(n_centroids: int, n_probe: int, m: int, n_codes: int,
+                     n_queries: int, k: int, dim: int = 64) -> str:
+    """Oracle twin of similarity.ivf_pq_topk(coarse='lowest_id',
+    codebooks='lowest_id'): the full-dim coarse assignment/probe (exact
+    int64 L2, ties -> lowest cid) composed with _duck_pq_topk_sql's
+    encode + ADC — every stage integer-deterministic, so the IVF-pruned
+    compressed-store top-k reproduces bitwise."""
+    d_sub = dim // m
+    return f"""
+        WITH {_duck_quantized_cte()},
+        qn AS (SELECT q.* FROM q JOIN nrm USING (vec_id)),
+        sub AS (SELECT vec_id, (i - 1) // {d_sub} AS s,
+                       (i - 1) % {d_sub} AS j, qx
+                FROM qn),
+        cc AS (SELECT cv, CAST(row_number() OVER (ORDER BY cv) - 1 AS INT) AS cid
+               FROM (SELECT vec_id AS cv FROM nrm ORDER BY vec_id
+                     LIMIT {n_centroids})),
+        ccs AS (SELECT cc.cid, qn.i, qn.qx AS cx
+                FROM cc JOIN qn ON qn.vec_id = cc.cv),
+        cd2 AS (SELECT v.vec_id, c.cid,
+                       sum((v.qx - c.cx) * (v.qx - c.cx)) AS d2
+                FROM qn v JOIN ccs c ON c.i = v.i
+                GROUP BY 1, 2),
+        assign AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cid) AS rn
+                     FROM cd2) WHERE rn = 1),
+        probe AS (SELECT vec_id AS qid, cid FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                    FROM cd2 WHERE vec_id < {n_queries})
+                  WHERE rn <= {n_probe}),
+        cb AS (SELECT cv, CAST(row_number() OVER (ORDER BY cv) - 1 AS INT) AS code
+               FROM (SELECT vec_id AS cv FROM nrm ORDER BY vec_id
+                     LIMIT {n_codes})),
+        cbs AS (SELECT cb.code, sub.s, sub.j, sub.qx AS cx
+                FROM cb JOIN sub ON sub.vec_id = cb.cv),
+        pd2 AS (SELECT v.vec_id, v.s, c.code,
+                       sum((v.qx - c.cx) * (v.qx - c.cx)) AS d2
+                FROM sub v JOIN cbs c ON c.s = v.s AND c.j = v.j
+                GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, s, code FROM (
+                  SELECT vec_id, s, code,
+                         row_number() OVER (PARTITION BY vec_id, s
+                                            ORDER BY d2, code) AS rn
+                  FROM pd2) WHERE rn = 1),
+        adc AS (SELECT p.qid, e.vec_id AS nid, sum(l.d2) AS dist
+                FROM enc e
+                JOIN assign a ON a.vec_id = e.vec_id
+                JOIN probe p ON p.cid = a.cid
+                JOIN pd2 l ON l.vec_id = p.qid AND l.s = e.s
+                           AND l.code = e.code
+                WHERE e.vec_id <> p.qid
                 GROUP BY 1, 2)
         SELECT qid AS query_id, nid AS neighbor_id,
                CAST(dist AS BIGINT) AS dist, rank
@@ -4384,6 +4464,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT user_id, win_start, n FROM ({d['w7_sliding']})")
     # N4 PQ ADC top-k: exact-int approximate result (see the builder)
     d["n4_pq_topk"] = _duck_pq_topk_sql(8, 256, 20, 5)
+    d["n4_ivf_pq_topk"] = _duck_ivf_pq_sql(16, 3, 8, 256, 20, 5)
     # D9 SemDeDup: within-cell pairs + keep-min-id drops (connected
     # components over the pair edges — same recursive-CTE twin as D6)
     d["d9_semantic_dedup"] = f"""

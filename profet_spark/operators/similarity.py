@@ -1125,3 +1125,149 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     exact_scored = pairs.mapInPandas(exact, out_schema)
     return (exact_scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                n_centroids: int = 16, n_probe: int = 2,
+                m: int = 8, n_codes: int = 256,
+                coarse: str = "kmeans", codebooks: str = "kmeans",
+                sample_size: int = 4096, kmeans_iter: int = 15,
+                rerank: int = 0, max_queries: int | None = None) -> DataFrame:
+    """N4×N3: IVF-PQ — coarse cell pruning over the PQ-compressed store,
+    the FAISS-IVFADC shape for web-scale ANN (Jegou et al. 2011).
+
+    One zero-shuffle Arrow pass assigns every corpus row to its nearest
+    coarse centroid (exact int64 L2, ties -> lowest cid) AND encodes it
+    to m codebook bytes; a query then scores ONLY the rows of its
+    ``n_probe`` nearest cells, by ADC lookups against its broadcast LUT.
+    At warehouse scale the (cid, codes) table is written PARTITIONED BY
+    cid, so probing is partition pruning at the scan and the scored
+    bytes are ``n_probe/n_centroids`` of an already ~64x-compressed
+    store.
+
+    Design notes:
+    - The coarse quantizer is the PQ machinery at m=1 (one full-dim L2
+      codebook): ``coarse='kmeans'`` full-dim Lloyd, ``'lowest_id'`` for
+      the bit-exact SQL oracle — the same determinism conventions as
+      every N-tier operator (first-min ties, exact int64 distances).
+    - Codes quantize the RAW vectors (shared codebooks across cells),
+      not per-cell residuals — one codebook broadcast, one oracle-exact
+      arithmetic path; the classic residual refinement is superseded
+      here by the ``rerank`` exact tier, which re-reads only candidate
+      vectors (broadcast semi join) and replaces ``dist`` with the exact
+      full-dim int64 L2.
+
+    Output: ``(query_id, neighbor_id, dist bigint, rank)``; self matches
+    excluded; recall vs exact-L2 brute force pytest-asserted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if rerank and rerank < k:
+        raise ValueError(f"ivf_pq_topk: rerank={rerank} must be >= k={k}")
+    id_type = dict(corpus.dtypes)[id_col]
+    spark = corpus.sparkSession
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, dist bigint"
+    empty = lambda: spark.createDataFrame([], out_schema).withColumn(  # noqa: E731
+        "rank", F.lit(1).cast("int"))
+
+    q_rows = _collect_query_side(
+        _quantized(queries, id_col, vec_col), "ivf_pq_topk", max_queries)
+    if not q_rows:
+        return empty()
+    qd = _quantized(corpus, id_col, vec_col)
+    first = qd.select(F.size("q").alias("d")).first()
+    if first is None:
+        return empty()
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"ivf_pq_topk: dim {dim} not divisible by m={m}")
+    # coarse quantizer == the PQ trainer at m=1: ONE full-dim L2 codebook
+    CC = _train_pq_codebooks(qd, 1, n_centroids, coarse,
+                             sample_size, kmeans_iter)[0]
+    CB = _train_pq_codebooks(qd, m, n_codes, codebooks,
+                             sample_size, kmeans_iter)
+    if len(CC) == 0 or CB.shape[1] == 0:
+        return empty()
+
+    qids = [r["id"] for r in q_rows]
+    Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
+    QS = Qm.reshape(len(Qm), m, -1)
+    LUT = np.stack([np.stack([_pq_subspace_d2(QS[j:j + 1, s, :], CB[s])[0]
+                              for s in range(m)])
+                    for j in range(len(qids))])
+    # probe: n_probe nearest cells per query, exact int64 L2, stable order
+    qc = _pq_subspace_d2(Qm, CC)                 # (nq, n_centroids)
+    probes = []
+    for j in range(len(qids)):
+        order = np.argsort(qc[j], kind="stable")[:n_probe]
+        probes.append(set(int(c) for c in order))
+
+    bcb = spark.sparkContext.broadcast((CC, CB))
+    blut = spark.sparkContext.broadcast((qids, LUT, probes))
+    topn = rerank if rerank else k
+
+    def score(batches):
+        CC, CB = bcb.value
+        qids, LUT, probes = blut.value
+        sidx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            ids = pdf["id"].to_numpy()
+            cids = _pq_subspace_d2(C, CC).argmin(axis=1)  # coarse assign
+            S = C.reshape(len(C), m, -1)
+            codes = np.empty((len(C), m), dtype=np.int64)
+            for s in range(m):
+                codes[:, s] = _pq_subspace_d2(S[:, s, :], CB[s]).argmin(axis=1)
+            res = {"query_id": [], "neighbor_id": [], "dist": []}
+            for j, qid in enumerate(qids):
+                mask = np.fromiter((int(c) in probes[j] for c in cids),
+                                   dtype=bool, count=len(cids))
+                mask &= ids != qid               # exclude self
+                if not mask.any():
+                    continue
+                mids = ids[mask]
+                adc = LUT[j][sidx[None, :], codes[mask]].sum(axis=1)
+                nn = min(topn, len(mids))
+                order = np.lexsort((mids, adc))[:nn]
+                res["query_id"] += [qid] * nn
+                res["neighbor_id"] += list(mids[order])
+                res["dist"] += [int(x) for x in adc[order]]
+            yield pd.DataFrame(res)
+
+    local = qd.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("neighbor_id"))
+    adc_top = local.withColumn("rank", F.row_number().over(w)) \
+                   .where(F.col("rank") <= topn)
+    if not rerank:
+        return adc_top.where(F.col("rank") <= k)
+    cand_ids = adc_top.select(F.col("neighbor_id").alias("id")).distinct()
+    qcand = qd.join(F.broadcast(cand_ids), "id", "left_semi")
+    bq = spark.sparkContext.broadcast(Qm)
+
+    def exact(batches):
+        Qm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            qi = pdf["qi"].to_numpy(dtype=np.int64)
+            diffs = C - Qm[qi]
+            d2 = (diffs * diffs).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "dist": [int(x) for x in d2]})
+
+    pairs = (adc_top.select("query_id", "neighbor_id")
+             .join(qcand.withColumnRenamed("id", "neighbor_id"),
+                   "neighbor_id"))
+    qi_map = F.create_map(*[x for i, qid in enumerate(qids)
+                            for x in (F.lit(qid), F.lit(i))])
+    pairs = pairs.withColumn("qi", qi_map[F.col("query_id")].cast("int"))
+    return (pairs.mapInPandas(exact, out_schema)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

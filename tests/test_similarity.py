@@ -490,3 +490,50 @@ def test_pq_validation_and_plan(emb):
     plan = (similarity.pq_encode(df, codebooks="lowest_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_ivf_pq_full_probe_equals_pq(emb):
+    """n_probe == n_centroids disables pruning: IVF-PQ must equal the
+    plain PQ ADC result bitwise (same codebooks, same arithmetic)."""
+    df, _ = emb
+    a = similarity.ivf_pq_topk(df, df.where(df.vec_id < 10), k=5,
+                               n_centroids=4, n_probe=4,
+                               coarse="lowest_id",
+                               codebooks="lowest_id").toPandas()
+    b = similarity.pq_topk(df, df.where(df.vec_id < 10), k=5,
+                           codebooks="lowest_id").toPandas()
+    key = ["query_id", "neighbor_id", "dist", "rank"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+
+
+def test_ivf_pq_recall_and_rerank(emb):
+    """Production defaults (kmeans coarse + codebooks) on the clustered
+    fixture: pruned-probe recall vs exact L2 is meaningful, and the
+    rerank tier's distances are the exact full-dim int64 L2."""
+    df, vecs = emb
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    rr = similarity.ivf_pq_topk(df, df.where(df.vec_id < 10), k=5,
+                                n_centroids=6, n_probe=3,
+                                rerank=30).toPandas()
+    hits = 0
+    for qi in range(10):
+        d2 = ((q - q[qi]) ** 2).sum(axis=1)
+        ids = np.arange(len(q))
+        mask = ids != qi
+        order = np.lexsort((ids[mask], d2[mask]))[:5]
+        want = set(ids[mask][order])
+        g = rr[rr.query_id == qi]
+        hits += len(want & set(g.neighbor_id))
+        for _, r in g.iterrows():
+            assert int(r.dist) == int(((q[int(r.neighbor_id)] - q[qi]) ** 2).sum())
+    # 3-of-6 clustered cells probed: the true cluster is found
+    assert hits >= 40  # >=80% recall@5
+
+
+def test_ivf_pq_validation(emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivf_pq_topk(df, df.where(df.vec_id < 5), k=5, rerank=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ivf_pq_topk(df, df.where(df.vec_id < 5), m=7)
