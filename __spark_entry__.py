@@ -2512,6 +2512,21 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks="lowest_id")
 
 
+def _q_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4×N3 index build (similarity.ivf_pq_encode): the persistable
+    (id, cid, codes) IVF-PQ table — graded as exploded scalar rows
+    (vec_id, cid, s, code) so the driver hash covers every code byte.
+    The partitionBy('cid') write + PartitionFilters probe pruning is
+    executed in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = similarity.ivf_pq_encode(emb, n_centroids=16,
+                                   coarse="lowest_id",
+                                   codebooks="lowest_id")
+    return idx.select(
+        F.col("id").alias("vec_id"), "cid",
+        F.posexplode("codes").alias("s", "code"))
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 SemDeDup (operators/dedup.py semantic_dup_pairs/semdedup):
     coarse k-means cells, then the near-dup pair search ONLY within each
@@ -3636,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # N4 product-quantization ADC top-k (mirror-graded, bit-exact)
         "n4_pq_topk": _q_pq_topk,
         "n4_ivf_pq_topk": _q_ivf_pq_topk,
+        "n4_ivf_pq_index": _q_ivf_pq_index,
         # FM streaming twin (batch FM graded via fm_training_matrix)
         "st_fm_matrix_stream": _q_stream_matrix,
         # merged-suite components (graded via the suites above)
@@ -3983,13 +3999,35 @@ def _duck_pq_topk_sql(m: int, n_codes: int, n_queries: int, k: int,
 
 
 def _duck_ivf_pq_sql(n_centroids: int, n_probe: int, m: int, n_codes: int,
-                     n_queries: int, k: int, dim: int = 64) -> str:
+                     n_queries: int, k: int, dim: int = 64,
+                     index_only: bool = False) -> str:
     """Oracle twin of similarity.ivf_pq_topk(coarse='lowest_id',
     codebooks='lowest_id'): the full-dim coarse assignment/probe (exact
     int64 L2, ties -> lowest cid) composed with _duck_pq_topk_sql's
     encode + ADC — every stage integer-deterministic, so the IVF-pruned
-    compressed-store top-k reproduces bitwise."""
+    compressed-store top-k reproduces bitwise. ``index_only`` stops at
+    the persistable index rows (the ivf_pq_encode twin, exploded to
+    scalar (vec_id, cid, s, code) rows)."""
     d_sub = dim // m
+    tail = """
+        SELECT e.vec_id, a.cid, e.s, e.code
+        FROM enc e JOIN assign a ON a.vec_id = e.vec_id
+    """ if index_only else f"""
+        , adc AS (SELECT p.qid, e.vec_id AS nid, sum(l.d2) AS dist
+                FROM enc e
+                JOIN assign a ON a.vec_id = e.vec_id
+                JOIN probe p ON p.cid = a.cid
+                JOIN pd2 l ON l.vec_id = p.qid AND l.s = e.s
+                           AND l.code = e.code
+                WHERE e.vec_id <> p.qid
+                GROUP BY 1, 2)
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(dist AS BIGINT) AS dist, rank
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY dist, nid) AS INT) AS rank
+              FROM adc)
+        WHERE rank <= {k}
+    """
     return f"""
         WITH {_duck_quantized_cte()},
         qn AS (SELECT q.* FROM q JOIN nrm USING (vec_id)),
@@ -4029,21 +4067,8 @@ def _duck_ivf_pq_sql(n_centroids: int, n_probe: int, m: int, n_codes: int,
                   SELECT vec_id, s, code,
                          row_number() OVER (PARTITION BY vec_id, s
                                             ORDER BY d2, code) AS rn
-                  FROM pd2) WHERE rn = 1),
-        adc AS (SELECT p.qid, e.vec_id AS nid, sum(l.d2) AS dist
-                FROM enc e
-                JOIN assign a ON a.vec_id = e.vec_id
-                JOIN probe p ON p.cid = a.cid
-                JOIN pd2 l ON l.vec_id = p.qid AND l.s = e.s
-                           AND l.code = e.code
-                WHERE e.vec_id <> p.qid
-                GROUP BY 1, 2)
-        SELECT qid AS query_id, nid AS neighbor_id,
-               CAST(dist AS BIGINT) AS dist, rank
-        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
-                               ORDER BY dist, nid) AS INT) AS rank
-              FROM adc)
-        WHERE rank <= {k}
+                  FROM pd2) WHERE rn = 1)
+        {tail}
     """
 
 
@@ -4465,6 +4490,8 @@ def oracle_sql() -> dict[str, str]:
     # N4 PQ ADC top-k: exact-int approximate result (see the builder)
     d["n4_pq_topk"] = _duck_pq_topk_sql(8, 256, 20, 5)
     d["n4_ivf_pq_topk"] = _duck_ivf_pq_sql(16, 3, 8, 256, 20, 5)
+    d["n4_ivf_pq_index"] = _duck_ivf_pq_sql(16, 3, 8, 256, 20, 5,
+                                            index_only=True)
     # D9 SemDeDup: within-cell pairs + keep-min-id drops (connected
     # components over the pair edges — same recursive-CTE twin as D6)
     d["d9_semantic_dedup"] = f"""

@@ -108,6 +108,15 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         docs = load_table(spark, input_root, "documents")
         return corpus.cap_per_key(docs, "source", cap=cap,
                                   id_col="doc_id")
+    if pipeline == "pq_index":
+        # N4xN3: build the persistable IVF-PQ index over the embeddings
+        # table; main() writes it PARTITIONED BY cid so a query's probe
+        # becomes directory pruning at the scan. --n-shards doubles as
+        # the coarse cell count.
+        from profet_spark.operators import similarity
+
+        emb = load_table(spark, input_root, "embeddings")
+        return similarity.ivf_pq_encode(emb, n_centroids=n_shards)
     if pipeline == "semdedup":
         # D9 SemDeDup: keep one row per semantic-duplicate cluster over
         # the embeddings table — coarse k-means cells, within-cell exact
@@ -136,7 +145,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
              "batch_plan", "materialize", "diff", "cap", "zorder",
-             "semdedup")
+             "semdedup", "pq_index")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -273,7 +282,10 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     if isinstance(out, tuple):  # ingest: (clean, quarantine)
         out, quarantine = out
     if args.output:
-        out.write.mode("overwrite").parquet(args.output)
+        w = out.write.mode("overwrite")
+        if args.pipeline == "pq_index":
+            w = w.partitionBy("cid")  # probe == directory pruning
+        w.parquet(args.output)
         print(f"wrote {args.output}")
         if quarantine is not None:
             qdir = args.output.rstrip("/") + "_quarantine"

@@ -1271,3 +1271,58 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (pairs.mapInPandas(exact, out_schema)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivf_pq_encode(corpus: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  n_centroids: int = 16, m: int = 8, n_codes: int = 256,
+                  coarse: str = "kmeans", codebooks: str = "kmeans",
+                  sample_size: int = 4096,
+                  kmeans_iter: int = 15) -> DataFrame:
+    """N4×N3 index build: the persistable IVF-PQ table — ``(id, cid int,
+    codes array<int>)`` from ONE zero-shuffle Arrow pass (coarse exact-L2
+    assignment + PQ encoding, the same kernel head as ivf_pq_topk).
+
+    This is the artifact a warehouse persists:
+    ``ivf_pq_encode(corpus).write.partitionBy('cid').parquet(root)`` —
+    probing n_probe cells then becomes DIRECTORY pruning at the scan
+    (PartitionFilters; executed in tests), and each pruned file holds m
+    one-byte codes per row instead of the vector. Codebooks are
+    deterministic (seed-free kmeans / lowest_id), so an index rebuilt
+    tomorrow on the same data is byte-identical — the S7/S10 idempotent
+    maintenance story applies unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qd = _quantized(corpus, id_col, vec_col)
+    first = qd.select(F.size("q").alias("d")).first()
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"id {id_type}, cid int, codes array<int>"
+    if first is None:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"ivf_pq_encode: dim {dim} not divisible by m={m}")
+    CC = _train_pq_codebooks(qd, 1, n_centroids, coarse,
+                             sample_size, kmeans_iter)[0]
+    CB = _train_pq_codebooks(qd, m, n_codes, codebooks,
+                             sample_size, kmeans_iter)
+    bcb = corpus.sparkSession.sparkContext.broadcast((CC, CB))
+
+    def kernel(batches):
+        CC, CB = bcb.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            S = C.reshape(len(C), m, -1)
+            codes = np.empty((len(C), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = _pq_subspace_d2(S[:, s, :], CB[s]).argmin(axis=1)
+            out = pdf[["id"]].copy()
+            out["cid"] = _pq_subspace_d2(C, CC).argmin(axis=1).astype("int32")
+            out["codes"] = list(codes)
+            yield out
+
+    return qd.mapInPandas(kernel, out_schema)

@@ -307,3 +307,25 @@ def test_cli_semdedup(spark, tmp_path):
     assert (sorted(r.vec_id for r in back.select("vec_id").collect())
             == sorted(r.vec_id for r in want.select("vec_id").collect()))
     assert 0 < back.count() < emb.count()  # non-vacuous at this threshold
+
+
+def test_cli_pq_index(spark, tmp_path):
+    """N4xN3 pipeline: the IVF-PQ index lands partitioned by cid (one
+    directory per cell) and round-trips the library encode exactly."""
+    from profet_spark.operators import similarity
+    from profet_spark.sources import load_table
+
+    out_dir = str(tmp_path / "pqidx")
+    rc = main(["--pipeline", "pq_index", "--input", SF,
+               "--n-shards", "4", "--output", out_dir], _spark=spark)
+    assert rc == 0
+    import os as _os
+    assert any(d.startswith("cid=") for d in _os.listdir(out_dir))
+    back = spark.read.parquet(out_dir)
+    emb = load_table(spark, SF, "embeddings")
+    want = similarity.ivf_pq_encode(emb, n_centroids=4)
+    a = back.select("id", "cid", "codes").toPandas().sort_values("id")
+    b = want.toPandas().sort_values("id")
+    assert a.id.tolist() == b.id.tolist()
+    assert a.cid.tolist() == b.cid.tolist()
+    assert [list(x) for x in a.codes] == [list(x) for x in b.codes]

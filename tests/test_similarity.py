@@ -537,3 +537,36 @@ def test_ivf_pq_validation(emb):
         similarity.ivf_pq_topk(df, df.where(df.vec_id < 5), k=5, rerank=2)
     with pytest.raises(ValueError, match="not divisible"):
         similarity.ivf_pq_topk(df, df.where(df.vec_id < 5), m=7)
+
+
+def test_ivf_pq_encode_matches_numpy_and_plan(emb):
+    """Index build: (cid, codes) equal the numpy reference under
+    lowest_id coarse+codebooks, and the whole build is zero-shuffle."""
+    df, vecs = emb
+    idx = similarity.ivf_pq_encode(df, n_centroids=4, coarse="lowest_id",
+                                   codebooks="lowest_id")
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = idx.toPandas().sort_values("id").reset_index(drop=True)
+    q, S, CB, codes = _pq_numpy(vecs, 8, 256)
+    CC = q[:4]
+    cd2 = ((q[:, None, :] - CC[None, :, :]) ** 2).sum(-1)
+    assert (got.cid.to_numpy() == cd2.argmin(axis=1)[got.id]).all()
+    assert (np.stack(got.codes.to_numpy()) == codes[got.id]).all()
+
+
+def test_ivf_pq_index_partition_pruning(spark, emb, tmp_path):
+    """The persisted index story, executed: write partitionBy('cid'),
+    probe two cells — the filter must reach PartitionFilters (directory
+    pruning) and return exactly those cells' rows."""
+    from pyspark.sql import functions as F
+    df, _ = emb
+    idx = similarity.ivf_pq_encode(df, n_centroids=4, coarse="lowest_id",
+                                   codebooks="lowest_id")
+    root = str(tmp_path / "pq_index")
+    idx.write.partitionBy("cid").parquet(root)
+    back = spark.read.parquet(root).where(F.col("cid").isin(0, 2))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    want = idx.where(F.col("cid").isin(0, 2)).count()
+    assert back.count() == want > 0
