@@ -2527,6 +2527,25 @@ def _q_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("codes").alias("s", "code"))
 
 
+def _q_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4×N3 SERVING path (similarity.write_ivf_pq_index/ivf_pq_probe):
+    persist the index + codebooks to parquet, then answer the SAME query
+    set from the compressed artifact alone — probed cells are a pushed
+    PartitionFilter, no corpus vectors are read. Graded against the SAME
+    oracle SQL as n4_ivf_pq_topk: the strongest roundtrip evidence the
+    contract allows (persisted-store serving == in-memory build,
+    bitwise)."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="n4_ivfpq_")
+    similarity.write_ivf_pq_index(emb, root, n_centroids=16,
+                                  coarse="lowest_id",
+                                  codebooks="lowest_id")
+    return similarity.ivf_pq_probe(
+        spark, root, emb.where(F.col("vec_id") < 20), k=5, n_probe=3)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 SemDeDup (operators/dedup.py semantic_dup_pairs/semdedup):
     coarse k-means cells, then the near-dup pair search ONLY within each
@@ -3652,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n4_pq_topk": _q_pq_topk,
         "n4_ivf_pq_topk": _q_ivf_pq_topk,
         "n4_ivf_pq_index": _q_ivf_pq_index,
+        "n4_ivf_pq_probe": _q_ivf_pq_probe,
         # FM streaming twin (batch FM graded via fm_training_matrix)
         "st_fm_matrix_stream": _q_stream_matrix,
         # merged-suite components (graded via the suites above)
@@ -4492,6 +4512,9 @@ def oracle_sql() -> dict[str, str]:
     d["n4_ivf_pq_topk"] = _duck_ivf_pq_sql(16, 3, 8, 256, 20, 5)
     d["n4_ivf_pq_index"] = _duck_ivf_pq_sql(16, 3, 8, 256, 20, 5,
                                             index_only=True)
+    # the serving path answers from the persisted artifact, so it shares
+    # the in-memory operator's oracle verbatim
+    d["n4_ivf_pq_probe"] = d["n4_ivf_pq_topk"]
     # D9 SemDeDup: within-cell pairs + keep-min-id drops (connected
     # components over the pair edges — same recursive-CTE twin as D6)
     d["d9_semantic_dedup"] = f"""

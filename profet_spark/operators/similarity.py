@@ -1326,3 +1326,182 @@ def ivf_pq_encode(corpus: DataFrame, id_col: str = "vec_id",
             yield out
 
     return qd.mapInPandas(kernel, out_schema)
+
+
+def write_ivf_pq_index(corpus: DataFrame, root: str,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_centroids: int = 16, m: int = 8, n_codes: int = 256,
+                       coarse: str = "kmeans", codebooks: str = "kmeans",
+                       sample_size: int = 4096,
+                       kmeans_iter: int = 15) -> dict:
+    """Persist the complete IVF-PQ serving artifact under ``root``:
+
+    - ``root/index`` — (id, codes) parquet, PARTITIONED BY cid (one
+      directory per coarse cell: probing is directory pruning);
+    - ``root/codebooks`` — the coarse + PQ codebooks as scalar rows
+      ``(kind, s, code, j, val)`` (bounded: (n_centroids + m*n_codes) *
+      d_sub rows — KBs), so a prober needs NOTHING from the build
+      session; the index is self-describing and engine-portable.
+
+    Returns ``{"rows": n, "cells": c}``. Codebooks are seed-free, so a
+    rebuild on unchanged data is byte-identical (S8/S10 idempotent
+    maintenance applies to the index like any feature store)."""
+    import numpy as np
+
+    qd = _quantized(corpus, id_col, vec_col)
+    spark = corpus.sparkSession
+    CC = _train_pq_codebooks(qd, 1, n_centroids, coarse,
+                             sample_size, kmeans_iter)[0]
+    CB = _train_pq_codebooks(qd, m, n_codes, codebooks,
+                             sample_size, kmeans_iter)
+    rows = []
+    for c in range(len(CC)):
+        rows += [("coarse", 0, c, j, int(CC[c, j]))
+                 for j in range(CC.shape[1])]
+    for s in range(m):
+        for c in range(CB.shape[1]):
+            rows += [("pq", s, c, j, int(CB[s, c, j]))
+                     for j in range(CB.shape[2])]
+    spark.createDataFrame(
+        rows, "kind string, s int, code int, j int, val bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/codebooks")
+    idx = ivf_pq_encode(corpus, id_col=id_col, vec_col=vec_col,
+                        n_centroids=n_centroids, m=m, n_codes=n_codes,
+                        coarse=coarse, codebooks=codebooks,
+                        sample_size=sample_size, kmeans_iter=kmeans_iter)
+    idx.write.mode("overwrite").partitionBy("cid").parquet(root + "/index")
+    back = spark.read.parquet(root + "/index")
+    return {"rows": back.count(),
+            "cells": back.select("cid").distinct().count()}
+
+
+def ivf_pq_probe(spark, root: str, queries: DataFrame, k: int = 5,
+                 n_probe: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 rerank: int = 0, corpus: DataFrame | None = None,
+                 max_queries: int | None = None) -> DataFrame:
+    """N4×N3 serving path: answer top-k from the PERSISTED IVF-PQ index
+    alone — no corpus vectors are read (unless ``rerank``).
+
+    Reads ``root/codebooks`` (bounded KB-scale collect), computes each
+    query's probe cells + ADC LUT driver-side, then scans ``root/index``
+    with ``cid IN (probed)`` — a pushed PartitionFilter, so only the
+    probed directories' code bytes are ever read (plan-asserted in
+    tests) — and scores codes in one Arrow kernel. Bitwise-identical to
+    ``ivf_pq_topk`` on the same parameters (pinned by test AND by the
+    shared driver oracle): the persisted artifact changes nothing about
+    the arithmetic. ``rerank=R`` needs ``corpus`` (the vector table) and
+    re-reads ONLY the candidate vectors for the exact int64 L2 re-cut.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if rerank and rerank < k:
+        raise ValueError(f"ivf_pq_probe: rerank={rerank} must be >= k={k}")
+    if rerank and corpus is None:
+        raise ValueError("ivf_pq_probe: rerank requires the corpus "
+                         "(vector table) for the exact tier")
+    cb_rows = spark.read.parquet(root + "/codebooks").collect()
+    coarse = sorted(((r.code, r.j, r.val) for r in cb_rows
+                     if r.kind == "coarse"))
+    pq = sorted(((r.s, r.code, r.j, r.val) for r in cb_rows
+                 if r.kind == "pq"))
+    n_cent = 1 + max(c for c, _, _ in coarse)
+    dim_full = 1 + max(j for _, j, _ in coarse)
+    m = 1 + max(s for s, _, _, _ in pq)
+    n_codes = 1 + max(c for _, c, _, _ in pq)
+    d_sub = 1 + max(j for _, _, j, _ in pq)
+    CC = np.zeros((n_cent, dim_full), dtype=np.int64)
+    for c, j, v in coarse:
+        CC[c, j] = v
+    CB = np.zeros((m, n_codes, d_sub), dtype=np.int64)
+    for s, c, j, v in pq:
+        CB[s, c, j] = v
+
+    id_type = dict(queries.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, dist bigint"
+    q_rows = _collect_query_side(
+        _quantized(queries, id_col, vec_col), "ivf_pq_probe", max_queries)
+    if not q_rows:
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("int"))
+    qids = [r["id"] for r in q_rows]
+    Qm = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
+    if Qm.shape[1] != dim_full:
+        raise ValueError(f"ivf_pq_probe: query dim {Qm.shape[1]} != "
+                         f"index dim {dim_full}")
+    QS = Qm.reshape(len(Qm), m, -1)
+    LUT = np.stack([np.stack([_pq_subspace_d2(QS[j:j + 1, s, :], CB[s])[0]
+                              for s in range(m)])
+                    for j in range(len(qids))])
+    qc = _pq_subspace_d2(Qm, CC)
+    probes = [set(int(c) for c in np.argsort(qc[j], kind="stable")[:n_probe])
+              for j in range(len(qids))]
+    all_cells = sorted(set().union(*probes))
+
+    # the ONLY data read: probed partitions of the code table
+    idx = (spark.read.parquet(root + "/index")
+           .where(F.col("cid").isin([int(c) for c in all_cells])))
+    blut = spark.sparkContext.broadcast((qids, LUT, probes))
+    topn = rerank if rerank else k
+
+    def score(batches):
+        qids, LUT, probes = blut.value
+        sidx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            cids = pdf["cid"].to_numpy()
+            codes = np.asarray([np.asarray(c, dtype=np.int64)
+                                for c in pdf["codes"]])
+            res = {"query_id": [], "neighbor_id": [], "dist": []}
+            for j, qid in enumerate(qids):
+                mask = np.fromiter((int(c) in probes[j] for c in cids),
+                                   dtype=bool, count=len(cids))
+                mask &= ids != qid
+                if not mask.any():
+                    continue
+                mids = ids[mask]
+                adc = LUT[j][sidx[None, :], codes[mask]].sum(axis=1)
+                nn = min(topn, len(mids))
+                order = np.lexsort((mids, adc))[:nn]
+                res["query_id"] += [qid] * nn
+                res["neighbor_id"] += list(mids[order])
+                res["dist"] += [int(x) for x in adc[order]]
+            yield pd.DataFrame(res)
+
+    local = idx.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("neighbor_id"))
+    adc_top = local.withColumn("rank", F.row_number().over(w)) \
+                   .where(F.col("rank") <= topn)
+    if not rerank:
+        return adc_top.where(F.col("rank") <= k)
+    qd = _quantized(corpus, id_col, vec_col)
+    cand_ids = adc_top.select(F.col("neighbor_id").alias("id")).distinct()
+    qcand = qd.join(F.broadcast(cand_ids), "id", "left_semi")
+    bq = spark.sparkContext.broadcast(Qm)
+
+    def exact(batches):
+        Qm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            qi = pdf["qi"].to_numpy(dtype=np.int64)
+            diffs = C - Qm[qi]
+            d2 = (diffs * diffs).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "dist": [int(x) for x in d2]})
+
+    pairs = (adc_top.select("query_id", "neighbor_id")
+             .join(qcand.withColumnRenamed("id", "neighbor_id"),
+                   "neighbor_id"))
+    qi_map = F.create_map(*[x for i, qid in enumerate(qids)
+                            for x in (F.lit(qid), F.lit(i))])
+    pairs = pairs.withColumn("qi", qi_map[F.col("query_id")].cast("int"))
+    return (pairs.mapInPandas(exact, out_schema)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -570,3 +570,34 @@ def test_ivf_pq_index_partition_pruning(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan
     want = idx.where(F.col("cid").isin(0, 2)).count()
     assert back.count() == want > 0
+
+
+def test_ivf_pq_persisted_probe_equals_inmemory(spark, emb, tmp_path):
+    """The serving path: write_ivf_pq_index + ivf_pq_probe over the
+    persisted artifact equals ivf_pq_topk bitwise; the probed scan's
+    PartitionFilters prove only the probed cells' directories are read;
+    the rerank tier works from the store + corpus vectors."""
+    from pyspark.sql import functions as F
+    df, vecs = emb
+    root = str(tmp_path / "ivfpq_store")
+    stats = similarity.write_ivf_pq_index(
+        df, root, n_centroids=4, coarse="lowest_id", codebooks="lowest_id")
+    assert stats == {"rows": N, "cells": 4}
+    q = df.where(df.vec_id < 10)
+    probe = similarity.ivf_pq_probe(spark, root, q, k=5, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    mem = similarity.ivf_pq_topk(df, q, k=5, n_centroids=4, n_probe=2,
+                                 coarse="lowest_id", codebooks="lowest_id")
+    key = ["query_id", "neighbor_id", "dist", "rank"]
+    assert sorted(map(tuple, probe.toPandas()[key].values.tolist())) == \
+        sorted(map(tuple, mem.toPandas()[key].values.tolist()))
+    # rerank from the store: exact full-dim L2 distances
+    qn = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    rr = similarity.ivf_pq_probe(spark, root, q, k=5, n_probe=2,
+                                 rerank=20, corpus=df).toPandas()
+    for _, r in rr.iterrows():
+        want = int(((qn[int(r.neighbor_id)] - qn[int(r.query_id)]) ** 2).sum())
+        assert int(r.dist) == want
+    with pytest.raises(ValueError, match="requires the corpus"):
+        similarity.ivf_pq_probe(spark, root, q, k=5, rerank=20)
