@@ -1,0 +1,179 @@
+"""Versioned store: snapshots, time travel, rollback, expiry, schema
+evolution (sources/versioned.py — S13/S14)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from profet_spark.sources import versioned as V
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _mk(spark, triples):
+    return spark.createDataFrame(
+        [Row(image_id=i, ts=ts, val=float(v)) for i, ts, v in triples],
+        "image_id bigint, ts string, val double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+BASE = [
+    (1, "2024-01-01 10:00:00", 1.0),
+    (2, "2024-01-01 11:00:00", 2.0),
+    (3, "2024-01-02 10:00:00", 3.0),
+    (4, "2024-01-03 10:00:00", 4.0),
+]
+
+
+@pytest.fixture()
+def store(tmp_path, spark):
+    s = str(tmp_path / "vstore")
+    V.create_versioned(_mk(spark, BASE), s, ts_col="ts",
+                       entity_col="image_id", n_buckets=4,
+                       lineage="unit: base")
+    return s
+
+
+def test_create_and_read_roundtrip(spark, store):
+    got = V.read_versioned(spark, store)
+    assert _rows(got, ["image_id", "val"]) == [(1, 1.0), (2, 2.0),
+                                               (3, 3.0), (4, 4.0)]
+    hist = V.version_history(store)
+    assert [h["operation"] for h in hist] == ["create"]
+    assert hist[0]["metrics"]["rows_written"] == 4
+
+
+def test_append_creates_snapshot_and_time_travel(spark, store):
+    V.append_versioned(spark, _mk(spark, [(5, "2024-01-01 12:00:00", 5.0)]),
+                       store, lineage="unit: append")
+    latest = V.read_versioned(spark, store)
+    assert _rows(latest, ["image_id"]) == [(1,), (2,), (3,), (4,), (5,)]
+    v1 = V.read_versioned(spark, store, version=1)
+    assert _rows(v1, ["image_id"]) == [(1,), (2,), (3,), (4,)]
+    # the appended tag references BOTH commits; day-02 references only v1's
+    m = V.read_manifest(store)
+    multi = [t for t, dirs in m["partitions"].items() if len(dirs) == 2]
+    assert len(multi) >= 1 and all(t.startswith("2024-01-01") for t in multi)
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, store):
+    batch = _mk(spark, [(1, "2024-01-01 10:00:00", 100.0),
+                        (6, "2024-01-01 13:00:00", 6.0)])
+    V.upsert_versioned(spark, batch, store, lineage="unit: upsert")
+    latest = V.read_versioned(spark, store)
+    assert _rows(latest, ["image_id", "val"]) == [
+        (1, 100.0), (2, 2.0), (3, 3.0), (4, 4.0), (6, 6.0)]
+    # untouched days still served from commit 1 by reference
+    m = V.read_manifest(store)
+    untouched = [dirs for t, dirs in m["partitions"].items()
+                 if not t.startswith("2024-01-01")]
+    assert untouched and all(d == ["c00000001"] for d in untouched)
+    # pre-image intact (time travel)
+    v1 = V.read_versioned(spark, store, version=1)
+    assert _rows(v1, ["image_id", "val"])[0] == (1, 1.0)
+
+
+def test_upsert_moved_key_probe_extends_rewrite(spark, store):
+    # key_cols=['image_id'] does not determine the partition: image 3's
+    # stored row lives on day 02, the batch moves it to day 05
+    batch = _mk(spark, [(3, "2024-01-05 10:00:00", 33.0)])
+    V.upsert_versioned(spark, batch, store, key_cols=["image_id"])
+    latest = V.read_versioned(spark, store)
+    got = _rows(latest, ["image_id", "val"])
+    assert got == [(1, 1.0), (2, 2.0), (3, 33.0), (4, 4.0)]
+    assert latest.where("image_id = 3").count() == 1  # stale row gone
+
+
+def test_rollback_restores_old_content(spark, store):
+    V.upsert_versioned(
+        spark, _mk(spark, [(1, "2024-01-01 10:00:00", 100.0)]), store)
+    V.rollback_versioned(spark, store, to_version=1)
+    latest = V.read_versioned(spark, store)
+    assert _rows(latest, ["image_id", "val"]) == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    assert [h["operation"] for h in V.version_history(store)] == [
+        "create", "upsert", "rollback"]
+
+
+def test_evolve_schema_typed_nulls_then_values(spark, store):
+    V.evolve_schema(spark, store, {"src": "string"})
+    evolved = V.read_versioned(spark, store)
+    assert dict(evolved.dtypes)["src"] == "string"
+    assert evolved.where(F.col("src").isNull()).count() == 4
+    batch = spark.createDataFrame(
+        [Row(image_id=7, ts="2024-01-04 10:00:00", val=7.0, src="late")],
+        "image_id bigint, ts string, val double, src string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    V.append_versioned(spark, batch, store)
+    latest = V.read_versioned(spark, store)
+    assert _rows(latest, ["image_id", "src"]) == [
+        (1, None), (2, None), (3, None), (4, None), (7, "late")]
+    # pre-evolution snapshot has no src column at all
+    assert "src" not in V.read_versioned(spark, store, version=1).columns
+
+
+def test_evolve_schema_rejects_dup_and_reserved(spark, store):
+    with pytest.raises(ValueError, match="already exist"):
+        V.evolve_schema(spark, store, {"val": "double"})
+    with pytest.raises(ValueError, match="reserved"):
+        V.evolve_schema(spark, store, {"_p_day": "string"})
+    with pytest.raises(ValueError, match="evolve_schema"):
+        V.append_versioned(
+            spark,
+            _mk(spark, [(9, "2024-01-01 09:00:00", 9.0)])
+            .withColumn("extra", F.lit(1)),
+            store)
+
+
+def test_expire_keeps_referenced_commit_dirs(spark, store):
+    V.upsert_versioned(
+        spark, _mk(spark, [(1, "2024-01-01 10:00:00", 100.0)]), store)
+    out = V.expire_versions(spark, store, keep_last=1)
+    assert out["expired_versions"] == [1] and out["kept_versions"] == [2]
+    # commit 1's files still back v2's untouched partitions -> kept
+    assert out["removed_commit_dirs"] == []
+    assert os.path.isdir(os.path.join(store, "data", "c00000001"))
+    latest = V.read_versioned(spark, store)
+    assert latest.count() == 4
+    with pytest.raises(ValueError, match="does not exist"):
+        V.read_versioned(spark, store, version=1)
+
+
+def test_expire_removes_unreferenced_commit_dirs(spark, store):
+    # v2 rewrites EVERY partition -> commit 1 becomes unreferenced
+    allrows = _mk(spark, [(i, ts, v * 10) for i, ts, v in BASE])
+    V.upsert_versioned(spark, allrows, store)
+    out = V.expire_versions(spark, store, keep_last=1)
+    assert out["removed_commit_dirs"] == ["c00000001"]
+    assert not os.path.isdir(os.path.join(store, "data", "c00000001"))
+    assert V.read_versioned(spark, store).count() == 4
+
+
+def test_read_pruning_skips_directories(spark, store):
+    got = V.read_versioned(spark, store,
+                           ts_between=("2024-01-02 00:00:00",
+                                       "2024-01-02 23:59:59"))
+    assert _rows(got, ["image_id"]) == [(3,)]
+    # driver-side metadata pruning: only day-02 directories are opened
+    assert all("2024-01-01" not in f and "2024-01-03" not in f
+               for f in got.inputFiles())
+    by_ent = V.read_versioned(spark, store, entity_in=[2])
+    assert _rows(by_ent, ["image_id"]) == [(2,)]
+    assert V.read_versioned(spark, store, entity_in=[]).count() == 0
+
+
+def test_commit_conflict_raises(spark, store):
+    m = V.read_manifest(store)
+    clash = dict(m, version=m["version"])  # same number again
+    with pytest.raises(RuntimeError, match="conflict"):
+        V._write_manifest(store, clash)
+
+
+def test_create_refuses_existing_store(spark, store, tmp_path):
+    with pytest.raises(ValueError, match="already has versions"):
+        V.create_versioned(_mk(spark, BASE), store)
