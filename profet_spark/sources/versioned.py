@@ -487,6 +487,68 @@ def read_versioned(spark: SparkSession, store: str,
     return df
 
 
+def read_incremental(spark: SparkSession, store: str, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+    """Rows ADDED strictly after snapshot ``from_version`` up to and
+    including ``to_version`` (latest if None) — the incremental-consumer
+    path: a downstream job that checkpointed "processed through v3"
+    reads only the commits v4..vN, never the table.
+
+    Like Iceberg's incremental append scan, the range must contain only
+    ``append`` commits (plus metadata-only ``evolve``): an upsert
+    rewrites whole partitions (its files mix old and new rows) and a
+    rollback changes visibility without adding rows, so "the delta" is
+    not a file set for those — the caller gets a loud error and should
+    diff snapshots instead (:func:`partitioned.snapshot_diff` semantics
+    via two time-travel reads). Cost is O(appended bytes in range):
+    exactly the new commits' directories are listed and scanned."""
+    spec = read_spec(store)
+    if spec is None:
+        raise ValueError(f"read_incremental: {store} is not a versioned "
+                         "store (no spec)")
+    latest = read_manifest(store)
+    if to_version is None:
+        to_version = latest["version"]
+    if not from_version < to_version:
+        raise ValueError(
+            f"read_incremental: need from_version < to_version, got "
+            f"{from_version} >= {to_version}")
+    versions = list_versions(store)
+    rng = [v for v in versions if from_version < v <= to_version]
+    missing = set(range(from_version + 1, to_version + 1)) - set(rng)
+    if missing:
+        raise ValueError(
+            f"read_incremental: versions {sorted(missing)} in the range "
+            "are expired — the delta is no longer reconstructible; widen "
+            "retention or fall back to a full snapshot read")
+    to_manifest = read_manifest(store, to_version)
+    schema = to_manifest["schema"]
+    tags_by_commit: dict[str, list[str]] = {}
+    for v in rng:
+        m = read_manifest(store, v)
+        if m["operation"] == "evolve":
+            continue  # metadata-only, adds no rows
+        if m["operation"] != "append":
+            raise ValueError(
+                f"read_incremental: v{v} is a {m['operation']!r} commit — "
+                "incremental reads require an append-only range (Iceberg "
+                "incremental-scan semantics); diff two time-travel reads "
+                "for merge/rollback deltas")
+        cdir = _commit_dirname(v)
+        tags = [t for t, dirs in m["partitions"].items() if cdir in dirs]
+        tags_by_commit[cdir] = tags
+    # reuse the aligned reader: a synthetic manifest holding ONLY the
+    # range's commits (a tag two appends both hit lists both commit
+    # dirs), aligned to the END version's schema
+    partitions: dict[str, list[str]] = {}
+    for cdir, tags in sorted(tags_by_commit.items()):
+        for t in tags:
+            partitions.setdefault(t, []).append(cdir)
+    synth = {"version": to_version, "schema": schema,
+             "partitions": partitions}
+    return _read_tags(spark, store, synth, sorted(partitions))
+
+
 # ---------------------------------------------------------------- expiry
 
 def expire_versions(spark: SparkSession, store: str,

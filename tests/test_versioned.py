@@ -177,3 +177,105 @@ def test_commit_conflict_raises(spark, store):
 def test_create_refuses_existing_store(spark, store, tmp_path):
     with pytest.raises(ValueError, match="already has versions"):
         V.create_versioned(_mk(spark, BASE), store)
+
+
+# ------------------------------------------------------- incremental reads
+
+def test_read_incremental_appends_only(spark, store):
+    V.append_versioned(spark, _mk(spark, [(5, "2024-01-01 12:00:00", 5.0)]),
+                       store)                                        # v2
+    V.append_versioned(spark, _mk(spark, [(6, "2024-01-02 12:00:00", 6.0),
+                                          (7, "2024-01-05 12:00:00", 7.0)]),
+                       store)                                        # v3
+    inc = V.read_incremental(spark, store, from_version=1)
+    assert _rows(inc, ["image_id"]) == [(5,), (6,), (7,)]
+    assert _rows(V.read_incremental(spark, store, 1, 2),
+                 ["image_id"]) == [(5,)]
+    # metadata-only evolve commits are transparent; the delta is read
+    # with the END version's schema (typed-null src for older appends)
+    V.evolve_schema(spark, store, {"src": "string"})                 # v4
+    inc3 = V.read_incremental(spark, store, 2)
+    assert "src" in inc3.columns
+    assert _rows(inc3, ["image_id", "src"]) == [(6, None), (7, None)]
+
+
+def test_read_incremental_rejects_non_append_range(spark, store):
+    V.upsert_versioned(
+        spark, _mk(spark, [(1, "2024-01-01 10:00:00", 100.0)]), store)  # v2
+    with pytest.raises(ValueError, match="'upsert' commit"):
+        V.read_incremental(spark, store, 1)
+    with pytest.raises(ValueError, match="from_version < to_version"):
+        V.read_incremental(spark, store, 2, 2)
+
+
+def test_read_incremental_expired_range_raises(spark, store):
+    V.append_versioned(spark, _mk(spark, [(5, "2024-01-01 12:00:00", 5.0)]),
+                       store)                                        # v2
+    V.append_versioned(spark, _mk(spark, [(6, "2024-01-02 12:00:00", 6.0)]),
+                       store)                                        # v3
+    V.expire_versions(spark, store, keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        V.read_incremental(spark, store, 1)
+
+
+# ------------------------------------------------- model-based lifecycle
+
+def test_lifecycle_matches_reference_model(spark, tmp_path):
+    """Scripted multi-commit lifecycle vs a plain-dict reference model:
+    after every commit, every RETAINED snapshot must equal the model's
+    frozen copy of the table at that commit."""
+    import itertools
+
+    s = str(tmp_path / "model_store")
+    model: dict[int, tuple] = {}          # image_id -> (ts, val)
+    history: dict[int, dict] = {}         # version -> frozen model
+
+    def mk(rows):
+        return _mk(spark, rows)
+
+    def freeze(v):
+        history[v] = dict(model)
+
+    base = [(i, f"2024-01-0{1 + i % 3} 0{i}:00:00", float(i)) for i in range(1, 6)]
+    for i, ts, val in base:
+        model[i] = (ts, val)
+    v = V.create_versioned(mk(base), s, ts_col="ts", entity_col="image_id",
+                           n_buckets=4)
+    freeze(v)
+
+    script = [
+        ("append", [(6, "2024-01-04 06:00:00", 6.0)]),
+        ("upsert", [(2, "2024-01-02 02:00:00", 22.0),
+                    (7, "2024-01-01 07:00:00", 7.0)]),
+        ("rollback", 2),
+        ("upsert", [(1, "2024-01-05 01:00:00", 11.0)]),  # moves key 1's day
+        ("append", [(8, "2024-01-02 08:00:00", 8.0)]),
+    ]
+    for op, arg in script:
+        if op == "append":
+            v = V.append_versioned(spark, mk(arg), s)
+            for i, ts, val in arg:
+                assert i not in model
+                model[i] = (ts, val)
+        elif op == "upsert":
+            v = V.upsert_versioned(spark, mk(arg), s, key_cols=["image_id"])
+            for i, ts, val in arg:
+                model[i] = (ts, val)
+        elif op == "rollback":
+            v = V.rollback_versioned(spark, s, to_version=arg)
+            model.clear()
+            model.update(history[arg])
+        freeze(v)
+        for ver, frozen in history.items():
+            got = {r["image_id"]: (str(r["ts"]), r["val"])
+                   for r in V.read_versioned(spark, s, version=ver).collect()}
+            want = {i: (f"{ts}", val) for i, (ts, val) in frozen.items()}
+            assert got == want, f"snapshot v{ver} diverged after {op}"
+    # expiry keeps the newest two snapshots readable and intact
+    V.expire_versions(spark, s, keep_last=2)
+    kept = V.list_versions(s)
+    assert len(kept) == 2
+    for ver in kept:
+        got = {r["image_id"] for r in
+               V.read_versioned(spark, s, version=ver).collect()}
+        assert got == set(history[ver])
