@@ -2488,6 +2488,44 @@ def _q_versioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part", *cols, "src"))
 
 
+def _q_stream_versioned_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 streaming twin (streaming/versioned_sink.py), SQL-oracled:
+    create the versioned store from the pre-Jan-20 events, stream the
+    Jan-20-onward slice through the exactly-once foreachBatch append
+    sink as TWO micro-batches (file source, maxFilesPerTrigger=1,
+    availableNow), then REPLAY the same stream from a fresh checkpoint —
+    the redelivered batch ids must dedupe against the manifest's lineage
+    log — and return the final table. The oracle is the raw events
+    table: exactly-once means the replay changes nothing."""
+    import tempfile
+
+    from profet_spark.sources import versioned as V
+    from profet_spark.streaming import versioned_sink as VS
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("val"))
+    store = tempfile.mkdtemp(prefix="st_s13_store_")
+    V.create_versioned(ev.where(F.col("ts") < F.lit("2024-01-20")), store,
+                       ts_col="ts", entity_col="user_id", n_buckets=8,
+                       lineage="st_s13: base load")
+    late = ev.where(F.col("ts") >= F.lit("2024-01-20"))
+    src = tempfile.mkdtemp(prefix="st_s13_src_")
+    late.repartition(2).write.mode("overwrite").parquet(src)
+
+    def _run():
+        stream = (spark.readStream.schema(late.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        VS.append_stream(stream, store,
+                         tempfile.mkdtemp(prefix="st_s13_ck_"),
+                         lineage_prefix="st_s13").awaitTermination()
+
+    _run()   # ingest: one append commit per micro-batch
+    _run()   # crash-replay twin: fresh checkpoint, same ids -> all skipped
+    return V.read_versioned(spark, store).select(
+        "event_id", "user_id", "ts", "val")
+
+
 def _q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 Iceberg-style hidden partitioning, driver-graded end to end:
     write events through the days(ts) x bucket(8, user_id) partition spec
@@ -3701,6 +3739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_compaction": _q_compaction,
         # S13 snapshots/time-travel + S14 schema evolution lifecycle
         "s13_versioned_store": _q_versioned_store,
+        # S13 streaming twin: exactly-once micro-batch append commits
+        "st_s13_append_stream": _q_stream_versioned_append,
         "a12_pseaac_corr": _q_pseaac_corr,
         "a13_autocorr": _q_autocorr,
         "a14_qso": _q_qso,
@@ -6052,6 +6092,12 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT * FROM tt UNION ALL
             SELECT * FROM v4 UNION ALL
             SELECT * FROM rb
+        """,
+        # S13 streaming sink: exactly-once appends + a full crash-replay
+        # must reproduce the raw table, byte for byte
+        "st_s13_append_stream": """
+            SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS val
+            FROM events
         """,
         # S10: the incrementally-materialized store equals the
         # FULL-history recompute — trailing 3-day per-user exact-int

@@ -279,3 +279,89 @@ def test_lifecycle_matches_reference_model(spark, tmp_path):
         got = {r["image_id"] for r in
                V.read_versioned(spark, s, version=ver).collect()}
         assert got == set(history[ver])
+
+
+# ------------------------------------------------- streaming append sink
+
+def _stream_src(spark, tmp_path, batches):
+    """Write each batch as one parquet file; return a 1-file-per-trigger
+    stream over the directory (the suite's micro-batch replay pattern)."""
+    import time as _t
+
+    src = str(tmp_path / "stream_src")
+    for i, rows in enumerate(batches):
+        _mk(spark, rows).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append").parquet(src)
+        if i + 1 < len(batches):
+            _t.sleep(1.1)  # file source orders by mtime
+    return (spark.readStream
+            .schema("image_id bigint, ts timestamp_ntz, val double")
+            .option("maxFilesPerTrigger", 1).parquet(src)), src
+
+
+def test_stream_appends_one_commit_per_batch(spark, store, tmp_path):
+    from profet_spark.streaming import versioned_sink as VS
+
+    stream, _ = _stream_src(spark, tmp_path, [
+        [(10, "2024-01-04 10:00:00", 10.0)],
+        [(11, "2024-01-05 11:00:00", 11.0),
+         (12, "2024-01-01 12:00:00", 12.0)],
+    ])
+    q = VS.append_stream(stream, store, str(tmp_path / "ckpt"),
+                         lineage_prefix="t1")
+    q.awaitTermination()
+    hist = V.version_history(store)
+    assert [h["operation"] for h in hist] == ["create", "append", "append"]
+    assert VS.committed_batch_ids(store, "t1") == {0, 1}
+    got = V.read_versioned(spark, store)
+    assert _rows(got, ["image_id"]) == [(i,) for i in (1, 2, 3, 4, 10, 11, 12)]
+
+
+def test_stream_resume_same_checkpoint_is_noop_then_incremental(
+        spark, store, tmp_path):
+    import time as _t
+
+    from profet_spark.streaming import versioned_sink as VS
+
+    stream, src = _stream_src(spark, tmp_path, [
+        [(10, "2024-01-04 10:00:00", 10.0)]])
+    ckpt = str(tmp_path / "ckpt")
+    VS.append_stream(stream, store, ckpt).awaitTermination()
+    assert V.read_manifest(store)["version"] == 2
+    # resume with NO new data: offset log says everything is processed
+    VS.append_stream(stream, store, ckpt).awaitTermination()
+    assert V.read_manifest(store)["version"] == 2
+    # new file arrives -> exactly one more commit
+    _t.sleep(1.1)
+    _mk(spark, [(11, "2024-01-05 11:00:00", 11.0)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    VS.append_stream(stream, store, ckpt).awaitTermination()
+    assert V.read_manifest(store)["version"] == 3
+    assert V.read_versioned(spark, store).count() == 6
+
+
+def test_stream_replayed_batch_ids_are_skipped(spark, store, tmp_path):
+    """Crash-replay twin: a FRESH checkpoint re-delivers ids 0..n for the
+    same files; the manifest's lineage log must dedupe every one."""
+    from profet_spark.streaming import versioned_sink as VS
+
+    stream, _ = _stream_src(spark, tmp_path, [
+        [(10, "2024-01-04 10:00:00", 10.0)],
+        [(11, "2024-01-05 11:00:00", 11.0)],
+    ])
+    VS.append_stream(stream, store, str(tmp_path / "ck1")).awaitTermination()
+    n1 = V.read_versioned(spark, store).count()
+    v1 = V.read_manifest(store)["version"]
+    VS.append_stream(stream, store, str(tmp_path / "ck2")).awaitTermination()
+    assert V.read_versioned(spark, store).count() == n1
+    assert V.read_manifest(store)["version"] == v1
+
+
+def test_stream_requires_existing_store(spark, tmp_path):
+    from profet_spark.streaming import versioned_sink as VS
+
+    stream, _ = _stream_src(spark, tmp_path, [
+        [(1, "2024-01-01 10:00:00", 1.0)]])
+    with pytest.raises(ValueError, match="create_versioned"):
+        VS.append_stream(stream, str(tmp_path / "nostore"),
+                         str(tmp_path / "ck"))
