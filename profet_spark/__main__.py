@@ -145,7 +145,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
              "batch_plan", "materialize", "diff", "cap", "zorder",
-             "semdedup", "pq_index")
+             "semdedup", "pq_index", "snapshot")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -185,6 +185,9 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     ap.add_argument("--threshold", type=float, default=0.9,
                     help="semdedup only: duplicate cosine bar; cells come "
                          "from --n-shards (~ rows / target cell size)")
+    ap.add_argument("--keep-last", type=int, default=0,
+                    help="snapshot only: run expire_versions(keep_last=N) "
+                         "after the commit (0 = keep all versions)")
     ap.add_argument("--late-days", type=float, default=0.0,
                     help="materialize only: re-emit this many trailing "
                          "days each run so late snapshot arrivals within "
@@ -258,6 +261,63 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             (store_diff(spark, args.input, args.right)
              .write.mode("overwrite").parquet(args.output))
             print(f"wrote {args.output}")
+        if _spark is None:
+            spark.stop()
+        return 0
+    if args.pipeline == "snapshot":
+        # S13 versioned snapshot ingest: the first run creates the store
+        # from the events table; re-runs append ONLY the rows past the
+        # store's high watermark as one new snapshot commit (O(delta),
+        # old versions stay readable for time travel / rollback);
+        # --keep-last runs reference-counted retention after the commit.
+        # Watermark probe is metadata-first: the manifest names the max
+        # day, and only THAT day's partitions are read for the exact max
+        # ts — one partition read, never the table.
+        import json
+
+        from pyspark.sql import functions as F
+
+        from profet_spark.sources import load_table
+        from profet_spark.sources import versioned as V
+
+        if not args.output:
+            ap.error("--pipeline snapshot requires --output "
+                     "(the versioned-store root)")
+        ev = load_table(spark, args.input, "events").select(
+            "event_id", "user_id", "ts", "value")
+        if V.read_spec(args.output) is None:
+            ver = V.create_versioned(
+                ev, args.output, ts_col="ts", entity_col="user_id",
+                n_buckets=args.n_shards,
+                lineage=f"snapshot: bootstrap from {args.input}")
+            op = "create"
+        else:
+            m = V.read_manifest(args.output)
+            wm = None
+            if m["partitions"]:
+                last_day = max(t.rsplit("/", 1)[0] for t in m["partitions"])
+                wm = (V.read_versioned(
+                    spark, args.output,
+                    ts_between=(f"{last_day} 00:00:00",
+                                f"{last_day} 23:59:59.999999"))
+                    .agg(F.max("ts")).collect()[0][0])
+            delta = ev if wm is None else ev.where(F.col("ts") > F.lit(wm))
+            if delta.take(1):
+                ver = V.append_versioned(
+                    spark, delta, args.output,
+                    lineage=f"snapshot: delta after {wm}")
+                op = "append"
+            else:
+                ver, op = m["version"], "noop"
+        if args.keep_last:
+            V.expire_versions(spark, args.output, keep_last=args.keep_last)
+        hist = V.version_history(args.output)
+        print(json.dumps({
+            "version": ver, "operation": op,
+            "rows_written": 0 if op == "noop" else next(
+                h["metrics"]["rows_written"]
+                for h in hist if h["version"] == ver),
+            "versions_retained": [h["version"] for h in hist]}))
         if _spark is None:
             spark.stop()
         return 0

@@ -329,3 +329,44 @@ def test_cli_pq_index(spark, tmp_path):
     assert a.id.tolist() == b.id.tolist()
     assert a.cid.tolist() == b.cid.tolist()
     assert [list(x) for x in a.codes] == [list(x) for x in b.codes]
+
+
+def test_cli_snapshot_versioned_ingest(spark, tmp_path, capsys):
+    """snapshot: bootstrap -> noop re-run -> delta append + retention."""
+    import json
+
+    from profet_spark.sources import versioned as V
+
+    store = str(tmp_path / "vstore")
+    # split the events table in time: bootstrap sees the early half only
+    full = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    early_root = tmp_path / "early"
+    early_root.mkdir()
+    cut = "2024-01-15 00:00:00"
+    full.where(f"ts < '{cut}'").write.parquet(
+        str(early_root / "events.parquet"))
+
+    rc = main(["--pipeline", "snapshot", "--input", str(early_root),
+               "--output", store, "--n-shards", "4"], _spark=spark)
+    assert rc == 0
+    j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert j["operation"] == "create" and j["version"] == 1
+
+    # identical re-run: high watermark covers everything -> no new commit
+    rc = main(["--pipeline", "snapshot", "--input", str(early_root),
+               "--output", store], _spark=spark)
+    assert rc == 0
+    j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert j["operation"] == "noop" and j["version"] == 1
+
+    # the full table arrives: one append commit of ONLY the late delta,
+    # then --keep-last retention
+    rc = main(["--pipeline", "snapshot", "--input", SF,
+               "--output", store, "--keep-last", "2"], _spark=spark)
+    assert rc == 0
+    j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert j["operation"] == "append" and j["version"] == 2
+    assert j["versions_retained"] == [1, 2]
+    got = V.read_versioned(spark, store)
+    assert got.count() == full.count()
+    assert j["rows_written"] == full.where(f"ts >= '{cut}'").count()
