@@ -322,14 +322,20 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             spark.stop()
         return 0
     if args.pipeline == "compact":
-        # S9 store maintenance over a write_partitioned root: rewrites
-        # only fragmented small partitions in place, returns the audit
-        # counters as the job's one-line JSON output (--output unused)
+        # S9 store maintenance: rewrites only fragmented small partitions,
+        # returns the audit counters as the job's one-line JSON output
+        # (--output unused). Versioned stores (snapshot pipeline output)
+        # are compacted as a new snapshot commit; write_partitioned
+        # stores in place.
         import json
 
+        from profet_spark.sources import versioned as V
         from profet_spark.sources.partitioned import compact_partitions
 
-        result = compact_partitions(spark, args.input)
+        if V.read_spec(args.input) is not None:
+            result = V.compact_versioned(spark, args.input)
+        else:
+            result = compact_partitions(spark, args.input)
         print(json.dumps(result))
         if _spark is None:
             spark.stop()

@@ -549,6 +549,84 @@ def read_incremental(spark: SparkSession, store: str, from_version: int,
     return _read_tags(spark, store, synth, sorted(partitions))
 
 
+def compact_versioned(spark: SparkSession, store: str,
+                      max_files_per_partition: int = 4,
+                      target_file_bytes: int = 128 * 1024 * 1024,
+                      lineage: str = "") -> dict:
+    """S9 for the snapshot store: partitions fragmented across many
+    commits (every streaming micro-batch / append adds a file) are
+    rewritten into ONE file in a new snapshot commit; every other
+    partition is carried by reference, and prior snapshots still read
+    the old files (compaction is just another commit — Iceberg's
+    ``rewrite_data_files``). Disk is reclaimed later by
+    ``expire_versions`` once no retained snapshot references the
+    pre-compaction commits.
+
+    Victims: partitions whose CURRENT file count exceeds
+    ``max_files_per_partition`` and whose bytes fit ``target_file_bytes``
+    (oversized fragmented partitions are the engine's split job, not a
+    merge candidate). Discovery is a driver-side listing of exactly the
+    latest manifest's directories — O(partitions), zero data read for
+    non-victims. Content is invariant by construction: rows are read
+    from and written back to the same (day, bucket) transforms.
+
+    Returns ``{"version", "partitions_compacted", "files_before",
+    "files_after"}`` (version = the base snapshot when nothing
+    qualified — no empty commit is written)."""
+    spec = read_spec(store)
+    if spec is None:
+        raise ValueError(f"compact_versioned: {store} is not a versioned "
+                         "store (no spec)")
+    base = read_manifest(store)
+    victims: list[str] = []
+    files_before = 0
+    for tag, cdirs in base["partitions"].items():
+        day, bucket = tag.rsplit("/", 1)
+        n_files, n_bytes = 0, 0
+        for cdir in cdirs:
+            d = os.path.join(store, DATA_DIR, cdir,
+                             f"{DAY_COL}={day}", f"{BUCKET_COL}={bucket}")
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(d, fn))
+        if n_files > max_files_per_partition and n_bytes <= target_file_bytes:
+            victims.append(tag)
+            files_before += n_files
+    if not victims:
+        return {"version": base["version"], "partitions_compacted": 0,
+                "files_before": 0, "files_after": 0}
+    merged = _read_tags(spark, store, base, victims)
+    version = base["version"] + 1
+    cdir = _commit_dirname(version)
+    transforms = partition_transforms(
+        spec["ts_col"], spec["entity_col"], spec["n_buckets"],
+        ts_dtype=dict(merged.dtypes)[spec["ts_col"]])
+    for name, expr in transforms.items():
+        merged = merged.withColumn(name, expr)
+    # one write task (= one file) per victim partition
+    (merged.repartition(len(victims), F.col(DAY_COL), F.col(BUCKET_COL))
+     .write.mode("errorifexists")
+     .partitionBy(DAY_COL, BUCKET_COL)
+     .parquet(os.path.join(store, DATA_DIR, cdir)))
+    partitions = {k: list(v) for k, v in base["partitions"].items()}
+    for t in victims:
+        partitions[t] = [cdir]
+    manifest = {
+        "version": version, "parent": base["version"],
+        "operation": "compact", "schema": base["schema"],
+        "partitions": partitions,
+        "commit_ts": time.time(),
+        "lineage": lineage or f"compact {len(victims)} partitions",
+        "metrics": {"rows_written": 0, "partitions_touched": len(victims),
+                    "files_before": files_before,
+                    "files_after": len(victims)},
+    }
+    _write_manifest(store, manifest)
+    return {"version": version, "partitions_compacted": len(victims),
+            "files_before": files_before, "files_after": len(victims)}
+
+
 # ---------------------------------------------------------------- expiry
 
 def expire_versions(spark: SparkSession, store: str,

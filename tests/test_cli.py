@@ -370,3 +370,28 @@ def test_cli_snapshot_versioned_ingest(spark, tmp_path, capsys):
     got = V.read_versioned(spark, store)
     assert got.count() == full.count()
     assert j["rows_written"] == full.where(f"ts >= '{cut}'").count()
+
+
+def test_cli_compact_routes_versioned_stores(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row, functions as F
+
+    from profet_spark.sources import versioned as V
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [Row(image_id=i, ts=t, val=v) for i, t, v in rows],
+            "image_id bigint, ts string, val double",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    store = str(tmp_path / "vstore")
+    V.create_versioned(mk([(1, "2024-01-01 10:00:00", 1.0)]), store,
+                       ts_col="ts", entity_col="image_id", n_buckets=2)
+    for k in range(5):
+        V.append_versioned(
+            spark, mk([(1, f"2024-01-01 10:0{k}:00", float(k))]), store)
+    rc = main(["--pipeline", "compact", "--input", store], _spark=spark)
+    assert rc == 0
+    j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert j["partitions_compacted"] == 1 and j["version"] == 7

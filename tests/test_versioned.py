@@ -365,3 +365,52 @@ def test_stream_requires_existing_store(spark, tmp_path):
     with pytest.raises(ValueError, match="create_versioned"):
         VS.append_stream(stream, str(tmp_path / "nostore"),
                          str(tmp_path / "ck"))
+
+
+# ---------------------------------------------------------- compaction
+
+def test_compact_versioned_merges_fragmented_partitions(spark, store):
+    for k in range(5):  # five appends -> six files behind one partition
+        V.append_versioned(
+            spark, _mk(spark, [(1, f"2024-01-01 10:0{k}:00", float(k))]),
+            store)
+    before = _rows(V.read_versioned(spark, store),
+                   ["image_id", "ts", "val"])
+    out = V.compact_versioned(spark, store, max_files_per_partition=2)
+    assert out["partitions_compacted"] == 1
+    assert out["files_before"] == 6 and out["files_after"] == 1
+    # content invariant, one manifest entry now backs the victim tag
+    after = _rows(V.read_versioned(spark, store),
+                  ["image_id", "ts", "val"])
+    assert after == before
+    m = V.read_manifest(store)
+    victim = [t for t, d in m["partitions"].items()
+              if d == [f"c{out['version']:08d}"]]
+    assert len(victim) == 1 and victim[0].startswith("2024-01-01")
+    untouched = [d for t, d in m["partitions"].items() if t not in victim]
+    assert all(d == ["c00000001"] for d in untouched)
+    # prior snapshots still read the pre-compaction files
+    assert V.read_versioned(spark, store, version=1).count() == 4
+    # compaction is not a row delta: incremental ranges over it must fail
+    with pytest.raises(ValueError, match="'compact' commit"):
+        V.read_incremental(spark, store, 1, out["version"])
+    # idempotent: nothing left to compact, no empty commit written
+    out2 = V.compact_versioned(spark, store, max_files_per_partition=2)
+    assert out2["partitions_compacted"] == 0
+    assert out2["version"] == out["version"]
+    assert V.read_manifest(store)["version"] == out["version"]
+
+
+def test_compact_then_expire_reclaims_fragments(spark, store):
+    for k in range(5):
+        V.append_versioned(
+            spark, _mk(spark, [(1, f"2024-01-01 10:0{k}:00", float(k))]),
+            store)
+    out = V.compact_versioned(spark, store, max_files_per_partition=2)
+    n = V.read_versioned(spark, store).count()
+    exp = V.expire_versions(spark, store, keep_last=1)
+    # the five append commits are now unreferenced -> deleted; the
+    # create commit still backs the other day partitions -> kept
+    assert set(exp["removed_commit_dirs"]) == {
+        f"c{v:08d}" for v in range(2, 7)}
+    assert V.read_versioned(spark, store).count() == n
