@@ -310,6 +310,29 @@ def main():
         return batching.plan_augmentations(plan, id_col="event_id",
                                            epochs=1)
 
+    def versioned_store(spark, sf_dir):
+        """S13 snapshot-store lifecycle (new in round 4): create the
+        store from the pre-cut events, append the post-cut delta as a
+        second snapshot commit (O(batch) files, untouched partitions by
+        reference), then serve the latest snapshot AND a time-travel
+        read of v1. Commit cost dominates; fresh temp store per
+        iteration so every run pays the full lifecycle. Own stage key so
+        earlier-round totals stay comparable by summing shared keys."""
+        from profet_spark.sources import versioned as V
+
+        ev = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "ts",
+                      F.col("value").cast("double").alias("val"))
+              .repartition(ev_parts))
+        store = tempfile.mkdtemp(prefix="bench_vstore_")
+        V.create_versioned(ev.where(F.col("ts") < F.lit("2024-01-20")),
+                           store, ts_col="ts", entity_col="user_id",
+                           n_buckets=8)
+        V.append_versioned(
+            spark, ev.where(F.col("ts") >= F.lit("2024-01-20")), store)
+        return (V.read_versioned(spark, store)
+                .unionByName(V.read_versioned(spark, store, version=1)))
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir, ev_parts),
         "profile_features": lambda: profile_features(spark, sf_dir),
@@ -323,6 +346,7 @@ def main():
         "feature_encoding": lambda: feature_encoding(spark, sf_dir),
         "corpus_hygiene": lambda: corpus_hygiene(spark, sf_dir),
         "batch_plan": lambda: batch_plan(spark, sf_dir),
+        "versioned_store": lambda: versioned_store(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start

@@ -161,13 +161,23 @@ def _hidden_write(df: DataFrame, spec: dict, commit_dir: str) -> None:
         ts_dtype=dict(df.dtypes)[spec["ts_col"]])
     for name, expr in transforms.items():
         df = df.withColumn(name, expr)
+    # hash-distribute on the partition transforms before the write
+    # (Iceberg's write.distribution-mode=hash): without it every task
+    # emits one file into every partition it touches — tasks x
+    # partitions tiny files per commit instead of ~one per partition.
+    # day x bucket(N) already bounds partition size, so one file per
+    # partition is the right default; a commit whose single partition
+    # is too large for one task should raise N, not fan out files.
+    df = df.repartition(F.col(DAY_COL), F.col(BUCKET_COL))
     (df.write.mode("errorifexists")
      .partitionBy(DAY_COL, BUCKET_COL)
      .parquet(commit_dir))
 
 
 def _tag_rows(df: DataFrame, spec: dict) -> list[tuple[str, int, int]]:
-    """Distinct (day, bucket, rows) of a batch — one metadata agg."""
+    """Distinct (day, bucket, rows) of a batch — one metadata agg.
+    Pre-write analysis only (upsert's touched-set); POST-write manifests
+    use :func:`_commit_tags_from_files` instead, which costs no job."""
     transforms = partition_transforms(
         spec["ts_col"], spec["entity_col"], spec["n_buckets"],
         ts_dtype=dict(df.dtypes)[spec["ts_col"]])
@@ -176,6 +186,38 @@ def _tag_rows(df: DataFrame, spec: dict) -> list[tuple[str, int, int]]:
         probe = probe.withColumn(name, expr)
     rows = (probe.groupBy(DAY_COL, BUCKET_COL).count().collect())
     return [(r[DAY_COL], int(r[BUCKET_COL]), int(r["count"])) for r in rows]
+
+
+def _commit_tags_from_files(commit_dir: str) -> list[tuple[str, int, int]]:
+    """(day, bucket, rows) of a just-written commit, from the directory
+    layout + parquet FOOTERS (pyarrow metadata, exact) — the manifest is
+    built from the data files with ZERO extra Spark pass, exactly how
+    Iceberg assembles its manifests at commit time. O(files) driver-side
+    metadata reads; file count per commit is bounded by the batch's
+    partition footprint, not the table."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, int, int]] = []
+    if not os.path.isdir(commit_dir):
+        return out
+    for dent in sorted(os.listdir(commit_dir)):
+        if not dent.startswith(f"{DAY_COL}="):
+            continue
+        day = dent.split("=", 1)[1]
+        droot = os.path.join(commit_dir, dent)
+        for bent in sorted(os.listdir(droot)):
+            if not bent.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(bent.split("=", 1)[1])
+            n = 0
+            broot = os.path.join(droot, bent)
+            for fn in os.listdir(broot):
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    n += pq.ParquetFile(
+                        os.path.join(broot, fn)).metadata.num_rows
+            if n:
+                out.append((day, bucket, n))
+    return out
 
 
 def _schema_of(df: DataFrame, spec: dict) -> list[list[str]]:
@@ -203,8 +245,9 @@ def create_versioned(df: DataFrame, store: str, ts_col: str = "ts",
     with open(_spec_path(store), "w") as f:
         json.dump(spec, f)
     cdir = _commit_dirname(1)
-    _hidden_write(df, spec, os.path.join(store, DATA_DIR, cdir))
-    tags = _tag_rows(df, spec)
+    croot = os.path.join(store, DATA_DIR, cdir)
+    _hidden_write(df, spec, croot)
+    tags = _commit_tags_from_files(croot)
     manifest = {
         "version": 1, "parent": None, "operation": "create",
         "schema": _schema_of(df, spec),
@@ -250,8 +293,9 @@ def append_versioned(spark: SparkSession, batch: DataFrame, store: str,
     batch = _align_batch(batch, base["schema"], "append_versioned")
     version = base["version"] + 1
     cdir = _commit_dirname(version)
-    _hidden_write(batch, spec, os.path.join(store, DATA_DIR, cdir))
-    tags = _tag_rows(batch, spec)
+    croot = os.path.join(store, DATA_DIR, cdir)
+    _hidden_write(batch, spec, croot)
+    tags = _commit_tags_from_files(croot)
     partitions = {k: list(v) for k, v in base["partitions"].items()}
     for d, b, _ in tags:
         partitions.setdefault(f"{_day_str(d)}/{b}", []).append(cdir)
@@ -319,8 +363,9 @@ def upsert_versioned(spark: SparkSession, batch: DataFrame, store: str,
             merged = batch
         version = base["version"] + 1
         cdir = _commit_dirname(version)
-        _hidden_write(merged, spec, os.path.join(store, DATA_DIR, cdir))
-        out_tags = _tag_rows(merged, spec)
+        croot = os.path.join(store, DATA_DIR, cdir)
+        _hidden_write(merged, spec, croot)
+        out_tags = _commit_tags_from_files(croot)
         partitions = {k: list(v) for k, v in base["partitions"].items()
                       if k not in rewrite}
         for d, b, _ in out_tags:
