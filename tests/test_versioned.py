@@ -414,3 +414,40 @@ def test_compact_then_expire_reclaims_fragments(spark, store):
     assert set(exp["removed_commit_dirs"]) == {
         f"c{v:08d}" for v in range(2, 7)}
     assert V.read_versioned(spark, store).count() == n
+
+
+# -------------------------------------- reproducible-training integration
+
+def test_training_matrix_from_pinned_snapshot_is_reproducible(
+        spark, store, tmp_path):
+    """The reproducibility guarantee the snapshot store exists for: a
+    training matrix assembled from feature tables READ AT SNAPSHOT k is
+    bit-identical no matter how many commits land afterwards — pin the
+    version in the training job's config and the dataset is replayable
+    forever (until retention expires k)."""
+    from profet_spark.operators.feature_matrix import point_in_time_matrix
+
+    spine = _mk(spark, [(1, "2024-01-02 12:00:00", 0.0),
+                        (2, "2024-01-03 12:00:00", 0.0),
+                        (3, "2024-01-03 12:00:00", 0.0)]).drop("val")
+    feats = V.read_versioned(spark, store, version=1)
+
+    def matrix(feature_df):
+        return point_in_time_matrix(
+            spine, {"f": feature_df.withColumnRenamed("val", "f_val")},
+            entity="image_id", ts="ts").orderBy("image_id")
+
+    before = [tuple(r) for r in matrix(feats).collect()]
+    # the store moves on: corrections, late data, compaction
+    V.upsert_versioned(
+        spark, _mk(spark, [(1, "2024-01-01 10:00:00", 999.0)]), store)
+    V.append_versioned(
+        spark, _mk(spark, [(9, "2024-01-02 09:00:00", 9.0)]), store)
+    V.compact_versioned(spark, store, max_files_per_partition=0)
+    after = [tuple(r) for r in
+             matrix(V.read_versioned(spark, store, version=1)).collect()]
+    assert after == before
+    # and the LATEST read sees the correction, proving the pin mattered
+    latest = [tuple(r) for r in
+              matrix(V.read_versioned(spark, store)).collect()]
+    assert latest != before
