@@ -3223,17 +3223,23 @@ def _q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8+S9+S10+S12 merged suite, driver-graded end to end: the
+    """S8+S9+S10+S12+S13+S14 merged suite, driver-graded end to end: the
     incremental upsert (dynamic partition overwrite, merged table equals
     the recomputed one), the small-file compaction (content-invariant
     rewrite), the incremental feature backfill (watermark-delta
     recompute with lookback context equals the full-history recompute,
-    parts s10n/s10s), and the TTL retention (day-partition expiry equals
-    a closed-left day filter, part s12) — every component runs its full
+    parts s10n/s10s), the TTL retention (day-partition expiry equals
+    a closed-left day filter, part s12), the versioned-snapshot
+    lifecycle (create→upsert→evolve→append→rollback→expire; parts
+    s13tt/s13v4/s13src/s13rb — s13src selects rows BY the evolved
+    column, so S14 schema evolution is hash-visible), and the
+    exactly-once streaming append sink incl. a full fresh-checkpoint
+    replay (part s13st) — every component runs its full
     write→maintain→read-back cycle against fresh temp stores; file-level
     mechanics (byte-identity of untouched partitions,
-    one-file-per-victim, one-day watermark probe, metadata-only expiry)
-    are pinned in tests/test_partitioned.py."""
+    one-file-per-victim, one-day watermark probe, metadata-only expiry,
+    snapshot isolation, refcounted version expiry, replay dedupe) are
+    pinned in tests/test_partitioned.py and tests/test_versioned.py."""
     s8 = _q_upsert_merge(spark, sf_dir).select(
         F.lit("s8").alias("part"), "event_id", "user_id", "ts", "val")
     s9 = _q_compaction(spark, sf_dir).select(
@@ -3247,8 +3253,27 @@ def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w3_sum").cast("double").alias("val"))
     s12 = _q_retention(spark, sf_dir).select(
         F.lit("s12").alias("part"), "event_id", "user_id", "ts", "val")
+    # S13/S14 lifecycle + the exactly-once streaming sink, folded into
+    # the DRIVER-GRADED window (standalone keys stay at 51+): tt = time
+    # travel, v4 = post-evolve/append snapshot, src = rows selected BY
+    # the evolved column (schema evolution is hash-visible as
+    # membership), rb = rollback, st = streamed appends + full replay
+    s13 = _q_versioned_store(spark, sf_dir)
+    cols = ["event_id", "user_id", "ts", "val"]
+    s13tt = s13.where(F.col("part") == "tt").select(
+        F.lit("s13tt").alias("part"), *cols)
+    s13v4 = s13.where(F.col("part") == "v4").select(
+        F.lit("s13v4").alias("part"), *cols)
+    s13src = s13.where((F.col("part") == "v4")
+                       & (F.col("src") == "late")).select(
+        F.lit("s13src").alias("part"), *cols)
+    s13rb = s13.where(F.col("part") == "rb").select(
+        F.lit("s13rb").alias("part"), *cols)
+    s13st = _q_stream_versioned_append(spark, sf_dir).select(
+        F.lit("s13st").alias("part"), *cols)
     return (s8.unionByName(s9).unionByName(s10n).unionByName(s10s)
-            .unionByName(s12))
+            .unionByName(s12).unionByName(s13tt).unionByName(s13v4)
+            .unionByName(s13src).unionByName(s13rb).unionByName(s13st))
 
 
 def _q_stream_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4788,6 +4813,22 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 's12', event_id, user_id, ts, val
         FROM ({d['s12_retention']})
+        UNION ALL
+        SELECT 's13tt', event_id, user_id, ts, val
+        FROM ({d['s13_versioned_store']}) WHERE part = 'tt'
+        UNION ALL
+        SELECT 's13v4', event_id, user_id, ts, val
+        FROM ({d['s13_versioned_store']}) WHERE part = 'v4'
+        UNION ALL
+        SELECT 's13src', event_id, user_id, ts, val
+        FROM ({d['s13_versioned_store']})
+        WHERE part = 'v4' AND src = 'late'
+        UNION ALL
+        SELECT 's13rb', event_id, user_id, ts, val
+        FROM ({d['s13_versioned_store']}) WHERE part = 'rb'
+        UNION ALL
+        SELECT 's13st', event_id, user_id, ts, val
+        FROM ({d['st_s13_append_stream']})
     """
     # §2.9 merged streaming suites: each part grades against the SAME
     # SQL as its standalone twin (composed verbatim), so one driver row

@@ -139,7 +139,10 @@ def test_grading_window_covers_every_operator_family():
         "d2_ngram_jaccard", "d3d6_lsh_dedup", "d4d8_hamming",
         "d5_embedding_suite", "n1_cosine_topk", "n2_lsh_ann", "n3_ivf_ann",
         # sources / sinks (S8+S9 graded via the maintenance suite,
-        # round 4) / streaming (all 11 §2.9 twins graded: 3 standalone
+        # round 4; S13/S14 versioned snapshots + schema evolution + the
+        # exactly-once streaming sink graded via the same suite's
+        # s13tt/s13v4/s13src/s13rb/s13st parts, round 4 session 6) /
+        # streaming (all 11 §2.9 twins graded: 3 standalone
         # + 5 in st_profile_suite + 3 in st_curation_suite)
         "s1_partition_pruned_scan", "s4_feature_roundtrip",
         "s7_checkpoint_manifest", "s8s9_store_maintenance",
