@@ -2089,6 +2089,22 @@ def _q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "event_id", "value", "purch_val")
 
 
+def _q_label_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3f forward as-of (operators/asof.py `label_join`): attach to
+    every event the FIRST purchase outcome at-or-after its ts within a
+    one-day horizon — the label-attachment operator (deliberate forward
+    look, labels only; the payload is the outcome's event_id so the
+    match structure grades exactly). Build side pre-aggregated per
+    (user, ts), same contract as the backward strategies."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    labels = (_events(spark, sf_dir)
+              .where(F.col("event_type") == "purchase")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("y_id")))
+    return asof.label_join(ev, labels, entity="user_id", ts="ts",
+                           horizon_s=86400.0)
+
+
 def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 with a 2-hour tolerance: matches older than the bound are nulled
     (merge_asof tolerance semantics, inclusive)."""
@@ -3366,7 +3382,14 @@ def _q_j4j5_range_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("bigint").alias("e"),
         F.lit(None).cast("timestamp_ntz").alias("t"),
         F.col("n_events").cast("bigint").alias("i1"), F.lit("").alias("s"))
-    return j4.unionByName(j5)
+    # J3f forward as-of label attachment (round 4 session 6): e carries
+    # the spine event, t its ts, i1 the matched outcome's event_id
+    # (NULL = right-censored inside the horizon)
+    j3f = _q_label_forward(spark, sf_dir).select(
+        F.lit("j3f").alias("part"), F.col("event_id").alias("e"),
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.col("y_id").cast("bigint").alias("i1"), F.lit("").alias("s"))
+    return j4.unionByName(j5).unionByName(j3f)
 
 
 def _q_a7a8_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3774,6 +3797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_json_props": _q_json_props,
         # as-of strategy variants (J3 graded via j3_asof_join)
         "j3_asof_strict": _q_asof_strict,
+        # J3f forward as-of (label attachment; graded in-window via the
+        # j4j5 suite's 'j3f' part)
+        "j3f_label_forward": _q_label_forward,
         "j3_asof_window": _q_asof_window,
         "j3_asof_broadcast": _q_asof_broadcast,
         "j3_asof_salted": _q_asof_salted,
@@ -5212,6 +5238,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'j5', CAST(user_id AS BIGINT), CAST(NULL AS TIMESTAMP),
                CAST(n_events AS BIGINT), ''
         FROM ({d['j5_anti_join']})
+        UNION ALL
+        SELECT 'j3f', CAST(event_id AS BIGINT), ts,
+               CAST(y_id AS BIGINT), ''
+        FROM ({d['j3f_label_forward']})
     """
     # A7+A8 merged suite: entropy + scalar aggregates composed verbatim
     d["a7a8_scalar_suite"] = f"""
@@ -5850,6 +5880,23 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "j3_asof_broadcast": _ASOF_ORACLE,
         "j3_asof_salted": _ASOF_ORACLE,
+        # J3f forward as-of: first purchase outcome at-or-after ts inside
+        # a one-day horizon, per user; arg_min picks the earliest match
+        # (build side is (user, ts)-unique so the argmin row is unique);
+        # unmatched / out-of-horizon spine rows keep a NULL label
+        "j3f_label_forward": """
+            WITH r AS (
+              SELECT user_id, ts, max(event_id) AS y_id
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   arg_min(r.y_id, r.ts) AS y_id
+            FROM l LEFT JOIN r
+              ON r.user_id = l.user_id AND r.ts >= l.ts
+             AND r.ts <= l.ts + INTERVAL '86400' SECOND
+            GROUP BY l.event_id, l.user_id, l.ts
+        """,
         "j3_asof_strict": """
             WITH purchases AS (
               SELECT user_id, ts, max(value) AS purch_val

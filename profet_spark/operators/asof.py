@@ -523,3 +523,87 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
     for c in drop:
         out = out.drop(c)
     return out.drop(cell)
+
+
+def label_join(
+    left: DataFrame,
+    right: DataFrame,
+    entity: str | list[str] = "image_id",
+    ts: str = "ts",
+    horizon_s: float | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_y",
+) -> DataFrame:
+    """Attach, to every left row, the EARLIEST right row at-or-after its
+    ts (forward as-of) — the label-attachment operator: "the first
+    outcome event within the horizon". ``horizon_s`` bounds the lookahead
+    (rows with no outcome inside it get NULL labels — the right censoring
+    a supervised pipeline must see, not silently drop);
+    ``allow_exact_matches=False`` makes the bound strict (> instead of >=).
+
+    This operator looks FORWARD on purpose and must only ever build
+    training LABELS: a feature produced by it reads the future by
+    construction (point-in-time audit: ``leakage_audit`` flags any
+    ``*_asof_ts`` column that exceeds its spine ts, and this operator's
+    match timestamps are >= ts for every matched row — the mirror image
+    of :func:`asof_join`'s zero-leakage invariant).
+
+    Physical plan mirrors :func:`asof_join`'s pure-JVM ``window``
+    strategy with the frame reversed: tagged union → ONE Exchange on the
+    entity → ``first(payload, ignorenulls=True)`` over
+    ``[current row, unbounded following]``. Equal-ts visibility is the
+    sort order of the side tag (right before left iff strict — outside
+    the forward frame). Same contract as the other strategies: one right
+    row per (entity, ts) — pre-aggregate the build side otherwise — and
+    a loud error on NULL ts.
+    """
+    from pyspark.sql.window import Window
+
+    ents = _entity_cols(entity)
+
+    def _ts_checked(df: DataFrame) -> DataFrame:
+        return df.withColumn(ts, F.when(
+            F.col(ts).isNull(),
+            F.raise_error(F.lit(
+                f"label_join: NULL {ts} — point-in-time rows must carry "
+                "a timestamp")).cast(df.schema[ts].dataType),
+        ).otherwise(F.col(ts)))
+
+    left, right = _ts_checked(left), _ts_checked(right)
+    pairs = _right_value_cols(left, right, entity, ts, suffix)
+
+    pay_t = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(src).alias(dst) for src, dst in pairs]
+    )
+    # forward frame: at equal ts the right row must sort AT-OR-AFTER the
+    # left row to be visible (allow_exact), BEFORE it to be excluded
+    r = right.select(
+        *[F.col(c) for c in ents], F.col(ts), pay_t.alias("__pay"),
+        F.lit(1 if allow_exact_matches else 0).alias(_SIDE),
+    )
+    lkeep = [c for c in left.columns if c not in ents and c != ts]
+    l = left.select(
+        *[F.col(c) for c in ents], F.col(ts),
+        F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
+        F.lit(0 if allow_exact_matches else 1).alias(_SIDE),
+        *[F.col(c) for c in lkeep],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*ents).orderBy(ts, _SIDE)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = F.first("__pay", ignorenulls=True).over(w)
+    if horizon_s is not None:
+        sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+        in_h = (sec(matched["__rts"]) - sec(F.col(ts))) <= horizon_s
+        matched = F.when(in_h, matched)
+    left_side = 0 if allow_exact_matches else 1
+    return (
+        u.withColumn("__m", matched)
+        .where(F.col(_SIDE) == left_side)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("__m")[dst].alias(dst) for _, dst in pairs],
+        )
+    )

@@ -66,3 +66,38 @@ def test_asof_property(spark, case, allow_exact, strategy):
     np.testing.assert_allclose(got["rv"].to_numpy(dtype=float),
                                want["rv"].to_numpy(dtype=float),
                                equal_nan=True)
+
+
+def _want_forward(left, right, allow_exact, horizon_s):
+    lp = left.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    if right.empty:
+        out = lp.copy()
+        out["rv"] = np.nan
+        return out.sort_values(["event_id"]).reset_index(drop=True)
+    rp = right.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    tol = pd.Timedelta(seconds=horizon_s) if horizon_s is not None else None
+    out = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="forward",
+                        allow_exact_matches=allow_exact, tolerance=tol)
+    return out.sort_values(["event_id"]).reset_index(drop=True)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(case=asof_case(), allow_exact=hst.booleans(),
+       horizon=hst.sampled_from([None, 3600.0, 86400.0]))
+def test_label_join_forward_property(spark, case, allow_exact, horizon):
+    """label_join must equal pandas merge_asof(direction='forward') —
+    the independent reference for the label-attachment semantics,
+    including horizon right-censoring and equal-ts visibility."""
+    left, right = case
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right, schema="user_id string, ts timestamp, rv double")
+    got = (asof.label_join(ldf, rdf, entity="user_id", ts="ts",
+                           allow_exact_matches=allow_exact,
+                           horizon_s=horizon)
+           .toPandas().sort_values("event_id").reset_index(drop=True))
+    want = _want_forward(left, right, allow_exact, horizon)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    np.testing.assert_allclose(got["rv"].to_numpy(dtype=float),
+                               want["rv"].to_numpy(dtype=float),
+                               equal_nan=True)
