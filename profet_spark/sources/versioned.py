@@ -142,14 +142,22 @@ def _write_manifest(store: str, manifest: dict) -> int:
     version = manifest["version"]
     os.makedirs(_versions_dir(store), exist_ok=True)
     final = _manifest_path(store, version)
-    if os.path.exists(final):
-        raise RuntimeError(
-            f"versioned commit conflict: v{version} already exists in "
-            f"{store} — re-read the latest manifest and retry")
-    tmp = final + f".tmp.{os.getpid()}"
+    tmp = final + f".tmp.{os.getpid()}.{id(manifest)}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, final)
+    try:
+        # os.link is atomic AND fails if the target exists — unlike
+        # os.replace, which would let the second of two racing writers
+        # silently overwrite the first (check-then-replace is TOCTOU).
+        # This is the filesystem analog of Iceberg's atomic metadata
+        # swap; the loser re-reads the latest manifest and retries.
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"versioned commit conflict: v{version} already exists in "
+            f"{store} — re-read the latest manifest and retry") from None
+    finally:
+        os.unlink(tmp)
     return version
 
 

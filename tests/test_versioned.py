@@ -451,3 +451,38 @@ def test_training_matrix_from_pinned_snapshot_is_reproducible(
     latest = [tuple(r) for r in
               matrix(V.read_versioned(spark, store)).collect()]
     assert latest != before
+
+
+def test_concurrent_commit_race_single_winner(spark, store):
+    """TOCTOU guard: many threads publishing the SAME version number via
+    the atomic link — exactly one wins, every loser gets the conflict
+    error, and the winner's manifest is intact on disk."""
+    import json as _json
+    import threading
+
+    base = V.read_manifest(store)
+    results = []
+
+    def attempt(i):
+        m = dict(base, version=base["version"] + 1,
+                 lineage=f"racer-{i}", parent=base["version"])
+        try:
+            V._write_manifest(store, m)
+            results.append(("won", i))
+        except RuntimeError:
+            results.append(("lost", i))
+
+    threads = [threading.Thread(target=attempt, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(r for r, _ in results).count("won") == 1
+    winner = [i for r, i in results if r == "won"][0]
+    with open(V._manifest_path(store, base["version"] + 1)) as f:
+        assert _json.load(f)["lineage"] == f"racer-{winner}"
+    # no tmp litter left behind
+    import os as _os
+    assert not [f for f in _os.listdir(V._versions_dir(store))
+                if ".tmp." in f]
