@@ -14,8 +14,10 @@ import pytest
 # Default matches the driver's grading SF. Override to sweep another scale
 # (distribution-shift insurance — run before each round):
 #   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 pytest tests/test_entry_oracle.py
-# (swept green at sf0.001 AND sf0.01: 2026-08-17, and again at the
-# round-4 final HEAD 2026-08-20 — 152 passed at each SF)
+# (swept green at sf0.001 AND sf0.01: 2026-08-17; at the round-4
+# session-5 HEAD 2026-08-20 — 152 passed at each SF; and at the
+# session-6 HEAD 2026-08-20 with the S13/S14 + J3f keys — 157 keys /
+# 160 tests passed at each SF)
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
