@@ -1289,6 +1289,33 @@ _P5_K, _P5_BUCKETS = 3, 16
 
 
 
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 exact duplicated-substring report (operators/dedup.py
+    `repeated_spans`, Lee et al. 2022 at span granularity): every
+    40-char substring occurring >= 2 times corpus-wide, merged into
+    maximal per-doc intervals — the within-document boilerplate that
+    document-level dedup cannot see. Portable (md5 lo/hi pair) hash
+    strategy so the DuckDB oracle reproduces the intervals bit for bit;
+    non-vacuous on this corpus (~45 intervals at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.repeated_spans(docs, span=40, min_count=2,
+                                hash_strategy="portable")
+
+
+def _q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10c span excision (`cut_spans`): remove every D10 interval from
+    the affected documents via the pure-JVM aggregate fold (no Python
+    boundary) and return the rewritten text — string-hash-graded against
+    the SQL reconstruction from gap slices."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dedup.repeated_spans(docs, span=40, min_count=2,
+                                 hash_strategy="portable")
+    hit = docs.join(spans.select("doc_id").distinct(), "doc_id",
+                    "left_semi")
+    return (dedup.cut_spans(hit, spans)
+            .select("doc_id", F.col("text").alias("text_cut")))
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 benchmark decontamination: assign the shared P1 hash split
     (80/10/10), treat the held-out test slice as the benchmark, and flag
@@ -3630,8 +3657,24 @@ def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("s"), i64("n_rows").alias("i1"),
         i64("sec_min").alias("i2"), i64("sec_max").alias("i3"),
         F.lit(-1).cast("bigint").alias("i4"))
+    # D10 duplicated-span report + excision (round 4 session 6): the
+    # within-document boilerplate tier, string-hash-graded via the cut
+    # text in s
+    d10 = _q_repeated_spans(spark, sf_dir).select(
+        F.lit("d10").alias("part"), i64("doc_id").alias("e"),
+        F.lit("").alias("s"), i64("span_start").alias("i1"),
+        i64("span_end").alias("i2"), i64("n_hits").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
+    d10c = _q_cut_spans(spark, sf_dir).select(
+        F.lit("d10c").alias("part"), i64("doc_id").alias("e"),
+        F.col("text_cut").alias("s"),
+        F.lit(-1).cast("bigint").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"),
+        F.lit(-1).cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
     return (p6.unionByName(t6).unionByName(dq1).unionByName(dq2)
-            .unionByName(p10).unionByName(zxu).unionByName(zxs))
+            .unionByName(p10).unionByName(zxu).unionByName(zxs)
+            .unionByName(d10).unionByName(d10c))
 
 
 def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3838,6 +3881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprint": _q_fingerprint,
         "t5_repetition": _q_repetition,
         "d1_exact_dedup": _q_exact_dedup,
+        # D10 duplicated spans (graded in-window via hygiene_suite's
+        # 'd10'/'d10c' parts)
+        "d10_repeated_spans": _q_repeated_spans,
+        "d10_cut_spans": _q_cut_spans,
         "d7_segment_dedup": _q_segment_dedup,
         "d8_fp_hamming": _q_fp_hamming,
         "d8_phash_dup_pairs": _q_phash_dup_pairs,
@@ -5350,6 +5397,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_rows AS BIGINT), CAST(sec_min AS BIGINT),
                CAST(sec_max AS BIGINT), CAST(-1 AS BIGINT)
         FROM ({d['l1_zorder_layout']})
+        UNION ALL
+        SELECT 'd10', CAST(doc_id AS BIGINT), '',
+               CAST(span_start AS BIGINT), CAST(span_end AS BIGINT),
+               CAST(n_hits AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['d10_repeated_spans']})
+        UNION ALL
+        SELECT 'd10c', CAST(doc_id AS BIGINT), text_cut,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['d10_cut_spans']})
     """
     return d
 
@@ -5647,6 +5704,35 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN mc_ > 0 THEN cc1 / CAST(mc_ AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
                      AS term_c_1
             FROM c
+        """,
+        # D10 duplicated-span report (portable md5 lo/hi hash — the
+        # DuckDB twin reproduces every interval bit for bit)
+        "d10_repeated_spans": f"""
+            SELECT id AS doc_id, span_start, span_end,
+                   CAST(n_hits AS BIGINT) AS n_hits
+            FROM ({dedup.repeated_spans_sql_duckdb(span=40, min_count=2)})
+        """,
+        # D10c excision: the retained text is the ordered concat of gap
+        # slices between merged spans plus the tail after the last span
+        "d10_cut_spans": f"""
+            WITH spans AS (
+              SELECT id, span_start, span_end
+              FROM ({dedup.repeated_spans_sql_duckdb(span=40, min_count=2)})),
+            c AS (
+              SELECT s.id, s.span_start, s.span_end, d.text,
+                     coalesce(lag(s.span_end) OVER (
+                       PARTITION BY s.id ORDER BY s.span_start),
+                       CAST(1 AS BIGINT)) AS gap_start
+              FROM spans s JOIN documents d ON d.doc_id = s.id)
+            SELECT id AS doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN span_start > gap_start
+                          THEN substr(text, CAST(gap_start AS INTEGER),
+                                      CAST(span_start - gap_start AS INTEGER))
+                          ELSE '' END, '' ORDER BY span_start), '')
+                   || substr(min(text), CAST(max(span_end) AS INTEGER),
+                             length(min(text))) AS text_cut
+            FROM c GROUP BY id
         """,
         "t1_language_id": _duck_lid_sql(),
         "t2_quality_score": _duck_quality_sql(),

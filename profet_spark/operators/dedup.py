@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Nine dedup strategies, each Spark-first and designed for the 100 TB case
+Ten dedup strategies, each Spark-first and designed for the 100 TB case
 (the task mandate adds these on top of ProFET's own operator set; the
 closest reference analog is ProFET's duplicate-record drop in
 [R] ProFET/feat_extract/FastaFilter.py ~L70-110, which is D1 here):
@@ -39,6 +39,12 @@ D9  semantic_dup_pairs   — SemDeDup (Abbas et al. 2023): coarse k-means
                            cells, then the cosine pair search only WITHIN
                            each cell — sum(m_c^2) pair work instead of n^2;
                            semdedup packages the keep-min-id pruning.
+D10 repeated_spans       — exact duplicated-SUBSTRING discovery (Lee et
+                           al. 2022 at span granularity): position-hash
+                           explode, corpus-wide count, merged per-doc
+                           intervals; cut_spans excises them with a pure
+                           JVM aggregate fold. Catches boilerplate INSIDE
+                           otherwise-unique documents, which D1-D9 cannot.
 
 Scale notes:
 - Signatures/fingerprints are narrow projections: Catalyst prunes ``text``
@@ -960,3 +966,175 @@ def semdedup(df: DataFrame, id_col: str = "vec_id",
     drops = (clusters.where(F.col("id") != F.col("cluster_id"))
              .select(F.col("id").alias(id_col)))
     return df.join(drops, id_col, "left_anti")
+
+
+# --------------------------------------------------------------- D10 spans
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 50,
+    min_count: int = 2,
+    stride: int = 1,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """D10 exact duplicated-SUBSTRING discovery (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at span
+    granularity): every position whose ``span``-character substring
+    occurs at least ``min_count`` times corpus-wide, merged into maximal
+    per-document intervals. Returns ``(id, span_start, span_end,
+    n_hits)`` with 1-based ``span_start``, exclusive ``span_end``, and
+    the number of raw hit positions the interval merged.
+
+    This catches the failure mode document-level dedup (D1-D5) cannot:
+    boilerplate/licenses/templates duplicated INSIDE otherwise-unique
+    documents. Feed the report to :func:`cut_spans` to excise the spans.
+
+    Scale notes: position explode costs O(total characters / stride)
+    rows — the honest price of exact substring matching without a
+    distributed suffix array; rows are narrow (id, pos, 64-bit hash), so
+    the one groupBy-hash shuffle moves ~20 B per position. ``stride > 1``
+    divides the cost but only catches copies whose alignment difference
+    is a multiple of the stride (document-prefix boilerplate is; use
+    stride=1 for the exact guarantee). Hash equality stands in for
+    substring equality: 64 bits (xxhash64, or the md5 lo/hi pair in
+    portable mode) makes corpus-scale false pairs rare, not impossible —
+    the same trade every hash-based dedup in this module makes.
+
+    ``hash_strategy='portable'`` uses the md5-derived (h32, h32_hi)
+    pair so the DuckDB oracle reproduces the result bit for bit;
+    'xxhash64' is the production default (JVM codegen, no md5 cost).
+    """
+    if hash_strategy not in ("xxhash64", "portable"):
+        raise ValueError(f"repeated_spans: unknown hash_strategy "
+                         f"{hash_strategy!r}")
+    if span < 2 or stride < 1 or min_count < 2:
+        raise ValueError("repeated_spans: need span >= 2, stride >= 1, "
+                         "min_count >= 2")
+    n_pos = F.length(F.col(text_col)) - F.lit(span - 1)
+    # sequence(1, 0) would count DOWN in Spark — guard short docs
+    seq = F.when(
+        n_pos >= 1, F.sequence(F.lit(1), n_pos, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    sub = F.substring(F.col(text_col), F.col("pos"), span)
+    pos = df.select(F.col(id_col), F.col(text_col),
+                    F.explode(seq).alias("pos"))
+    if hash_strategy == "xxhash64":
+        pos = pos.select(id_col, "pos", F.xxhash64(sub).alias("__h1"),
+                         F.lit(0).alias("__h2"))
+    else:
+        from profet_spark.functions import hashing as H
+
+        pos = pos.select(id_col, "pos", H.h32(sub).alias("__h1"),
+                         H.h32_hi(sub).alias("__h2"))
+    pos = pos.persist()
+    dup = (pos.groupBy("__h1", "__h2").count()
+           .where(F.col("count") >= min_count)
+           .select("__h1", "__h2"))
+    hits = pos.join(dup, ["__h1", "__h2"], "left_semi")
+    w_prev = (Window.partitionBy(id_col).orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.max(F.col("pos") + span).over(w_prev),
+                                  F.lit(-1)),
+        1).otherwise(0)
+    merged = (hits.withColumn("__brk", brk)
+              .withColumn("__grp", F.sum("__brk").over(w_cum))
+              .groupBy(id_col, "__grp")
+              .agg(F.min("pos").cast("bigint").alias("span_start"),
+                   (F.max("pos") + span).cast("bigint").alias("span_end"),
+                   F.count("*").alias("n_hits"))
+              .drop("__grp"))
+    return merged.select(id_col, "span_start", "span_end", "n_hits")
+
+
+def repeated_spans_sql_duckdb(span: int = 50, min_count: int = 2,
+                              stride: int = 1,
+                              table: str = "documents",
+                              id_expr: str = "doc_id",
+                              text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`repeated_spans` (portable hash mode)."""
+    from profet_spark.functions.hashing import h32_hi_sql_duckdb, h32_sql_duckdb
+
+    s = f"substr(txt, CAST(pos AS INTEGER), {span})"
+    return f"""
+        WITH p0 AS (
+          -- generate_series as a scalar list + unnest: DuckDB's table-
+          -- function form cannot take lateral column arguments
+          SELECT {id_expr} AS id, {text_expr} AS txt,
+                 unnest(generate_series(
+                   1, length({text_expr}) - {span - 1}, {stride})) AS pos
+          FROM {table}
+        ),
+        p AS (
+          SELECT id, CAST(pos AS BIGINT) AS pos,
+                 {h32_sql_duckdb(s)} AS h1, {h32_hi_sql_duckdb(s)} AS h2
+          FROM p0
+        ),
+        dup AS (
+          SELECT h1, h2 FROM p GROUP BY h1, h2
+          HAVING count(*) >= {min_count}
+        ),
+        hits AS (SELECT p.id, p.pos FROM p SEMI JOIN dup USING (h1, h2)),
+        b AS (
+          SELECT id, pos,
+                 CASE WHEN pos > coalesce(max(pos + {span}) OVER (
+                        PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1)
+                      THEN 1 ELSE 0 END AS brk
+          FROM hits),
+        g AS (
+          SELECT id, pos, sum(brk) OVER (
+            PARTITION BY id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM b)
+        SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {span} AS BIGINT) AS span_end,
+               count(*) AS n_hits
+        FROM g GROUP BY id, grp
+    """
+
+
+def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Excise ``spans``' [span_start, span_end) character ranges from
+    each document — the scrub step over :func:`repeated_spans`' report.
+    Documents with no spans pass through unchanged. Pure JVM: the spans
+    are collected per doc into a sorted array and a single
+    ``F.aggregate`` fold concatenates the retained slices — no Python
+    boundary, no per-row UDF.
+
+    Overlapping/unsorted spans are tolerated (the fold clamps to the
+    running cursor); out-of-range spans are clamped to the text bounds.
+    """
+    out_col = out_col or text_col
+    per_doc = (spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e")))).alias("__spans")))
+    j = df.join(per_doc, id_col, "left")
+    txt = F.col(text_col)
+    # fold state: (cursor, acc) — cursor is the next 1-based char to keep
+    init = F.struct(F.lit(1).cast("bigint").alias("cur"),
+                    F.lit("").alias("acc"))
+    def step(st, sp):
+        start = F.greatest(sp["s"], st["cur"])
+        keep = F.when(
+            start > st["cur"],
+            F.substring(txt, st["cur"].cast("int"),
+                        (start - st["cur"]).cast("int"))
+        ).otherwise(F.lit(""))
+        return F.struct(
+            F.greatest(st["cur"], sp["e"]).alias("cur"),
+            F.concat(st["acc"], keep).alias("acc"))
+    folded = F.aggregate(F.col("__spans"), init, step)
+    tail = F.substring(txt, folded["cur"].cast("int"), F.length(txt))
+    cut = F.concat(folded["acc"], tail)
+    out = j.withColumn(
+        out_col, F.when(F.col("__spans").isNull(), txt).otherwise(cut))
+    return out.drop("__spans")

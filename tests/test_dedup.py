@@ -648,3 +648,100 @@ def test_semantic_dup_pairs_empty_input(spark):
     out = dedup.semantic_dup_pairs(df, n_centroids=4)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cid", "cosine"]
+
+
+# ------------------------------------------------------------- D10 spans
+
+class TestRepeatedSpans:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+        boiler = "LICENSE: " + "x" * 51  # 60-char shared prefix
+        rows = [  # tails differ at their FIRST char so the duplicated
+            # region is exactly the 60-char boilerplate
+            Row(doc_id=1, text=boiler + "Aunique tail one " + "a" * 30),
+            Row(doc_id=2, text=boiler + "Bentirely different " + "b" * 30),
+            Row(doc_id=3, text="no duplication here at all " + "c" * 40),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_planted_boilerplate_found_and_merged(self, spark):
+        from profet_spark.operators import dedup as D
+
+        spans = D.repeated_spans(self._docs(spark), span=50,
+                                 hash_strategy="portable")
+        got = {(r.doc_id, r.span_start, r.span_end, r.n_hits)
+               for r in spans.collect()}
+        # positions 1..11 of the 60-char prefix duplicate -> one merged
+        # interval [1, 61) per sharing doc; doc 3 clean
+        assert got == {(1, 1, 61, 11), (2, 1, 61, 11)}
+
+    def test_strategies_agree_on_planted(self, spark):
+        from profet_spark.operators import dedup as D
+
+        docs = self._docs(spark)
+        a = {tuple(r) for r in D.repeated_spans(
+            docs, span=50, hash_strategy="portable").collect()}
+        b = {tuple(r) for r in D.repeated_spans(
+            docs, span=50, hash_strategy="xxhash64").collect()}
+        assert a == b
+
+    def test_stride_catches_aligned_prefix(self, spark):
+        from profet_spark.operators import dedup as D
+
+        spans = D.repeated_spans(self._docs(spark), span=50, stride=5,
+                                 hash_strategy="portable")
+        assert sorted(r.doc_id for r in spans.collect()) == [1, 2]
+
+    def test_short_docs_yield_nothing(self, spark):
+        from pyspark.sql import Row
+
+        from profet_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="tiny"), Row(doc_id=2, text="tiny")])
+        # shorter than span -> no positions at all (sequence guard: Spark
+        # would otherwise count DOWN from 1)
+        assert D.repeated_spans(docs, span=50).count() == 0
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from profet_spark.operators import dedup as D
+
+        docs = self._docs(spark)
+        with _pt.raises(ValueError, match="hash_strategy"):
+            D.repeated_spans(docs, hash_strategy="nope")
+        with _pt.raises(ValueError, match="span >= 2"):
+            D.repeated_spans(docs, span=1)
+
+    def test_cut_spans_excises_and_passes_through(self, spark):
+        from profet_spark.operators import dedup as D
+
+        docs = self._docs(spark)
+        spans = D.repeated_spans(docs, span=50, hash_strategy="portable")
+        cut = {r.doc_id: r.text
+               for r in D.cut_spans(docs, spans).collect()}
+        orig = {r.doc_id: r.text for r in docs.collect()}
+        assert cut[1] == orig[1][60:]   # [1, 61) removed, 1-based
+        assert cut[2] == orig[2][60:]
+        assert cut[3] == orig[3]        # untouched doc passes through
+        # idempotent on already-clean text when re-run with same report
+        again = {r.doc_id: r.text
+                 for r in D.cut_spans(
+                     D.cut_spans(docs, spans), spans).collect()}
+        assert again[3] == orig[3]
+
+    def test_cut_spans_overlap_and_full_range(self, spark):
+        from pyspark.sql import Row
+
+        from profet_spark.operators import dedup as D
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="abcdefghij")])
+        spans = spark.createDataFrame(
+            [Row(doc_id=1, span_start=2, span_end=5),
+             Row(doc_id=1, span_start=4, span_end=8)])  # overlapping
+        out = D.cut_spans(docs, spans).collect()[0].text
+        assert out == "ahij"
+        full = spark.createDataFrame(
+            [Row(doc_id=1, span_start=1, span_end=11)])
+        assert D.cut_spans(docs, full).collect()[0].text == ""
