@@ -333,6 +333,18 @@ def main():
         return (V.read_versioned(spark, store)
                 .unionByName(V.read_versioned(spark, store, version=1)))
 
+    def span_dedup(spark, sf_dir):
+        """D10 exact duplicated-substring tier (new in round 4 session
+        6): position-hash explode over the documents corpus, corpus-wide
+        span count, per-doc interval merge, and the JVM aggregate-fold
+        excision — one narrow hash shuffle end to end. Own stage key so
+        earlier-round totals stay comparable by summing shared keys."""
+        docs = (load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text").repartition(docs_parts))
+        spans = dedup.repeated_spans(docs, span=40,
+                                     hash_strategy="xxhash64")
+        return dedup.cut_spans(docs, spans)
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir, ev_parts),
         "profile_features": lambda: profile_features(spark, sf_dir),
@@ -347,6 +359,7 @@ def main():
         "corpus_hygiene": lambda: corpus_hygiene(spark, sf_dir),
         "batch_plan": lambda: batch_plan(spark, sf_dir),
         "versioned_store": lambda: versioned_store(spark, sf_dir),
+        "span_dedup": lambda: span_dedup(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start

@@ -117,6 +117,14 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 
         emb = load_table(spark, input_root, "embeddings")
         return similarity.ivf_pq_encode(emb, n_centroids=n_shards)
+    if pipeline == "spandedup":
+        # D10: excise corpus-wide duplicated substrings (span
+        # granularity; --ngram doubles as the span width in characters)
+        # from every document — the within-document boilerplate cut
+        docs = load_table(spark, input_root, "documents")
+        spans = dedup.repeated_spans(docs, text_col="text",
+                                     span=max(2, ngram))
+        return dedup.cut_spans(docs, spans, text_col="text")
     if pipeline == "semdedup":
         # D9 SemDeDup: keep one row per semantic-duplicate cluster over
         # the embeddings table — coarse k-means cells, within-cell exact
@@ -145,7 +153,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
              "batch_plan", "materialize", "diff", "cap", "zorder",
-             "semdedup", "pq_index", "snapshot")
+             "semdedup", "pq_index", "snapshot", "spandedup")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:
@@ -170,8 +178,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                     help="decontaminate only: table root of the benchmark/"
                          "eval set (default: the input's own test split)")
     ap.add_argument("--ngram", type=int, default=13,
-                    help="decontaminate only: overlap shingle width "
-                         "(13 = the GPT-3/Llama convention)")
+                    help="decontaminate: overlap shingle width (13 = the "
+                         "GPT-3/Llama convention); spandedup: span chars")
     ap.add_argument("--min-side", type=int, default=64,
                     help="image_curate only: resolution floor for w and h")
     ap.add_argument("--batch-size", type=int, default=64,

@@ -395,3 +395,18 @@ def test_cli_compact_routes_versioned_stores(spark, tmp_path, capsys):
     assert rc == 0
     j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert j["partitions_compacted"] == 1 and j["version"] == 7
+
+
+def test_cli_spandedup(spark, tmp_path):
+    out_dir = str(tmp_path / "spancut")
+    rc = main(["--pipeline", "spandedup", "--input", SF,
+               "--ngram", "40", "--output", out_dir], _spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    orig = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    assert back.count() == orig.count()
+    # the corpus-wide duplicated spans were excised somewhere
+    import pyspark.sql.functions as F
+    tot_b = back.agg(F.sum(F.length("text"))).collect()[0][0]
+    tot_o = orig.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert tot_b < tot_o
