@@ -977,6 +977,7 @@ def repeated_spans(
     span: int = 50,
     min_count: int = 2,
     stride: int = 1,
+    keep: str = "none",
     hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """D10 exact duplicated-SUBSTRING discovery (Lee et al. 2022,
@@ -990,6 +991,14 @@ def repeated_spans(
     This catches the failure mode document-level dedup (D1-D5) cannot:
     boilerplate/licenses/templates duplicated INSIDE otherwise-unique
     documents. Feed the report to :func:`cut_spans` to excise the spans.
+
+    ``keep='none'`` (default) reports EVERY occurrence — the
+    conservative decontamination form. ``keep='first'`` is Lee et al.'s
+    keep-one policy: the corpus-wide first occurrence of each duplicated
+    span (min (id, pos)) is left out of the report, so excision retains
+    exactly one copy of the content. Note adjacent kept-first and cut
+    positions of OVERLAPPING distinct spans can still interleave — the
+    guarantee is per span hash, as in the reference tool.
 
     Scale notes: position explode costs O(total characters / stride)
     rows — the honest price of exact substring matching without a
@@ -1028,11 +1037,22 @@ def repeated_spans(
 
         pos = pos.select(id_col, "pos", H.h32(sub).alias("__h1"),
                          H.h32_hi(sub).alias("__h2"))
+    if keep not in ("none", "first"):
+        raise ValueError(f"repeated_spans: keep={keep!r} "
+                         "(expected 'none' or 'first')")
     pos = pos.persist()
     dup = (pos.groupBy("__h1", "__h2").count()
            .where(F.col("count") >= min_count)
            .select("__h1", "__h2"))
     hits = pos.join(dup, ["__h1", "__h2"], "left_semi")
+    if keep == "first":
+        # Lee et al. keep-one policy: the corpus-wide FIRST occurrence
+        # of each duplicated span — min (id, pos) in the total order —
+        # is not reported, so cut_spans leaves exactly one copy. One
+        # extra window on the same (h1, h2) shuffle key.
+        w_occ = Window.partitionBy("__h1", "__h2").orderBy(id_col, "pos")
+        hits = (hits.withColumn("__rk", F.row_number().over(w_occ))
+                .where(F.col("__rk") > 1).drop("__rk"))
     w_prev = (Window.partitionBy(id_col).orderBy("pos")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_cum = (Window.partitionBy(id_col).orderBy("pos")

@@ -745,3 +745,33 @@ class TestRepeatedSpans:
         full = spark.createDataFrame(
             [Row(doc_id=1, span_start=1, span_end=11)])
         assert D.cut_spans(docs, full).collect()[0].text == ""
+
+    def test_keep_first_retains_one_copy(self, spark):
+        from pyspark.sql import Row
+
+        from profet_spark.operators import dedup as D
+
+        # APERIODIC boilerplate: the x-run fixture self-repeats within a
+        # doc (every 50-window of an x-run is the same string), which
+        # keep='first' correctly reports — use distinct chars instead so
+        # each span value occurs once per doc
+        boiler = "".join(chr(33 + (i * 7) % 90) for i in range(60))
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text=boiler + "Aunique tail one " + "a" * 30),
+            Row(doc_id=2, text=boiler + "Bentirely different " + "b" * 30),
+            Row(doc_id=3, text="no duplication here at all " + "c" * 40),
+        ])
+        spans = D.repeated_spans(docs, span=50, keep="first",
+                                 hash_strategy="portable")
+        got = {(r.doc_id, r.span_start, r.span_end)
+               for r in spans.collect()}
+        # doc 1 holds the corpus-wide first occurrence of every prefix
+        # span -> only doc 2's copy is reported
+        assert got == {(2, 1, 61)}
+        cut = {r.doc_id: r.text
+               for r in D.cut_spans(docs, spans).collect()}
+        orig = {r.doc_id: r.text for r in docs.collect()}
+        assert cut[1] == orig[1]          # the kept copy
+        assert cut[2] == orig[2][60:]     # the excised copy
+        with __import__("pytest").raises(ValueError, match="keep="):
+            D.repeated_spans(docs, keep="both")
