@@ -775,3 +775,15 @@ class TestRepeatedSpans:
         assert cut[2] == orig[2][60:]     # the excised copy
         with __import__("pytest").raises(ValueError, match="keep="):
             D.repeated_spans(docs, keep="both")
+
+    def test_span_plan_prunes_text_from_exchanges(self, spark):
+        """Scale invariant: the one hash shuffle carries (id, pos, h1,
+        h2) — the text column must never enter an Exchange (at 100 TB
+        the explode multiplies rows by ~chars/doc; shipping text through
+        it would multiply bytes too)."""
+        from profet_spark.operators import dedup as D
+
+        spans = D.repeated_spans(self._docs(spark), span=50)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert exchanges and all("text" not in ln for ln in exchanges)
