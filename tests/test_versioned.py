@@ -486,3 +486,79 @@ def test_concurrent_commit_race_single_winner(spark, store):
     import os as _os
     assert not [f for f in _os.listdir(V._versions_dir(store))
                 if ".tmp." in f]
+
+
+def test_random_lifecycles_match_reference_model(spark):
+    """Hypothesis twin of the scripted model test: arbitrary short
+    commit sequences (append new keys / upsert mixes / rollback to any
+    retained version) must keep EVERY retained snapshot equal to the
+    model's frozen copy at that commit."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    days = [f"2024-01-0{d}" for d in range(1, 8)]
+
+    @hst.composite
+    def ops(draw):
+        seq = []
+        n = draw(hst.integers(1, 4))
+        for _ in range(n):
+            kind = draw(hst.sampled_from(["append", "upsert", "rollback"]))
+            if kind == "rollback":
+                seq.append(("rollback", None))
+            else:
+                rows = draw(hst.lists(
+                    hst.tuples(hst.integers(1, 12),
+                               hst.sampled_from(days),
+                               hst.integers(-5, 5)),
+                    min_size=1, max_size=4,
+                    unique_by=lambda r: r[0]))
+                seq.append((kind, rows))
+        return seq
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(script=ops())
+    def run(script):
+        s = tempfile.mkdtemp(prefix="hyp_vstore_")
+        try:
+            model = {i: (f"2024-01-0{1 + i % 3} 0{i % 10}:00:00", float(i))
+                     for i in range(1, 5)}
+            history = {}
+            v = V.create_versioned(
+                _mk(spark, [(i, ts, val) for i, (ts, val) in model.items()]),
+                s, ts_col="ts", entity_col="image_id", n_buckets=4)
+            history[v] = dict(model)
+            for kind, rows in script:
+                if kind == "rollback":
+                    target = min(history)  # earliest retained
+                    v = V.rollback_versioned(spark, s, to_version=target)
+                    model = dict(history[target])
+                else:
+                    batch = [(i, f"{d} 12:00:00", float(x))
+                             for i, d, x in rows]
+                    if kind == "append":
+                        batch = [(i, t, x) for i, t, x in batch
+                                 if i not in model]
+                        if not batch:
+                            continue
+                        v = V.append_versioned(spark, _mk(spark, batch), s)
+                    else:
+                        v = V.upsert_versioned(spark, _mk(spark, batch), s,
+                                               key_cols=["image_id"])
+                    for i, t, x in batch:
+                        model[i] = (t, x)
+                history[v] = dict(model)
+            for ver, frozen in history.items():
+                got = {r["image_id"]: (str(r["ts"]), r["val"])
+                       for r in V.read_versioned(
+                           spark, s, version=ver).collect()}
+                assert got == {i: (t, x) for i, (t, x) in frozen.items()}, \
+                    f"v{ver} diverged under {script}"
+        finally:
+            shutil.rmtree(s, ignore_errors=True)
+
+    run()
