@@ -2132,6 +2132,47 @@ def _q_label_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                            horizon_s=86400.0)
 
 
+_JB_BUILD = "event_type = 'purchase' AND value > 90"
+
+
+def _jb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JB build side: users with at least one >90-value purchase —
+    small relative to the probe (events), the canonical semi-join
+    shape."""
+    return (_events(spark, sf_dir)
+            .where((F.col("event_type") == "purchase")
+                   & (F.col("value") > 90))
+            .select("user_id"))
+
+
+def _q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JB bloom-pruned semi join (operators/membership.py
+    `bloom_semi_join`): every event of a user with a >90-value purchase.
+    The broadcast Bloom tier rejects non-members map-side (no shuffle);
+    the exact left_semi over the survivors repairs false positives, so
+    the result is bit-for-bit a plain IN-subquery — which is exactly
+    the oracle."""
+    from profet_spark.operators import membership as mb
+
+    ev = _events(spark, sf_dir)
+    out = mb.bloom_semi_join(ev, _jb_build(spark, sf_dir), "user_id")
+    return out.select("event_id", "user_id",
+                      F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+
+def _q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JB bloom-routed anti join (`bloom_anti_join`): events of users
+    with NO >90-value purchase. Filter-rejected rows are definitely
+    non-members and bypass the join; only the might-match sliver runs
+    the exact left_anti. Equals NOT EXISTS up to row order."""
+    from profet_spark.operators import membership as mb
+
+    ev = _events(spark, sf_dir)
+    out = mb.bloom_anti_join(ev, _jb_build(spark, sf_dir), "user_id")
+    return out.select("event_id", "user_id",
+                      F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+
 def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 with a 2-hour tolerance: matches older than the bound are nulled
     (merge_asof tolerance semantics, inclusive)."""
@@ -3416,7 +3457,19 @@ def _q_j4j5_range_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("j3f").alias("part"), F.col("event_id").alias("e"),
         F.col("ts").cast("timestamp_ntz").alias("t"),
         F.col("y_id").cast("bigint").alias("i1"), F.lit("").alias("s"))
-    return j4.unionByName(j5).unionByName(j3f)
+    # JB Bloom-membership joins (round 4: operators/membership.py) —
+    # semi + anti over the same build set partition the events table,
+    # so the suite grades both routing branches AND their completeness
+    jbs = _q_bloom_semi(spark, sf_dir).select(
+        F.lit("jbs").alias("part"), F.col("event_id").alias("e"),
+        F.col("ts").alias("t"),
+        F.col("user_id").cast("bigint").alias("i1"), F.lit("").alias("s"))
+    jba = _q_bloom_anti(spark, sf_dir).select(
+        F.lit("jba").alias("part"), F.col("event_id").alias("e"),
+        F.col("ts").alias("t"),
+        F.col("user_id").cast("bigint").alias("i1"), F.lit("").alias("s"))
+    return (j4.unionByName(j5).unionByName(j3f)
+            .unionByName(jbs).unionByName(jba))
 
 
 def _q_a7a8_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3843,6 +3896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J3f forward as-of (label attachment; graded in-window via the
         # j4j5 suite's 'j3f' part)
         "j3f_label_forward": _q_label_forward,
+        # JB Bloom-membership joins (graded in-window via
+        # j4j5_range_anti_suite parts jbs/jba)
+        "jb_bloom_semi": _q_bloom_semi,
+        "jb_bloom_anti": _q_bloom_anti,
         "j3_asof_window": _q_asof_window,
         "j3_asof_broadcast": _q_asof_broadcast,
         "j3_asof_salted": _q_asof_salted,
@@ -5277,6 +5334,20 @@ def oracle_sql() -> dict[str, str]:
         FROM ({d['b3_epoch_order']})
     """
     # J4+J5 merged suite: both join oracles composed verbatim, tagged
+    # JB Bloom-membership joins: the composed operators are EXACT (the
+    # Bloom tier only prunes; the exact join repairs false positives),
+    # so plain IN / NOT EXISTS grade them bitwise
+    d["jb_bloom_semi"] = """
+        SELECT event_id, user_id, ts FROM events
+        WHERE user_id IN (SELECT user_id FROM events
+                          WHERE event_type = 'purchase' AND value > 90)
+    """
+    d["jb_bloom_anti"] = """
+        SELECT event_id, user_id, ts FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM events p
+                          WHERE p.event_type = 'purchase' AND p.value > 90
+                            AND p.user_id = e.user_id)
+    """
     d["j4j5_range_anti_suite"] = f"""
         SELECT 'j4' AS part, CAST(user_id AS BIGINT) AS e, start_ts AS t,
                CAST(n_events AS BIGINT) AS i1, sv AS s
@@ -5289,6 +5360,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'j3f', CAST(event_id AS BIGINT), ts,
                CAST(y_id AS BIGINT), ''
         FROM ({d['j3f_label_forward']})
+        UNION ALL
+        SELECT 'jbs', CAST(event_id AS BIGINT), ts,
+               CAST(user_id AS BIGINT), ''
+        FROM ({d['jb_bloom_semi']})
+        UNION ALL
+        SELECT 'jba', CAST(event_id AS BIGINT), ts,
+               CAST(user_id AS BIGINT), ''
+        FROM ({d['jb_bloom_anti']})
     """
     # A7+A8 merged suite: entropy + scalar aggregates composed verbatim
     d["a7a8_scalar_suite"] = f"""

@@ -1,0 +1,275 @@
+"""Broadcast Bloom-filter membership pruning (JB: bloom semi/anti join).
+
+The 100 TB probe-side-pruning pattern: when a huge fact table is
+semi/anti-joined against a much smaller key set (the as-of build side,
+a dedup victim list, a decontamination blocklist), shuffling the fact
+table on the join key is the dominant cost — and almost all of it is
+wasted, because most probe rows match nothing. A Bloom filter built
+from the key set and broadcast to every executor turns that shuffle
+into a map-side ``Filter``:
+
+- :func:`build_bloom` — distributed build: every build partition hashes
+  its keys into a local bitmap (``mapInPandas``, zero shuffle — no
+  ``distinct()`` either, duplicate keys just re-set the same bits),
+  the per-partition bitmaps are OR-merged through a single
+  1-partition coalesce stage, and the driver collects exactly ONE row
+  of ``m/8`` bytes. Nothing key-shaped ever reaches the driver.
+- :func:`bloom_prune` — shuffle-free probe: the bitmap rides a
+  SparkContext broadcast; an Arrow-batched ``pandas_udf`` tests the k
+  bit positions vectorized in numpy (no per-row Python). The output is
+  a SUPERSET of the true members (Bloom filters have false positives,
+  never false negatives) — callers that need exactness compose with an
+  exact join over the survivors:
+- :func:`bloom_semi_join` — ``bloom_prune`` then an exact ``left_semi``
+  over the survivors only. Bit-for-bit equal to a plain ``left_semi``,
+  but at scale only ``~fpp + selectivity`` of the probe ever enters the
+  exchange (and with a broadcast-able build side, none of it does).
+- :func:`bloom_anti_join` — rows the filter rejects are DEFINITELY not
+  members and pass straight through with no join at all; only the
+  (usually small) might-match remainder goes through an exact
+  ``left_anti``. Equal to a plain ``left_anti`` up to row order.
+
+Exactness contract: the *composed* joins are exact for any filter
+parameters — the Bloom tier only decides how much work the exact tier
+sees — so both operators grade bitwise against plain ``IN`` /
+``NOT EXISTS`` SQL oracles. The filter itself is validated separately
+(superset property + measured false-positive rate) in
+tests/test_membership.py.
+
+Hashing: both sides share one vectorized base hash (int64 payload
+directly; strings via ``pandas.util.hash_array``) fed through the
+splitmix64 finalizer under two fixed seeds, then Kirsch–Mitzenmacher
+double hashing ``pos_i = h1 + i·(h2|1) mod m``
+(m a power of two, so the step being odd makes the k probes distinct).
+Symmetry is what matters: the build and the probe run the identical
+numpy code path, so there is no cross-engine hash-parity risk — and no
+correctness risk at all, since the exact tier repairs any disagreement.
+
+Spark parity note: Spark 3.3+ injects runtime Bloom filters into
+shuffle joins on its own (``spark.sql.optimizer.runtime.bloomFilter.*``)
+for JVM-planned equi-joins; this operator makes the same pattern
+available explicitly — sized, observable, and usable in front of
+Python-side operators (as-of merge, dedup) where the JVM optimizer
+cannot see the join.
+
+Reference parity: ProFET filters its input FASTA driver-side with
+per-sequence Python ``if`` checks ([R] FeatureGen.py ≈L1040-1100
+``fileToFeatures``); membership pruning against a second dataset has no
+upstream analog — this is a task-mandated scale addition
+(SURVEY.md §2 'NEW' tier).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+__all__ = ["BloomFilter", "build_bloom", "bloom_prune",
+           "bloom_semi_join", "bloom_anti_join"]
+
+# splitmix64 seeds for the two derived hash streams. pandas'
+# ``hash_array`` key only applies to object (string) arrays, so both
+# streams are derived from ONE base hash through the splitmix64
+# finalizer (Steele et al., public constants) under two distinct seeds
+# — deterministic, vectorized, identical on build and probe.
+_SEED_1 = np.uint64(0x9E3779B97F4A7C15)
+_SEED_2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _splitmix64(x: np.ndarray, seed: np.uint64) -> np.ndarray:
+    z = x + seed
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+# Per-partition bitmap cap: 64 MiB of bits = 2^29 bits. Above this the
+# filter is clamped and the EFFECTIVE fpp degrades (documented, loud) —
+# results stay exact because the exact tier repairs false positives.
+_MAX_BITS_DEFAULT = 1 << 29
+
+
+def _hash_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hash streams for a key series.
+
+    Integral keys hash their int64 payload; everything else hashes its
+    string form (object array). NULLs are the caller's problem — both
+    entry points drop/route them before hashing."""
+    if pd.api.types.is_integer_dtype(values.dtype):
+        base = values.to_numpy(np.int64).view(np.uint64)
+    else:
+        arr = values.astype(str).to_numpy(dtype=object)
+        base = pd.util.hash_array(arr).astype(np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        return _splitmix64(base, _SEED_1), _splitmix64(base, _SEED_2)
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """An immutable built filter: ``m_bits`` is a power of two,
+    ``words`` is the bitmap as uint64 little-endian words, ``k`` the
+    probe count. ``might_contain_np`` is the vectorized membership test
+    both the build tests and the probe UDF share."""
+
+    m_bits: int
+    k: int
+    words: np.ndarray          # uint64[m_bits // 64]
+
+    def might_contain_np(self, values: pd.Series) -> np.ndarray:
+        """Vectorized membership test → bool ndarray (NULL-free input)."""
+        h1, h2 = _hash_pair(values)
+        step = h2 | np.uint64(1)
+        mask = np.uint64(self.m_bits - 1)
+        out = np.ones(len(values), dtype=bool)
+        for i in range(self.k):
+            pos = (h1 + np.uint64(i) * step) & mask
+            bit = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out
+
+    @property
+    def n_set_bits(self) -> int:
+        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+
+
+def _size_filter(expected: int, fpp: float,
+                 max_bits: int) -> tuple[int, int]:
+    """Classic Bloom sizing (m = -n·ln p / ln²2, k = m/n·ln 2), m
+    rounded UP to a power of two and clamped to ``max_bits``."""
+    n = max(1, expected)
+    m_ideal = -n * math.log(fpp) / (math.log(2) ** 2)
+    m_bits = 1 << max(6, math.ceil(math.log2(m_ideal)))
+    m_bits = min(m_bits, max_bits)
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, min(k, 16)
+
+
+def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
+                fpp: float = 0.01,
+                max_bits: int = _MAX_BITS_DEFAULT) -> BloomFilter:
+    """Distributed Bloom build over ``keys[on]`` (NULLs ignored — a
+    NULL key never matches an equality join).
+
+    ``expected`` sizes the filter; when omitted, ONE ``count()`` of the
+    build side runs first (the build side is the small side by contract
+    — at warehouse scale pass the key-cardinality estimate from table
+    statistics instead, the same metadata-first convention as
+    similarity._corpus_rows). Duplicate keys cost nothing but re-set
+    bits, so there is deliberately NO ``distinct()`` — the build plan
+    is scan → per-partition bitmap → 1-partition OR, zero shuffles of
+    key-shaped data."""
+    kdf = keys.select(F.col(on).alias("k")).where(F.col("k").isNotNull())
+    if expected is None:
+        expected = kdf.count()
+    m_bits, k = _size_filter(expected, fpp, max_bits)
+    n_words = m_bits // 64
+
+    def _partition_bitmap(it: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+        words = np.zeros(n_words, dtype=np.uint64)
+        mask = np.uint64(m_bits - 1)
+        seen = False
+        for pdf in it:
+            vals = pdf["k"].dropna()
+            if not len(vals):
+                continue
+            seen = True
+            h1, h2 = _hash_pair(vals)
+            step = h2 | np.uint64(1)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * step) & mask
+                np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        if seen:
+            yield pd.DataFrame({"bitmap": [words.tobytes()]})
+
+    part_maps = kdf.mapInPandas(_partition_bitmap, schema="bitmap binary")
+
+    def _or_merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for pdf in it:
+            for raw in pdf["bitmap"]:
+                acc |= np.frombuffer(raw, dtype=np.uint64)
+        yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    rows = (part_maps.coalesce(1)
+            .mapInPandas(_or_merge, schema="bitmap binary").collect())
+    words = (np.frombuffer(rows[0]["bitmap"], dtype=np.uint64).copy()
+             if rows else np.zeros(n_words, dtype=np.uint64))
+    return BloomFilter(m_bits=m_bits, k=k, words=words)
+
+
+def _membership_col(spark: SparkSession, bloom: BloomFilter, on: str):
+    """``might_contain(on)`` as a Column: bitmap via a SparkContext
+    broadcast (one copy per executor, not per task), probed by an
+    Arrow-batched pandas_udf — NULL keys → False (never members)."""
+    bc = spark.sparkContext.broadcast(
+        (bloom.m_bits, bloom.k, bloom.words.tobytes()))
+
+    @F.pandas_udf(BooleanType())
+    def _might_contain(s: pd.Series) -> pd.Series:
+        m_bits, k, raw = bc.value
+        flt = BloomFilter(m_bits=m_bits, k=k,
+                          words=np.frombuffer(raw, dtype=np.uint64))
+        out = np.zeros(len(s), dtype=bool)
+        nn = s.notna().to_numpy()
+        if nn.any():
+            out[nn] = flt.might_contain_np(s[nn])
+        return pd.Series(out)
+
+    return _might_contain(F.col(on))
+
+
+def bloom_prune(df: DataFrame, bloom: BloomFilter, on: str) -> DataFrame:
+    """Keep rows whose ``on`` MIGHT be in the filter — a SUPERSET of the
+    true members, produced with no shuffle (map-side Filter only)."""
+    return df.where(_membership_col(df.sparkSession, bloom, on))
+
+
+def bloom_semi_join(left: DataFrame, right: DataFrame, on: str,
+                    right_on: str | None = None, *,
+                    fpp: float = 0.01, expected: int | None = None,
+                    max_bits: int = _MAX_BITS_DEFAULT) -> DataFrame:
+    """Exact ``left_semi`` with Bloom pre-pruning: only rows surviving
+    the broadcast filter (true members + ~fpp false positives) enter
+    the exact join. Bit-for-bit equal to
+    ``left.join(right, left[on]==right[right_on], 'left_semi')``."""
+    right_on = right_on or on
+    bloom = build_bloom(right, right_on, expected=expected, fpp=fpp,
+                        max_bits=max_bits)
+    pruned = bloom_prune(left, bloom, on)
+    rk = right.select(F.col(right_on).alias(on)).where(
+        F.col(on).isNotNull()).distinct()
+    return pruned.join(rk, on, "left_semi")
+
+
+def bloom_anti_join(left: DataFrame, right: DataFrame, on: str,
+                    right_on: str | None = None, *,
+                    fpp: float = 0.01, expected: int | None = None,
+                    max_bits: int = _MAX_BITS_DEFAULT) -> DataFrame:
+    """Exact ``left_anti`` with Bloom routing: rows the filter REJECTS
+    are definitely non-members and bypass the join entirely (the common
+    case — at 100 TB that is most of the table passing through
+    map-side); only might-match rows run the exact ``left_anti``.
+    Equal to a plain ``left_anti`` up to row order.
+
+    Cost shape: the probe side is read twice (once per branch) but the
+    exchange carries only the might-match sliver — at scale two parquet
+    scans with pushed filters beat one full-table shuffle. Callers that
+    prefer one pass can persist ``left`` first."""
+    right_on = right_on or on
+    bloom = build_bloom(right, right_on, expected=expected, fpp=fpp,
+                        max_bits=max_bits)
+    member = _membership_col(left.sparkSession, bloom, on)
+    sure_out = left.where(~member | F.col(on).isNull())
+    maybe = left.where(member & F.col(on).isNotNull())
+    rk = right.select(F.col(right_on).alias(on)).where(
+        F.col(on).isNotNull()).distinct()
+    return sure_out.unionByName(maybe.join(rk, on, "left_anti"))
