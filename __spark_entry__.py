@@ -923,8 +923,12 @@ def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = fixtures.to_spark(spark, pdf)
     out = imgd.add_image_features(df)
     out = imgd.phash_hamming_to_prev(out)
+    # phash_dct: the true DCT perceptual hash computed FROM pixels
+    # (imaging.phash_dct, golden-tested vs a textbook O(n^4) DCT) —
+    # feeds the same D8 pigeonhole pair machinery as the stored phash
     return out.select("image_id", "ts", "w", "h", "fmt", "lum_mean", "lum_var",
-                      "edge_density", "rowprof_mean", "phash", "phash_hamming_prev")
+                      "edge_density", "rowprof_mean", "phash", "phash_dct",
+                      "phash_hamming_prev")
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:

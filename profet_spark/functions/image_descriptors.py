@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from profet_spark.imaging import average_hash, decode, luminance
+from profet_spark.imaging import average_hash, decode, luminance, phash_dct
 
 IMG_FEATURES = [
     ("lum_mean", T.DoubleType()),
@@ -34,8 +34,11 @@ IMG_FEATURES = [
     ("rowprof_min", T.DoubleType()),
     ("rowprof_mean", T.DoubleType()),
     ("phash_check", T.LongType()),
+    ("phash_dct", T.LongType()),
     ("decode_ok", T.BooleanType()),
 ]
+
+_INT_FEATURES = {"phash_check", "phash_dct"}
 
 _PROFILE_WINDOW = 5
 
@@ -57,7 +60,7 @@ def compute_image_stats(data: bytes, fmt: str) -> dict:
             raise ValueError("NULL image bytes")
         arr = decode(bytes(data), fmt)
     except (NotImplementedError, ValueError, zlib.error, struct.error):
-        return {n: (False if n == "decode_ok" else (0 if n == "phash_check" else 0.0))
+        return {n: (False if n == "decode_ok" else (0 if n in _INT_FEATURES else 0.0))
                 for n, _ in IMG_FEATURES}
     lum = luminance(arr)
     # horizontal gradient magnitude as edge density
@@ -83,6 +86,7 @@ def compute_image_stats(data: bytes, fmt: str) -> dict:
         "rowprof_min": pmin,
         "rowprof_mean": pmean,
         "phash_check": average_hash(arr),
+        "phash_dct": phash_dct(arr),
         "decode_ok": True,
     }
 

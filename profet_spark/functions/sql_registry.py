@@ -21,7 +21,7 @@ row-at-a-time Python anywhere, same golden-vector semantics:
   fields, so ``profet_features_struct(caption).entropy`` works and
   Catalyst prunes unused fields from the struct projection.
 - ``profet_image_stats(bytes, fmt) -> struct<lum_*, edge_density,
-  rowprof_*, phash_check, decode_ok>``: the U3 pixel-stat kernel
+  rowprof_*, phash_check, phash_dct, decode_ok>``: the U3 pixel-stat kernel
   (``image_descriptors.compute_image_stats`` — decode failures map to
   ``decode_ok = false``, never a stage kill), for SQL pipelines over the
   image axis, e.g. ``profet_image_stats(bytes, fmt).phash_check``.

@@ -179,6 +179,72 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+def block_mean_resize(lum: np.ndarray, size: int) -> np.ndarray:
+    """Deterministic area-style downsample of a 2-D array to
+    ``size × size`` block means. Block boundaries are the integer grid
+    ``(k * n) // size`` (every source pixel lands in exactly one block,
+    uneven remainders spread deterministically), reduced with
+    ``np.add.reduceat`` — works for ANY h, w ≥ 1, including inputs
+    smaller than ``size`` (blocks then repeat source rows/cols via the
+    duplicate boundaries, equivalent to nearest-neighbor upsampling)."""
+    h, w = lum.shape
+    rb = (np.arange(size, dtype=np.int64) * h) // size
+    cb = (np.arange(size, dtype=np.int64) * w) // size
+    # reduceat repeats the row at a duplicated boundary; sizes below
+    # account for that so each block divides by its true pixel count
+    rs = np.maximum(np.diff(np.append(rb, h)), 1)
+    cs = np.maximum(np.diff(np.append(cb, w)), 1)
+    s = np.add.reduceat(np.add.reduceat(lum, rb, axis=0), cb, axis=1)
+    # a duplicated boundary makes reduceat return the single row/col
+    # (not a zero sum), so dividing by the clamped size stays correct
+    return s / (rs[:, None] * cs[None, :])
+
+
+_DCT_BASIS_CACHE: dict[int, np.ndarray] = {}
+
+
+def dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix C (n×n): ``C @ g @ C.T`` is the
+    2-D DCT-II of g. Public textbook constants
+    (``C[k,i] = s_k · cos(π(2i+1)k / 2n)``, s_0=√(1/n), s_k=√(2/n))."""
+    if n not in _DCT_BASIS_CACHE:
+        i = np.arange(n, dtype=np.float64)
+        k = i[:, None]
+        c = np.cos(np.pi * (2.0 * i[None, :] + 1.0) * k / (2.0 * n))
+        c *= np.sqrt(2.0 / n)
+        c[0, :] *= np.sqrt(0.5)
+        _DCT_BASIS_CACHE[n] = c
+    return _DCT_BASIS_CACHE[n]
+
+
+def phash_dct(arr: np.ndarray, hash_size: int = 8,
+              highfreq_factor: int = 4) -> int:
+    """Classic DCT perceptual hash (pHash) → signed int64.
+
+    Luma → ``(hash_size·highfreq_factor)²`` block-mean resize (32×32
+    default) → 2-D DCT-II → keep the top-left ``hash_size²`` low
+    frequencies → threshold each against the MEDIAN of the 63 AC terms
+    (DC excluded from the median, the standard convention — it makes
+    the hash invariant to uniform brightness scaling since AC terms
+    scale together) → pack row-major, MSB first, to a signed 64-bit
+    (parquet/phash-column friendly, same wrap as :func:`average_hash`).
+
+    Robust where aHash is brittle (global brightness/contrast shifts,
+    mild blur); pairs with the D8 Hamming machinery
+    (operators/dedup.py hamming_dup_pairs) for near-dup detection."""
+    img_size = hash_size * highfreq_factor
+    lum = block_mean_resize(luminance(arr), img_size)
+    c = dct_basis(img_size)
+    d = c @ lum @ c.T
+    low = d[:hash_size, :hash_size].flatten()
+    med = float(np.median(low[1:]))
+    bits = low > med
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def average_hash(arr: np.ndarray) -> int:
     """8x8 block-mean aHash over luma → signed int64 (parquet-friendly)."""
     lum = luminance(arr)
