@@ -150,3 +150,23 @@ def test_duplicate_build_keys_no_distinct_needed(spark):
     b2 = mb.build_bloom(dup, "k", expected=500)
     assert b1.m_bits == b2.m_bits and b1.k == b2.k
     assert np.array_equal(b1.words, b2.words)
+
+
+def test_bloom_prune_streams_unchanged(spark, tmp_path_factory):
+    """bloom_prune is a stateless broadcast filter, so it streams as-is:
+    an availableNow replay keeps exactly the rows the batch prune
+    keeps (same bitmap broadcast, same vectorized probe)."""
+    from profet_spark.streaming import temporal_stream as st
+
+    probe = spark.range(2000).select((F.col("id") % 400).alias("k"),
+                                     F.col("id").alias("payload"))
+    build = spark.range(50).select((F.col("id") * 8).alias("k"))
+    bloom = mb.build_bloom(build, "k")
+    out = str(tmp_path_factory.mktemp("bloom_stream"))
+    probe.coalesce(2).write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(probe.schema).parquet(out)
+    st.run_available_now(mb.bloom_prune(stream, bloom, "k"),
+                         "t_bloom_prune", output_mode="append")
+    got = _rows(spark.table("t_bloom_prune"), "k", "payload")
+    want = _rows(mb.bloom_prune(probe, bloom, "k"), "k", "payload")
+    assert got == want
