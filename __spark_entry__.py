@@ -3526,6 +3526,26 @@ def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.unionByName(hllm).unionByName(kll)
 
 
+def _q_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 theta set-expression rollup (operators/sketches.py
+    `theta_rollup` + `retention_rollup`): per-day theta sketches of
+    user_id, then day-over-day retained / churned / fresh distinct
+    counts computed ONLY from the stored sketch rows (intersection and
+    difference — the queries HLL registers cannot answer). Graded in
+    the documented EXACT regime (per-day cardinality ≤ 2^12 nominal
+    entries ⇒ theta = 1, verbatim hash sample, set ops exact), where
+    every count equals plain COUNT(DISTINCT)/set-algebra SQL; the
+    approximate regime is property-tested (5-sigma envelope) in
+    tests/test_sketches.py."""
+    from profet_spark.operators import sketches
+
+    ev = _events(spark, sf_dir).withColumn("day", F.expr(_A16_DAY))
+    daily = sketches.theta_rollup(ev, ["day"], "user_id")
+    return sketches.retention_rollup(daily, "day").select(
+        "period_a", "period_b", "n_a", "n_b", "retained", "churned",
+        "fresh")
+
+
 def _q_a10a11_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10+A11+A16 merged suite (frees a grading-window slot for the
     round-4 B1+B2 batch suite): distinct-count diagnostics, the rollup
@@ -3552,7 +3572,15 @@ def _q_a10a11_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("s1"), F.lit("").alias("s2"), F.lit("").alias("s3"),
         i64("i1").alias("i1"), i64("i2").alias("i2"),
         F.lit(-1).cast("bigint").alias("i3"), F.col("x1"))
-    return a10.unionByName(a11).unionByName(a16)
+    # A17 theta retention (round 4: set-expression sketch rollup) —
+    # day pair in s1/s2, the three set-algebra counts in i1-i3
+    a17 = _q_theta_retention(spark, sf_dir).select(
+        F.lit("a17").alias("part"),
+        F.col("period_a").cast("string").alias("s1"),
+        F.col("period_b").cast("string").alias("s2"), F.lit("").alias("s3"),
+        i64("retained").alias("i1"), i64("churned").alias("i2"),
+        i64("fresh").alias("i3"), F.lit(-1.0).cast("double").alias("x1"))
+    return a10.unionByName(a11).unionByName(a16).unionByName(a17)
 
 
 def _q_b1b2_batch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4030,6 +4058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_zorder_layout": _q_zorder_layout,
         # A16 mergeable sketch rollups (graded via a10a11_agg_suite)
         "a16_sketch_rollup": _q_sketch_rollup,
+        # A17 theta set-expression retention (graded in-window via
+        # a10a11_agg_suite part a17)
+        "a17_theta_retention": _q_theta_retention,
         # A3 image variant: k-mer spectrum over the phash nibble stream
         "a3_phash_nibble_ngrams": _q_phash_nibble_ngrams,
     }
@@ -5300,6 +5331,29 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT doc_id) AS n_docs
         FROM g GROUP BY gram
     """
+    # A17 theta retention: exact-mode set algebra — retained is the
+    # distinct-user intersection of consecutive present days; churned /
+    # fresh follow by exact set arithmetic (|A\\B| = |A| - |A∩B|)
+    d["a17_theta_retention"] = """
+        WITH du AS (SELECT DISTINCT (epoch_us(ts) // 86400000000) AS day,
+                           user_id
+                    FROM events),
+        days AS (SELECT day, COUNT(*) AS n FROM du GROUP BY day),
+        pairs AS (SELECT a.day AS period_a, b.day AS period_b,
+                         a.n AS n_a, b.n AS n_b
+                  FROM days a JOIN days b ON a.day + 1 = b.day),
+        inter AS (SELECT x.day AS period_a, y.day AS period_b,
+                         COUNT(*) AS retained
+                  FROM du x JOIN du y ON x.user_id = y.user_id
+                       AND x.day + 1 = y.day
+                  GROUP BY x.day, y.day)
+        SELECT p.period_a, p.period_b, p.n_a, p.n_b,
+               COALESCE(i.retained, 0) AS retained,
+               p.n_a - COALESCE(i.retained, 0) AS churned,
+               p.n_b - COALESCE(i.retained, 0) AS fresh
+        FROM pairs p LEFT JOIN inter i
+             ON p.period_a = i.period_a AND p.period_b = i.period_b
+    """
     d["a10a11_agg_suite"] = f"""
         SELECT 'a10' AS part, lang AS s1, '' AS s2, '' AS s3,
                CAST(n_docs AS BIGINT) AS i1,
@@ -5317,6 +5371,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(i1 AS BIGINT), CAST(i2 AS BIGINT),
                CAST(-1 AS BIGINT), x1
         FROM ({d['a16_sketch_rollup']})
+        UNION ALL
+        SELECT 'a17', CAST(period_a AS VARCHAR), CAST(period_b AS VARCHAR),
+               '', CAST(retained AS BIGINT), CAST(churned AS BIGINT),
+               CAST(fresh AS BIGINT), CAST(-1.0 AS DOUBLE)
+        FROM ({d['a17_theta_retention']})
     """
     # B3: serving order over B1's batch identities (same b1 oracle text)
     d["b3_epoch_order"] = _b3_oracle_sql().format(

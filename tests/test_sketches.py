@@ -88,3 +88,86 @@ def test_rollup_plans_are_partial_agg_python_free(events):
     q = sketches.quantile_rollup(events, ["user_id"], "value")
     assert "partial_kll_sketch_agg" in formatted_plan(q)
     assert is_python_free(q)
+
+
+# ----------------------------------------------------------- A17 theta
+
+
+def test_theta_rollup_exact_in_exact_mode(events):
+    out = sketches.theta_rollup(events, ["day"], "user_id")
+    exact = events.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact"))
+    bad = (out.join(exact, "day")
+           .where(F.col("n_distinct_est") != F.col("exact")).count())
+    assert bad == 0 and out.count() == exact.count()
+
+
+def test_merge_theta_rollup_equals_direct(events):
+    daily = sketches.theta_rollup(events, ["day"], "user_id")
+    merged = sketches.merge_theta_rollup(daily, [])
+    direct = events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert merged.collect()[0]["n_distinct_est"] == direct
+    # idempotent: the same day twice changes nothing
+    m2 = sketches.merge_theta_rollup(daily.unionByName(daily), [])
+    assert m2.collect()[0]["n_distinct_est"] == direct
+
+
+def test_retention_rollup_exact_vs_recompute(events):
+    """Exact-mode retained/churned/fresh equal the brute-force
+    day-pair set algebra over the base table."""
+    daily = sketches.theta_rollup(events, ["day"], "user_id")
+    got = (sketches.retention_rollup(daily, "day").toPandas()
+           .sort_values("period_a").reset_index(drop=True))
+    users = events.select("day", "user_id").distinct().toPandas()
+    byday = users.groupby("day")["user_id"].agg(set).to_dict()
+    for _, r in got.iterrows():
+        a, b = byday[r.period_a], byday[r.period_b]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.retained == len(a & b)
+        assert r.churned == len(a - b)
+        assert r.fresh == len(b - a)
+    # every consecutive present day pair appears
+    days = sorted(byday)
+    expect_pairs = sum(1 for d in days if d + 1 in byday)
+    assert len(got) == expect_pairs
+
+
+def test_retention_rollup_grouped(events):
+    """group_cols: pairs join within each event_type group only."""
+    daily = sketches.theta_rollup(events, ["event_type", "day"], "user_id")
+    got = sketches.retention_rollup(daily, "day",
+                                    group_cols=["event_type"]).toPandas()
+    users = events.select("event_type", "day", "user_id").distinct().toPandas()
+    byg = users.groupby(["event_type", "day"])["user_id"].agg(set).to_dict()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        a = byg[(r.event_type, r.period_a)]
+        b = byg[(r.event_type, r.period_b)]
+        assert r.retained == len(a & b) and r.churned == len(a - b)
+
+
+def test_theta_error_bound_beyond_exact_mode(spark):
+    """Past 2^lgk nominal entries the estimate is approximate: pin a
+    5-sigma relative-error envelope (rse ~ 1/sqrt(2^lgk))."""
+    n = 200_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = (sketches.theta_rollup(df.withColumn("g", F.lit(1)), ["g"], "v",
+                                 lgk=12)
+           .collect()[0]["n_distinct_est"])
+    rse = 1.0 / math.sqrt(2 ** 12)
+    assert abs(est - n) / n < 5 * rse
+
+
+def test_theta_rollup_validation(events):
+    with pytest.raises(ValueError, match="lgk"):
+        sketches.theta_rollup(events, ["day"], "user_id", lgk=30)
+
+
+def test_theta_plans_are_partial_agg_python_free(events):
+    daily = sketches.theta_rollup(events, ["day"], "user_id")
+    plan = daily._jdf.queryExecution().executedPlan().toString()
+    assert "ThetaSketchAgg" in plan or "theta" in plan.lower()
+    assert "Python" not in plan  # all JVM-side
+    ret = sketches.retention_rollup(daily, "day")
+    rplan = ret._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in rplan
