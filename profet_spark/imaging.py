@@ -217,6 +217,15 @@ def dct_basis(n: int) -> np.ndarray:
     return _DCT_BASIS_CACHE[n]
 
 
+def _pack_bits_int64(bits: np.ndarray) -> int:
+    """Pack ≤64 bits row-major MSB-first into a signed int64 (the
+    parquet/phash-column wrap shared by aHash and pHash)."""
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def phash_dct(arr: np.ndarray, hash_size: int = 8,
               highfreq_factor: int = 4) -> int:
     """Classic DCT perceptual hash (pHash) → signed int64.
@@ -232,17 +241,16 @@ def phash_dct(arr: np.ndarray, hash_size: int = 8,
     Robust where aHash is brittle (global brightness/contrast shifts,
     mild blur); pairs with the D8 Hamming machinery
     (operators/dedup.py hamming_dup_pairs) for near-dup detection."""
+    if not (1 <= hash_size * hash_size <= 64):
+        raise ValueError(  # int64 packing: hash_size^2 bits must fit
+            f"phash_dct: hash_size must be in 1..8, got {hash_size}")
     img_size = hash_size * highfreq_factor
     lum = block_mean_resize(luminance(arr), img_size)
     c = dct_basis(img_size)
     d = c @ lum @ c.T
     low = d[:hash_size, :hash_size].flatten()
     med = float(np.median(low[1:]))
-    bits = low > med
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return _pack_bits_int64(low > med)
 
 
 def average_hash(arr: np.ndarray) -> int:
@@ -254,9 +262,4 @@ def average_hash(arr: np.ndarray) -> int:
     if hh == 0 or ww == 0:
         return 0
     blocks = lum[:hh, :ww].reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
-    # wrap to signed 64-bit
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return _pack_bits_int64((blocks > blocks.mean()).flatten())

@@ -9,11 +9,13 @@ from the key set and broadcast to every executor turns that shuffle
 into a map-side ``Filter``:
 
 - :func:`build_bloom` — distributed build: every build partition hashes
-  its keys into a local bitmap (``mapInPandas``, zero shuffle — no
-  ``distinct()`` either, duplicate keys just re-set the same bits),
-  the per-partition bitmaps are OR-merged through a single
-  1-partition coalesce stage, and the driver collects exactly ONE row
-  of ``m/8`` bytes. Nothing key-shaped ever reaches the driver.
+  its keys into a local bitmap (``mapInPandas``, partition-parallel —
+  no ``distinct()`` either, duplicate keys just re-set the same bits),
+  the per-partition bitmaps are OR-merged through ONE narrow exchange
+  of P bitmap rows (``repartition(1)`` — deliberately not
+  ``coalesce``, which would collapse the parallel hashing stage into
+  the single merge task), and the driver collects exactly ONE row of
+  ``m/8`` bytes. Nothing key-shaped ever reaches the driver.
 - :func:`bloom_prune` — shuffle-free probe: the bitmap rides a
   SparkContext broadcast; an Arrow-batched ``pandas_udf`` tests the k
   bit positions vectorized in numpy (no per-row Python). The output is
@@ -36,14 +38,19 @@ sees — so both operators grade bitwise against plain ``IN`` /
 (superset property + measured false-positive rate) in
 tests/test_membership.py.
 
-Hashing: both sides share one vectorized base hash (int64 payload
-directly; strings via ``pandas.util.hash_array``) fed through the
-splitmix64 finalizer under two fixed seeds, then Kirsch–Mitzenmacher
-double hashing ``pos_i = h1 + i·(h2|1) mod m``
-(m a power of two, so the step being odd makes the k probes distinct).
-Symmetry is what matters: the build and the probe run the identical
-numpy code path, so there is no cross-engine hash-parity risk — and no
-correctness risk at all, since the exact tier repairs any disagreement.
+Hashing: the base 64-bit key is computed JVM-SIDE with ``xxhash64`` on
+BOTH build and probe — one canonical non-null int64 per key, whatever
+the key's Spark type, so the Python tier never sees Arrow's
+int-with-null → float64 coercion (which would silently hash ``5`` as
+``"5.0"`` on one side only — a false-negative factory), large int64
+keys keep full precision, and NaN double keys follow Spark's own join
+normalization. Python then derives two independent streams with the
+splitmix64 finalizer (Steele et al., public constants) under two fixed
+seeds and probes Kirsch–Mitzenmacher double-hash positions
+``pos_i = h1 + i·(h2|1) mod m`` (m a power of two, so the odd step
+makes the k probes distinct). An xxhash64 collision merely adds one
+phantom member — indistinguishable from a Bloom false positive, and
+repaired by the same exact tier.
 
 Spark parity note: Spark 3.3+ injects runtime Bloom filters into
 shuffle joins on its own (``spark.sql.optimizer.runtime.bloomFilter.*``)
@@ -74,13 +81,20 @@ from pyspark.sql.types import BooleanType
 __all__ = ["BloomFilter", "build_bloom", "bloom_prune",
            "bloom_semi_join", "bloom_anti_join"]
 
-# splitmix64 seeds for the two derived hash streams. pandas'
-# ``hash_array`` key only applies to object (string) arrays, so both
-# streams are derived from ONE base hash through the splitmix64
-# finalizer (Steele et al., public constants) under two distinct seeds
-# — deterministic, vectorized, identical on build and probe.
+# splitmix64 seeds for the two derived hash streams, applied to the
+# JVM-computed xxhash64 base. Public constants (golden ratio / xxhash
+# prime), pinned so a filter built in one job probes identically in
+# another.
 _SEED_1 = np.uint64(0x9E3779B97F4A7C15)
 _SEED_2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+# Bitmap cap: 64 MiB of bits = 2^29. Above this the filter is clamped
+# (to a POWER OF TWO — the probe arithmetic depends on it) and the
+# EFFECTIVE fpp degrades, loudly documented — results stay exact
+# because the exact tier repairs false positives.
+_MAX_BITS_DEFAULT = 1 << 29
+
+_KEY64 = "__bloom_key64"
 
 
 def _splitmix64(x: np.ndarray, seed: np.uint64) -> np.ndarray:
@@ -89,25 +103,15 @@ def _splitmix64(x: np.ndarray, seed: np.uint64) -> np.ndarray:
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
 
-# Per-partition bitmap cap: 64 MiB of bits = 2^29 bits. Above this the
-# filter is clamped and the EFFECTIVE fpp degrades (documented, loud) —
-# results stay exact because the exact tier repairs false positives.
-_MAX_BITS_DEFAULT = 1 << 29
 
+def _hash_pair(key64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 streams from the xxhash64 base column.
 
-def _hash_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent uint64 hash streams for a key series.
-
-    Integral keys hash their int64 payload; everything else hashes its
-    string form (object array). NULLs are the caller's problem — both
-    entry points drop/route them before hashing."""
-    if pd.api.types.is_integer_dtype(values.dtype):
-        base = values.to_numpy(np.int64).view(np.uint64)
-    else:
-        arr = values.astype(str).to_numpy(dtype=object)
-        base = pd.util.hash_array(arr).astype(np.uint64)
-    with np.errstate(over="ignore"):  # uint64 wraparound is the point
-        return _splitmix64(base, _SEED_1), _splitmix64(base, _SEED_2)
+    ``key64`` is the non-null int64 ndarray of ``xxhash64(key)`` values
+    — the JVM computed the type-dependent part, so this path is
+    dtype-stable by construction."""
+    base = key64.view(np.uint64)
+    return _splitmix64(base, _SEED_1), _splitmix64(base, _SEED_2)
 
 
 @dataclass(frozen=True)
@@ -115,18 +119,19 @@ class BloomFilter:
     """An immutable built filter: ``m_bits`` is a power of two,
     ``words`` is the bitmap as uint64 little-endian words, ``k`` the
     probe count. ``might_contain_np`` is the vectorized membership test
-    both the build tests and the probe UDF share."""
+    both the build and the probe UDF share — its input is the
+    ``xxhash64(key)`` int64 ndarray, not raw keys."""
 
     m_bits: int
     k: int
     words: np.ndarray          # uint64[m_bits // 64]
 
-    def might_contain_np(self, values: pd.Series) -> np.ndarray:
-        """Vectorized membership test → bool ndarray (NULL-free input)."""
-        h1, h2 = _hash_pair(values)
+    def might_contain_np(self, key64: np.ndarray) -> np.ndarray:
+        """Vectorized membership test → bool ndarray."""
+        h1, h2 = _hash_pair(np.ascontiguousarray(key64, dtype=np.int64))
         step = h2 | np.uint64(1)
         mask = np.uint64(self.m_bits - 1)
-        out = np.ones(len(values), dtype=bool)
+        out = np.ones(len(key64), dtype=bool)
         for i in range(self.k):
             pos = (h1 + np.uint64(i) * step) & mask
             bit = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
@@ -139,14 +144,25 @@ class BloomFilter:
         return int(np.unpackbits(self.words.view(np.uint8)).sum())
 
 
+def _floor_pow2(n: int) -> int:
+    return 1 << (n.bit_length() - 1)
+
+
 def _size_filter(expected: int, fpp: float,
                  max_bits: int) -> tuple[int, int]:
     """Classic Bloom sizing (m = -n·ln p / ln²2, k = m/n·ln 2), m
-    rounded UP to a power of two and clamped to ``max_bits``."""
+    rounded UP to a power of two and clamped to the largest power of
+    two ≤ ``max_bits`` (the probe's mask/word arithmetic requires a
+    power of two)."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"build_bloom: fpp must be in (0, 1), got {fpp}")
+    if max_bits < 64:
+        raise ValueError(
+            f"build_bloom: max_bits must be >= 64, got {max_bits}")
     n = max(1, expected)
     m_ideal = -n * math.log(fpp) / (math.log(2) ** 2)
     m_bits = 1 << max(6, math.ceil(math.log2(m_ideal)))
-    m_bits = min(m_bits, max_bits)
+    m_bits = min(m_bits, _floor_pow2(max_bits))
     k = max(1, round(m_bits / n * math.log(2)))
     return m_bits, min(k, 16)
 
@@ -162,10 +178,15 @@ def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
     — at warehouse scale pass the key-cardinality estimate from table
     statistics instead, the same metadata-first convention as
     similarity._corpus_rows). Duplicate keys cost nothing but re-set
-    bits, so there is deliberately NO ``distinct()`` — the build plan
-    is scan → per-partition bitmap → 1-partition OR, zero shuffles of
-    key-shaped data."""
-    kdf = keys.select(F.col(on).alias("k")).where(F.col("k").isNotNull())
+    bits, so there is deliberately NO ``distinct()``.
+
+    Plan shape: scan → xxhash64 projection → per-partition bitmap
+    (partition-parallel) → ``repartition(1)`` OR-merge — the only
+    exchange carries P rows of m/8 bytes each, never keys — → ONE
+    collected bitmap row."""
+    kdf = (keys.select(F.col(on).alias("k"))
+           .where(F.col("k").isNotNull())
+           .select(F.xxhash64("k").alias(_KEY64)))
     if expected is None:
         expected = kdf.count()
     m_bits, k = _size_filter(expected, fpp, max_bits)
@@ -177,11 +198,10 @@ def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
         mask = np.uint64(m_bits - 1)
         seen = False
         for pdf in it:
-            vals = pdf["k"].dropna()
-            if not len(vals):
+            if not len(pdf):
                 continue
             seen = True
-            h1, h2 = _hash_pair(vals)
+            h1, h2 = _hash_pair(pdf[_KEY64].to_numpy(np.int64))
             step = h2 | np.uint64(1)
             for i in range(k):
                 pos = (h1 + np.uint64(i) * step) & mask
@@ -199,7 +219,7 @@ def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
                 acc |= np.frombuffer(raw, dtype=np.uint64)
         yield pd.DataFrame({"bitmap": [acc.tobytes()]})
 
-    rows = (part_maps.coalesce(1)
+    rows = (part_maps.repartition(1)
             .mapInPandas(_or_merge, schema="bitmap binary").collect())
     words = (np.frombuffer(rows[0]["bitmap"], dtype=np.uint64).copy()
              if rows else np.zeros(n_words, dtype=np.uint64))
@@ -209,22 +229,21 @@ def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
 def _membership_col(spark: SparkSession, bloom: BloomFilter, on: str):
     """``might_contain(on)`` as a Column: bitmap via a SparkContext
     broadcast (one copy per executor, not per task), probed by an
-    Arrow-batched pandas_udf — NULL keys → False (never members)."""
+    Arrow-batched pandas_udf over the JVM-computed ``xxhash64(on)``
+    (non-null int64, dtype-stable). NULL keys → False (never members):
+    the null gate is a JVM-side predicate, so null rows never depend
+    on the UDF's value for them."""
     bc = spark.sparkContext.broadcast(
         (bloom.m_bits, bloom.k, bloom.words.tobytes()))
 
     @F.pandas_udf(BooleanType())
-    def _might_contain(s: pd.Series) -> pd.Series:
+    def _might_contain(key64: pd.Series) -> pd.Series:
         m_bits, k, raw = bc.value
         flt = BloomFilter(m_bits=m_bits, k=k,
                           words=np.frombuffer(raw, dtype=np.uint64))
-        out = np.zeros(len(s), dtype=bool)
-        nn = s.notna().to_numpy()
-        if nn.any():
-            out[nn] = flt.might_contain_np(s[nn])
-        return pd.Series(out)
+        return pd.Series(flt.might_contain_np(key64.to_numpy(np.int64)))
 
-    return _might_contain(F.col(on))
+    return F.col(on).isNotNull() & _might_contain(F.xxhash64(on))
 
 
 def bloom_prune(df: DataFrame, bloom: BloomFilter, on: str) -> DataFrame:
@@ -269,7 +288,7 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, on: str,
                         max_bits=max_bits)
     member = _membership_col(left.sparkSession, bloom, on)
     sure_out = left.where(~member | F.col(on).isNull())
-    maybe = left.where(member & F.col(on).isNotNull())
+    maybe = left.where(member)
     rk = right.select(F.col(right_on).alias(on)).where(
         F.col(on).isNotNull()).distinct()
     return sure_out.unionByName(maybe.join(rk, on, "left_anti"))

@@ -140,11 +140,19 @@ def theta_rollup(df: DataFrame, group_cols: Sequence[str],
 
 def merge_theta_rollup(df: DataFrame, group_cols: Sequence[str],
                        sketch_col: str = "sketch",
-                       est_col: str = "n_distinct_est") -> DataFrame:
+                       est_col: str = "n_distinct_est",
+                       lgk: int = DEFAULT_THETA_LGK) -> DataFrame:
     """Union stored theta sketches up to ``group_cols`` (``[]`` = grand
     total) — rescan-free coarser spans, same contract as
-    :func:`merge_distinct_rollup` (associative/commutative/idempotent)."""
-    agg = F.theta_union_agg(F.col(sketch_col)).alias(sketch_col)
+    :func:`merge_distinct_rollup` (associative/commutative/idempotent).
+
+    ``lgk`` MUST match (or exceed) the ``theta_rollup`` the sketches
+    were built with: ``theta_union_agg`` resizes the union to its own
+    nominal-entries bound, so merging lgk=16 sketches at the default 12
+    would silently downsample exact inputs into approximate output."""
+    if not (4 <= lgk <= 26):
+        raise ValueError(f"lgk must be in [4, 26], got {lgk}")
+    agg = F.theta_union_agg(F.col(sketch_col), F.lit(lgk)).alias(sketch_col)
     g = df.groupBy(*group_cols).agg(agg) if group_cols else \
         df.select(sketch_col).agg(agg)
     return g.withColumn(est_col, F.theta_sketch_estimate(F.col(sketch_col)))

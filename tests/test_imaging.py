@@ -190,3 +190,8 @@ def test_phash_dct_drives_d8_pair_detection(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert ("a", "a_dim") in got
     assert all("z" not in p for p in got)
+
+
+def test_phash_dct_hash_size_guard():
+    with pytest.raises(ValueError, match="hash_size"):
+        imaging.phash_dct(_rand_img(40), hash_size=16)

@@ -128,8 +128,9 @@ def test_prune_is_shuffle_free(spark):
 
 
 def test_build_plan_has_no_shuffle(spark):
-    """The bitmap build is scan → mapInPandas → coalesce(1) →
-    mapInPandas: coalesce is NOT an exchange; no key-shaped shuffle."""
+    """The bitmap build is scan → mapInPandas (partition-parallel) →
+    repartition(1) → mapInPandas: the only exchange carries P bitmap
+    rows, never keys."""
     build = spark.range(5000).select(F.col("id").alias("k"))
     kdf = build.where(F.col("k").isNotNull())
     # reproduce the internal stages' plan via the public entry: a
@@ -170,3 +171,68 @@ def test_bloom_prune_streams_unchanged(spark, tmp_path_factory):
     got = _rows(spark.table("t_bloom_prune"), "k", "payload")
     want = _rows(mb.bloom_prune(probe, bloom, "k"), "k", "payload")
     assert got == want
+
+
+def test_int_key_with_null_in_same_batch_regression(spark):
+    """Regression (round-4 review): an int64 probe batch containing a
+    NULL used to arrive as float64 in the UDF and hash '5.0' on the
+    probe while the build hashed int 5 — a false-negative factory. The
+    xxhash64-base design makes the hash JVM-side and dtype-stable."""
+    probe = spark.createDataFrame(
+        [Row(k=5, v=1), Row(k=None, v=2)]).coalesce(1)
+    build = spark.createDataFrame([Row(k=5)])
+    assert _rows(mb.bloom_semi_join(probe, build, "k"), "v") == [(1,)]
+    assert _rows(mb.bloom_anti_join(probe, build, "k"), "v") == [(2,)]
+    # and the raw prune alone (no exact join to hide behind) keeps the
+    # member — the superset contract
+    bloom = mb.build_bloom(build, "k")
+    assert _rows(mb.bloom_prune(probe, bloom, "k"), "v") == [(1,)]
+
+
+def test_large_int64_keys_keep_precision(spark):
+    """Keys beyond 2^53 (where float64 rounds) must still round-trip:
+    xxhash64 runs JVM-side on the exact int64."""
+    big = (1 << 60) + 1
+    probe = spark.createDataFrame(
+        [Row(k=big, v=1), Row(k=big + 1, v=2), Row(k=None, v=3)]).coalesce(1)
+    build = spark.createDataFrame([Row(k=big)])
+    assert _rows(mb.bloom_semi_join(probe, build, "k"), "v") == [(1,)]
+    assert _rows(mb.bloom_anti_join(probe, build, "k"), "v") == [(2,), (3,)]
+
+
+def test_nan_double_keys_follow_spark_join_semantics(spark):
+    """Spark equi-joins treat NaN == NaN as a match (NaN
+    normalization); the bloom-composed joins must agree with the plain
+    joins on NaN keys, both directions."""
+    nan = float("nan")
+    probe = spark.createDataFrame(
+        [Row(k=1.5, v=1), Row(k=nan, v=2), Row(k=7.5, v=3)])
+    build = spark.createDataFrame([Row(k=nan), Row(k=1.5)])
+    want_semi = probe.join(build.distinct(), "k", "left_semi")
+    want_anti = probe.join(build.distinct(), "k", "left_anti")
+    assert (_rows(mb.bloom_semi_join(probe, build, "k"), "v")
+            == _rows(want_semi, "v"))
+    assert (_rows(mb.bloom_anti_join(probe, build, "k"), "v")
+            == _rows(want_anti, "v"))
+
+
+def test_non_power_of_two_max_bits_is_floored(spark):
+    """max_bits is floored to a power of two (the probe's mask/word
+    arithmetic requires it) — no crash, still exact."""
+    probe = spark.range(500).select((F.col("id") % 100).alias("k"))
+    build = spark.range(30).select((F.col("id") * 3).alias("k"))
+    got = mb.bloom_semi_join(probe, build, "k", max_bits=1000)
+    want = probe.join(build.distinct(), "k", "left_semi")
+    assert _rows(got, "k") == _rows(want, "k")
+    bloom = mb.build_bloom(build, "k", max_bits=1000)
+    assert bloom.m_bits == 512
+
+
+def test_filter_param_validation(spark):
+    build = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="fpp"):
+        mb.build_bloom(build, "k", fpp=1.0)
+    with pytest.raises(ValueError, match="fpp"):
+        mb.build_bloom(build, "k", fpp=0.0)
+    with pytest.raises(ValueError, match="max_bits"):
+        mb.build_bloom(build, "k", max_bits=32)

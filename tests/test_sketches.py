@@ -171,3 +171,15 @@ def test_theta_plans_are_partial_agg_python_free(events):
     ret = sketches.retention_rollup(daily, "day")
     rplan = ret._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in rplan
+
+
+def test_merge_theta_rollup_respects_lgk(events):
+    """Merging lgk=15 sketches at lgk=15 stays exact (the default-12
+    union bound would silently downsample larger-lgk inputs — the merge
+    must be told the build's lgk)."""
+    daily = sketches.theta_rollup(events, ["day"], "user_id", lgk=15)
+    merged = sketches.merge_theta_rollup(daily, [], lgk=15)
+    direct = events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert merged.collect()[0]["n_distinct_est"] == direct
+    with pytest.raises(ValueError, match="lgk"):
+        sketches.merge_theta_rollup(daily, [], lgk=30)
