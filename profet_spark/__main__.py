@@ -134,6 +134,17 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         emb = load_table(spark, input_root, "embeddings")
         return dedup.semdedup(emb, n_centroids=n_shards,
                               threshold=threshold)
+    if pipeline == "retention":
+        # A17: day-over-day retained/churned/fresh distinct users from
+        # per-day theta sketch rows only (set-expression rollup; the
+        # base table is scanned once for the rollup, never for pairs)
+        from profet_spark.operators import sketches
+
+        ev = load_table(spark, input_root, "events").withColumn(
+            "day", F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
+                          "div 86400000000 AS BIGINT)"))
+        daily = sketches.theta_rollup(ev, ["day"], "user_id")
+        return sketches.retention_rollup(daily, "day")
     if pipeline == "zorder":
         # L1: re-layout events by the (user_id, second-of-day) Morton
         # key — the written files carry tight min/max on BOTH dims, so a
@@ -153,7 +164,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
              "batch_plan", "materialize", "diff", "cap", "zorder",
-             "semdedup", "pq_index", "snapshot", "spandedup")
+             "semdedup", "pq_index", "snapshot", "spandedup", "retention")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:

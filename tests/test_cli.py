@@ -410,3 +410,15 @@ def test_cli_spandedup(spark, tmp_path):
     tot_b = back.agg(F.sum(F.length("text"))).collect()[0][0]
     tot_o = orig.agg(F.sum(F.length("text"))).collect()[0][0]
     assert tot_b < tot_o
+
+
+def test_cli_retention_pipeline(spark):
+    """A17 retention over testdata events: dry-run returns the day-pair
+    rollup with the set-algebra identity n_a = retained + churned."""
+    from profet_spark.__main__ import _build
+
+    df = _build(spark, "retention", SF)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_a"] == pdf["retained"] + pdf["churned"]).all()
+    assert (pdf["n_b"] == pdf["retained"] + pdf["fresh"]).all()

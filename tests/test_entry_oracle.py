@@ -17,8 +17,10 @@ import pytest
 # (swept green at sf0.001 AND sf0.01: 2026-08-17; at the round-4
 # session-5 HEAD 2026-08-20 — 152 passed at each SF; and at the
 # session-6 HEAD 2026-08-20 with the S13/S14 + J3f keys — 157 keys /
-# 160 tests passed at each SF; and at the session-6 FINAL HEAD with
-# the D10 keys — 159 keys / 162 tests passed at each SF)
+# 160 tests passed at each SF; at the session-6 FINAL HEAD with
+# the D10 keys — 159 keys / 162 tests passed at each SF; and at the
+# session-7 HEAD 2026-08-21 with the JB bloom-join + A17 theta keys —
+# 163 keys / 166 tests at each SF)
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
