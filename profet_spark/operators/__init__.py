@@ -3,7 +3,9 @@ from profet_spark.operators import (  # noqa: F401
     corpus,
     dedup,
     encoding,
+    membership,
     similarity,
+    sketches,
 )
 from profet_spark.operators.asof import asof_join
 from profet_spark.operators.feature_matrix import point_in_time_matrix
