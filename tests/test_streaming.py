@@ -797,3 +797,37 @@ def test_stream_mixture_weights_equal_batch(spark, sf_dir, tmp_path_factory):
     got = spark.table("t_mix_stream")
     want = plan(spark.read.parquet(out))
     assert _pdf(got).equals(_pdf(want))
+
+
+def test_theta_rollup_stream_equals_batch_multi_batch(spark, sf_dir,
+                                                      ev_schema,
+                                                      tmp_path_factory):
+    """A17 streaming twin: daily theta sketches built by a streaming
+    windowed aggregation must carry PARTIAL-SKETCH state across
+    micro-batches — split the events mid-stream (days straddle the
+    boundary) and the drained retention counts must equal the batch
+    rollup's exactly (exact-mode sketches are merge-order-free)."""
+    from profet_spark.operators import sketches
+
+    out = str(tmp_path_factory.mktemp("events_theta_2b"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    ev.where(us <= med).coalesce(1).write.mode("overwrite").parquet(out)
+    import time as _t
+    _t.sleep(1.1)
+    ev.where(us > med).coalesce(1).write.mode("append").parquet(out)
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(out)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    st.run_available_now(st.theta_daily_rollup(stream), "t_theta_2b")
+    got = sketches.retention_rollup(spark.table("t_theta_2b"), "day")
+    day = F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
+                 "div 86400000000 AS BIGINT)")
+    want = sketches.retention_rollup(
+        sketches.theta_rollup(ev.withColumn("day", day), ["day"],
+                              "user_id"), "day")
+    cols = ["period_a", "period_b", "n_a", "n_b", "retained", "churned",
+            "fresh"]
+    assert _pdf(got.select(cols)).equals(_pdf(want.select(cols)))
