@@ -70,7 +70,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -167,11 +167,26 @@ def _size_filter(expected: int, fpp: float,
     return m_bits, min(k, 16)
 
 
-def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
+def _cols(on: str | Sequence[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _all_not_null(cols: Sequence[str]):
+    pred = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        pred = pred & F.col(c).isNotNull()
+    return pred
+
+
+def build_bloom(keys: DataFrame, on: str | Sequence[str], *,
+                expected: int | None = None,
                 fpp: float = 0.01,
                 max_bits: int = _MAX_BITS_DEFAULT) -> BloomFilter:
-    """Distributed Bloom build over ``keys[on]`` (NULLs ignored — a
-    NULL key never matches an equality join).
+    """Distributed Bloom build over ``keys[on]`` — a single column or a
+    COMPOSITE key (list of columns, hashed together by the same
+    multi-argument ``xxhash64`` the probe uses). Rows with a NULL in
+    ANY key column are ignored — a NULL key never matches an equality
+    join.
 
     ``expected`` sizes the filter; when omitted, ONE ``count()`` of the
     build side runs first (the build side is the small side by contract
@@ -184,9 +199,10 @@ def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
     (partition-parallel) → ``repartition(1)`` OR-merge — the only
     exchange carries P rows of m/8 bytes each, never keys — → ONE
     collected bitmap row."""
-    kdf = (keys.select(F.col(on).alias("k"))
-           .where(F.col("k").isNotNull())
-           .select(F.xxhash64("k").alias(_KEY64)))
+    cols = _cols(on)
+    kdf = (keys.select(*[F.col(c) for c in cols])
+           .where(_all_not_null(cols))
+           .select(F.xxhash64(*cols).alias(_KEY64)))
     if expected is None:
         expected = kdf.count()
     m_bits, k = _size_filter(expected, fpp, max_bits)
@@ -226,13 +242,15 @@ def build_bloom(keys: DataFrame, on: str, *, expected: int | None = None,
     return BloomFilter(m_bits=m_bits, k=k, words=words)
 
 
-def _membership_col(spark: SparkSession, bloom: BloomFilter, on: str):
+def _membership_col(spark: SparkSession, bloom: BloomFilter,
+                    on: str | Sequence[str]):
     """``might_contain(on)`` as a Column: bitmap via a SparkContext
     broadcast (one copy per executor, not per task), probed by an
-    Arrow-batched pandas_udf over the JVM-computed ``xxhash64(on)``
-    (non-null int64, dtype-stable). NULL keys → False (never members):
-    the null gate is a JVM-side predicate, so null rows never depend
-    on the UDF's value for them."""
+    Arrow-batched pandas_udf over the JVM-computed ``xxhash64(on...)``
+    (non-null int64, dtype-stable; composite keys hash all columns
+    together). NULL keys → False (never members): the null gate is a
+    JVM-side predicate, so null rows never depend on the UDF's value
+    for them."""
     bc = spark.sparkContext.broadcast(
         (bloom.m_bits, bloom.k, bloom.words.tobytes()))
 
@@ -243,34 +261,39 @@ def _membership_col(spark: SparkSession, bloom: BloomFilter, on: str):
                           words=np.frombuffer(raw, dtype=np.uint64))
         return pd.Series(flt.might_contain_np(key64.to_numpy(np.int64)))
 
-    return F.col(on).isNotNull() & _might_contain(F.xxhash64(on))
+    cols = _cols(on)
+    return _all_not_null(cols) & _might_contain(F.xxhash64(*cols))
 
 
-def bloom_prune(df: DataFrame, bloom: BloomFilter, on: str) -> DataFrame:
+def bloom_prune(df: DataFrame, bloom: BloomFilter,
+                on: str | Sequence[str]) -> DataFrame:
     """Keep rows whose ``on`` MIGHT be in the filter — a SUPERSET of the
     true members, produced with no shuffle (map-side Filter only)."""
     return df.where(_membership_col(df.sparkSession, bloom, on))
 
 
-def bloom_semi_join(left: DataFrame, right: DataFrame, on: str,
-                    right_on: str | None = None, *,
+def bloom_semi_join(left: DataFrame, right: DataFrame,
+                    on: str | Sequence[str],
+                    right_on: str | Sequence[str] | None = None, *,
                     fpp: float = 0.01, expected: int | None = None,
                     max_bits: int = _MAX_BITS_DEFAULT) -> DataFrame:
     """Exact ``left_semi`` with Bloom pre-pruning: only rows surviving
     the broadcast filter (true members + ~fpp false positives) enter
     the exact join. Bit-for-bit equal to
     ``left.join(right, left[on]==right[right_on], 'left_semi')``."""
-    right_on = right_on or on
-    bloom = build_bloom(right, right_on, expected=expected, fpp=fpp,
+    lcols, rcols = _cols(on), _cols(right_on or on)
+    bloom = build_bloom(right, rcols, expected=expected, fpp=fpp,
                         max_bits=max_bits)
-    pruned = bloom_prune(left, bloom, on)
-    rk = right.select(F.col(right_on).alias(on)).where(
-        F.col(on).isNotNull()).distinct()
-    return pruned.join(rk, on, "left_semi")
+    pruned = bloom_prune(left, bloom, lcols)
+    rk = (right.select(*[F.col(rc).alias(lc)
+                         for lc, rc in zip(lcols, rcols)])
+          .where(_all_not_null(lcols)).distinct())
+    return pruned.join(rk, lcols, "left_semi")
 
 
-def bloom_anti_join(left: DataFrame, right: DataFrame, on: str,
-                    right_on: str | None = None, *,
+def bloom_anti_join(left: DataFrame, right: DataFrame,
+                    on: str | Sequence[str],
+                    right_on: str | Sequence[str] | None = None, *,
                     fpp: float = 0.01, expected: int | None = None,
                     max_bits: int = _MAX_BITS_DEFAULT) -> DataFrame:
     """Exact ``left_anti`` with Bloom routing: rows the filter REJECTS
@@ -283,12 +306,13 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, on: str,
     exchange carries only the might-match sliver — at scale two parquet
     scans with pushed filters beat one full-table shuffle. Callers that
     prefer one pass can persist ``left`` first."""
-    right_on = right_on or on
-    bloom = build_bloom(right, right_on, expected=expected, fpp=fpp,
+    lcols, rcols = _cols(on), _cols(right_on or on)
+    bloom = build_bloom(right, rcols, expected=expected, fpp=fpp,
                         max_bits=max_bits)
-    member = _membership_col(left.sparkSession, bloom, on)
-    sure_out = left.where(~member | F.col(on).isNull())
+    member = _membership_col(left.sparkSession, bloom, lcols)
+    sure_out = left.where(~member | ~_all_not_null(lcols))
     maybe = left.where(member)
-    rk = right.select(F.col(right_on).alias(on)).where(
-        F.col(on).isNotNull()).distinct()
-    return sure_out.unionByName(maybe.join(rk, on, "left_anti"))
+    rk = (right.select(*[F.col(rc).alias(lc)
+                         for lc, rc in zip(lcols, rcols)])
+          .where(_all_not_null(lcols)).distinct())
+    return sure_out.unionByName(maybe.join(rk, lcols, "left_anti"))

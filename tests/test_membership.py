@@ -236,3 +236,34 @@ def test_filter_param_validation(spark):
         mb.build_bloom(build, "k", fpp=0.0)
     with pytest.raises(ValueError, match="max_bits"):
         mb.build_bloom(build, "k", max_bits=32)
+
+
+def test_composite_key_joins(spark):
+    """Composite keys: (int, string) pairs hashed together by the same
+    multi-argument xxhash64 on both sides; a NULL in ANY component
+    routes like a null single key (never a member, kept by anti)."""
+    probe = spark.createDataFrame(
+        [Row(a=1, b="x", v=1), Row(a=1, b="y", v=2),
+         Row(a=2, b="x", v=3), Row(a=None, b="x", v=4),
+         Row(a=1, b=None, v=5)])
+    build = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="z")])
+    want_semi = probe.join(build.distinct(), ["a", "b"], "left_semi")
+    want_anti = probe.join(build.distinct(), ["a", "b"], "left_anti")
+    got_semi = mb.bloom_semi_join(probe, build, ["a", "b"])
+    got_anti = mb.bloom_anti_join(probe, build, ["a", "b"])
+    assert _rows(got_semi, "v") == _rows(want_semi, "v") == [(1,)]
+    assert (_rows(got_anti, "v") == _rows(want_anti, "v")
+            == [(2,), (3,), (4,), (5,)])
+
+
+def test_composite_key_right_on_rename(spark):
+    probe = spark.createDataFrame(
+        [Row(a=i % 5, b=f"s{i % 3}", v=i) for i in range(60)])
+    build = spark.createDataFrame(
+        [Row(x=1, y="s0"), Row(x=2, y="s1"), Row(x=9, y="s9")])
+    want = probe.join(
+        build.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .distinct(), ["a", "b"], "left_semi")
+    got = mb.bloom_semi_join(probe, build, ["a", "b"],
+                             right_on=["x", "y"])
+    assert _rows(got, "v") == _rows(want, "v")
