@@ -333,6 +333,23 @@ def main():
         return (V.read_versioned(spark, store)
                 .unionByName(V.read_versioned(spark, store, version=1)))
 
+    def retention_rollup(spark, sf_dir):
+        """A17 theta set-expression tier (new in round 4 session 7):
+        per-day theta distinct-user sketches over events (one JVM hash
+        aggregate), then day-over-day retained/churned/fresh computed
+        from the O(days) sketch rows alone — the base table is scanned
+        once, never for pairs. Own stage key so earlier-round totals
+        stay comparable by summing shared keys."""
+        from profet_spark.operators import sketches
+
+        ev = (load_table(spark, sf_dir, "events")
+              .select("user_id", "ts").repartition(ev_parts)
+              .withColumn("day", F.expr(
+                  "CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
+                  "div 86400000000 AS BIGINT)")))
+        daily = sketches.theta_rollup(ev, ["day"], "user_id")
+        return sketches.retention_rollup(daily, "day")
+
     def span_dedup(spark, sf_dir):
         """D10 exact duplicated-substring tier (new in round 4 session
         6): position-hash explode over the documents corpus, corpus-wide
@@ -360,6 +377,7 @@ def main():
         "batch_plan": lambda: batch_plan(spark, sf_dir),
         "versioned_store": lambda: versioned_store(spark, sf_dir),
         "span_dedup": lambda: span_dedup(spark, sf_dir),
+        "retention_rollup": lambda: retention_rollup(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start
