@@ -3520,7 +3520,13 @@ def _q_a7a8_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a7.unionByName(a8)
 
 
-_A16_DAY = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+# exact FLOOR division (pmod-adjusted): `div` alone truncates toward
+# zero, which would disagree with DuckDB's `//`, with Spark's 1-day
+# window alignment (the streaming twin), for pre-epoch timestamps.
+# Identical on the post-epoch testdata; see operators/sketches.epoch_day.
+_A16_DAY = ("CAST((unix_micros(CAST(ts AS TIMESTAMP)) "
+            "- pmod(unix_micros(CAST(ts AS TIMESTAMP)), 86400000000))"
+            " div 86400000000 AS BIGINT)")
 
 
 def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -344,9 +344,7 @@ def main():
 
         ev = (load_table(spark, sf_dir, "events")
               .select("user_id", "ts").repartition(ev_parts)
-              .withColumn("day", F.expr(
-                  "CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
-                  "div 86400000000 AS BIGINT)")))
+              .withColumn("day", sketches.epoch_day("ts")))
         daily = sketches.theta_rollup(ev, ["day"], "user_id")
         return sketches.retention_rollup(daily, "day")
 

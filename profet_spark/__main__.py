@@ -141,8 +141,7 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         from profet_spark.operators import sketches
 
         ev = load_table(spark, input_root, "events").withColumn(
-            "day", F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
-                          "div 86400000000 AS BIGINT)"))
+            "day", sketches.epoch_day("ts"))
         daily = sketches.theta_rollup(ev, ["day"], "user_id")
         return sketches.retention_rollup(daily, "day")
     if pipeline == "zorder":

@@ -168,7 +168,32 @@ def _size_filter(expected: int, fpp: float,
 
 
 def _cols(on: str | Sequence[str]) -> list[str]:
-    return [on] if isinstance(on, str) else list(on)
+    cols = [on] if isinstance(on, str) else list(on)
+    if not cols:
+        raise ValueError("membership: key column list must be non-empty")
+    return cols
+
+
+def _key_pair(on, right_on) -> tuple[list[str], list[str]]:
+    """Normalize (on, right_on) to equal-length column lists — a silent
+    zip-truncation here would make the build and probe hash DIFFERENT
+    key tuples (a Bloom false-NEGATIVE factory), so mismatched lengths
+    are an error, not a truncation."""
+    lcols, rcols = _cols(on), _cols(right_on or on)
+    if len(lcols) != len(rcols):
+        raise ValueError(
+            f"membership: on has {len(lcols)} columns but right_on has "
+            f"{len(rcols)} — the key tuples must align")
+    return lcols, rcols
+
+
+def _right_keys(right: DataFrame, lcols: Sequence[str],
+                rcols: Sequence[str]) -> DataFrame:
+    """The exact tier's build keys: right-side columns renamed to the
+    probe's names, null-tuple rows dropped, distinct."""
+    return (right.select(*[F.col(rc).alias(lc)
+                           for lc, rc in zip(lcols, rcols)])
+            .where(_all_not_null(list(lcols))).distinct())
 
 
 def _all_not_null(cols: Sequence[str]):
@@ -281,14 +306,12 @@ def bloom_semi_join(left: DataFrame, right: DataFrame,
     the broadcast filter (true members + ~fpp false positives) enter
     the exact join. Bit-for-bit equal to
     ``left.join(right, left[on]==right[right_on], 'left_semi')``."""
-    lcols, rcols = _cols(on), _cols(right_on or on)
+    lcols, rcols = _key_pair(on, right_on)
     bloom = build_bloom(right, rcols, expected=expected, fpp=fpp,
                         max_bits=max_bits)
     pruned = bloom_prune(left, bloom, lcols)
-    rk = (right.select(*[F.col(rc).alias(lc)
-                         for lc, rc in zip(lcols, rcols)])
-          .where(_all_not_null(lcols)).distinct())
-    return pruned.join(rk, lcols, "left_semi")
+    return pruned.join(_right_keys(right, lcols, rcols), lcols,
+                       "left_semi")
 
 
 def bloom_anti_join(left: DataFrame, right: DataFrame,
@@ -306,13 +329,11 @@ def bloom_anti_join(left: DataFrame, right: DataFrame,
     exchange carries only the might-match sliver — at scale two parquet
     scans with pushed filters beat one full-table shuffle. Callers that
     prefer one pass can persist ``left`` first."""
-    lcols, rcols = _cols(on), _cols(right_on or on)
+    lcols, rcols = _key_pair(on, right_on)
     bloom = build_bloom(right, rcols, expected=expected, fpp=fpp,
                         max_bits=max_bits)
     member = _membership_col(left.sparkSession, bloom, lcols)
     sure_out = left.where(~member | ~_all_not_null(lcols))
     maybe = left.where(member)
-    rk = (right.select(*[F.col(rc).alias(lc)
-                         for lc, rc in zip(lcols, rcols)])
-          .where(_all_not_null(lcols)).distinct())
-    return sure_out.unionByName(maybe.join(rk, lcols, "left_anti"))
+    return sure_out.unionByName(
+        maybe.join(_right_keys(right, lcols, rcols), lcols, "left_anti"))

@@ -46,7 +46,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["distinct_rollup", "merge_distinct_rollup", "quantile_rollup",
-           "theta_rollup", "merge_theta_rollup", "retention_rollup"]
+           "theta_rollup", "merge_theta_rollup", "retention_rollup",
+           "epoch_day"]
+
+
+def epoch_day(ts_col: str):
+    """Day number since the epoch as an exact FLOOR division (bigint).
+
+    ``unix_micros div 86400000000`` truncates toward zero, which
+    disagrees with both DuckDB's ``//`` and Spark's 1-day tumbling
+    window alignment for PRE-epoch timestamps (ts = -1 µs would land in
+    day 0 instead of day -1). Subtracting ``pmod`` (always
+    non-negative) first makes the numerator an exact multiple, so the
+    integer ``div`` IS the floor — one shared convention for the batch
+    rollups, the streaming window twin, and the SQL oracles, exact at
+    any magnitude (no double rounding)."""
+    return F.expr(
+        f"CAST((unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+        f"- pmod(unix_micros(CAST({ts_col} AS TIMESTAMP)), 86400000000))"
+        f" div 86400000000 AS BIGINT)")
 
 #: default log2(registers): sparse-exact into the tens of thousands of
 #: distinct values per group, 16 KiB dense ceiling per sketch.

@@ -267,3 +267,17 @@ def test_composite_key_right_on_rename(spark):
     got = mb.bloom_semi_join(probe, build, ["a", "b"],
                              right_on=["x", "y"])
     assert _rows(got, "v") == _rows(want, "v")
+
+
+def test_key_list_validation(spark):
+    """Mismatched on/right_on lengths and empty key lists are errors,
+    never silent zip-truncation (which would desynchronize the build
+    and probe hashes — a false-negative factory)."""
+    probe = spark.createDataFrame([Row(a=1, b="x", v=1)])
+    build = spark.createDataFrame([Row(x=1, y="x")])
+    with pytest.raises(ValueError, match="must align"):
+        mb.bloom_semi_join(probe, build, "a", right_on=["x", "y"])
+    with pytest.raises(ValueError, match="must align"):
+        mb.bloom_anti_join(probe, build, ["a", "b"], right_on=["x"])
+    with pytest.raises(ValueError, match="non-empty"):
+        mb.build_bloom(build, [])

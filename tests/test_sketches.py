@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from profet_spark.operators import sketches
 
 EV = "/root/testdata/sf0.001/events.parquet"
-DAY = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+DAY = ("CAST((unix_micros(CAST(ts AS TIMESTAMP)) "
+       "- pmod(unix_micros(CAST(ts AS TIMESTAMP)), 86400000000))"
+       " div 86400000000 AS BIGINT)")
 
 
 @pytest.fixture(scope="module")

@@ -823,8 +823,7 @@ def test_theta_rollup_stream_equals_batch_multi_batch(spark, sf_dir,
               .withWatermark("ts", "1 hour"))
     st.run_available_now(st.theta_daily_rollup(stream), "t_theta_2b")
     got = sketches.retention_rollup(spark.table("t_theta_2b"), "day")
-    day = F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
-                 "div 86400000000 AS BIGINT)")
+    day = sketches.epoch_day("ts")
     want = sketches.retention_rollup(
         sketches.theta_rollup(ev.withColumn("day", day), ["day"],
                               "user_id"), "day")
