@@ -3721,6 +3721,22 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LY.layout_audit(c, ["user_id", "sec"])
 
 
+def _q_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3 join pre-flight (operators/quality.py `join_preflight`):
+    orders ⋈ customer on custkey sized BEFORE the shuffle — per-side
+    rows + theta distinct keys (map-side sketch agg, the full key set
+    never shuffles), matched/only-left/only-right key counts via
+    theta set ops (exact regime at every testdata SF), and the exact
+    hot-pair products (both-sides-top-5 keys, cnt_l*cnt_r output rows
+    each) that AQE skew thresholds and salting are sized against."""
+    from profet_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return Q.join_preflight(orders, cust, "o_custkey", "c_custkey",
+                            top_n=5)
+
+
 def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6+T6+DQ1+DQ2+P10+L1 merged suite — the round-4 corpus-hygiene
     tier plus the data-quality/skew/layout pre-flight in one
@@ -3788,9 +3804,17 @@ def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("i2"),
         F.lit(-1).cast("bigint").alias("i3"),
         F.lit(-1).cast("bigint").alias("i4"))
+    # DQ3 join pre-flight (round 4 session 7): sketch tier + hot pairs
+    dq3 = _q_join_preflight(spark, sf_dir).select(
+        F.concat(F.lit("dq3-"), F.col("part")).alias("part"),
+        F.lit(-1).cast("bigint").alias("e"), F.col("key").alias("s"),
+        F.col("i1").cast("bigint").alias("i1"),
+        F.col("i2").cast("bigint").alias("i2"),
+        F.col("i3").cast("bigint").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"))
     return (p6.unionByName(t6).unionByName(dq1).unionByName(dq2)
             .unionByName(p10).unionByName(zxu).unionByName(zxs)
-            .unionByName(d10).unionByName(d10c))
+            .unionByName(d10).unionByName(d10c).unionByName(dq3))
 
 
 def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4083,6 +4107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hygiene_suite above)
         "dq1_constraint_audit": _q_constraint_audit,
         "dq2_skew_profile": _q_skew_profile,
+        # DQ3 join pre-flight (graded in-window via hygiene_suite
+        # parts dq3-*)
+        "dq3_join_preflight": _q_join_preflight,
         # P10 per-key cap + L1 z-order layout audit (graded via
         # hygiene_suite above)
         "p10_cap_per_key": _q_cap_per_key,
@@ -5536,6 +5563,44 @@ def oracle_sql() -> dict[str, str]:
                min(sec) AS sec_min, max(sec) AS sec_max
         FROM b GROUP BY zbucket
     """
+    # DQ3 join pre-flight: exact-regime theta set algebra == plain
+    # COUNT DISTINCT / INTERSECT / EXCEPT; hot tier = both-sides-top-5
+    # join with exact integer products (same (cnt DESC, k ASC) order)
+    d["dq3_join_preflight"] = """
+        WITH lk AS (SELECT o_custkey AS k FROM orders
+                    WHERE o_custkey IS NOT NULL),
+        rk AS (SELECT c_custkey AS k FROM customer
+               WHERE c_custkey IS NOT NULL),
+        lt AS (SELECT k, COUNT(*) AS cnt FROM lk GROUP BY k
+               ORDER BY cnt DESC, k ASC LIMIT 5),
+        rt AS (SELECT k, COUNT(*) AS cnt FROM rk GROUP BY k
+               ORDER BY cnt DESC, k ASC LIMIT 5)
+        SELECT 'left' AS part, '' AS key,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lk) AS i1,
+               (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM lk) AS i2,
+               CAST(-1 AS BIGINT) AS i3
+        UNION ALL
+        SELECT 'right', '',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rk),
+               (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM rk),
+               CAST(-1 AS BIGINT)
+        UNION ALL
+        SELECT 'overlap', '',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT DISTINCT k FROM lk
+                 INTERSECT SELECT DISTINCT k FROM rk)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT DISTINCT k FROM lk
+                 EXCEPT SELECT DISTINCT k FROM rk)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT DISTINCT k FROM rk
+                 EXCEPT SELECT DISTINCT k FROM lk))
+        UNION ALL
+        SELECT 'hot', CAST(lt.k AS VARCHAR),
+               CAST(lt.cnt AS BIGINT), CAST(rt.cnt AS BIGINT),
+               CAST(lt.cnt * rt.cnt AS BIGINT)
+        FROM lt JOIN rt ON lt.k = rt.k
+    """
     d["hygiene_suite"] = f"""
         SELECT 'p6' AS part, CAST(doc_id AS BIGINT) AS e, '' AS s,
                CAST(n_shingles AS BIGINT) AS i1,
@@ -5582,6 +5647,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
         FROM ({d['d10_cut_spans']})
+        UNION ALL
+        SELECT 'dq3-' || part, CAST(-1 AS BIGINT), key,
+               CAST(i1 AS BIGINT), CAST(i2 AS BIGINT),
+               CAST(i3 AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({d['dq3_join_preflight']})
     """
     return d
 

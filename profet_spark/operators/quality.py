@@ -1,4 +1,4 @@
-"""Data-quality audit and skew diagnostics (DQ1-DQ2).
+"""Data-quality audit, skew, and join-pre-flight diagnostics (DQ1-DQ3).
 
 The two pre-flight checks a 100 TB feature pipeline runs before
 committing compute: does the input satisfy its contract (DQ1), and will
@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "Constraint", "not_null", "in_range", "in_set", "matches", "unique",
-    "satisfies", "check_constraints", "skew_profile",
+    "satisfies", "check_constraints", "skew_profile", "join_preflight",
 ]
 
 
@@ -252,3 +252,79 @@ def skew_profile(df: DataFrame, key_cols: list[str] | str, top_n: int = 20,
                 F.col("__dq_tot"))
             .withColumn("salt", F.expr("__dq_num DIV __dq_tot"))
             .drop("__dq_num", "__dq_tot"))
+
+
+def join_preflight(left: DataFrame, right: DataFrame,
+                   left_on: str, right_on: str | None = None,
+                   top_n: int = 10, lgk: int = 12) -> DataFrame:
+    """DQ3 — the pre-flight an expensive equi-join runs BEFORE
+    committing its shuffle: how big is each side, how many distinct
+    keys, how many keys actually match, and which hot key pairs will
+    dominate the output? Two tiers, both narrow:
+
+    - **Sketch tier** (parts ``left`` / ``right`` / ``overlap``): per-side
+      row counts + theta distinct-key sketches aggregated map-side (the
+      exchange carries ONE sketch row per side, never keys), then
+      ``theta_intersection`` / ``theta_difference`` for matched /
+      left-only / right-only distinct-key counts. Exact while each
+      side's key cardinality stays ≤ 2^lgk (operators/sketches.py
+      exactness contract); approximate with ~1/sqrt(2^lgk) relative
+      error beyond — either way the join's full key set never shuffles.
+      An empty ``overlap`` is the cheapest possible proof a planned
+      join is vacuous.
+    - **Hot tier** (parts ``hot``): the DQ2-style top-``top_n`` heaviest
+      keys of EACH side (TakeOrderedAndProject, one narrow partial-agg
+      shuffle per side), inner-joined on the key: for every key hot on
+      BOTH sides, ``cnt_l * cnt_r`` is the exact number of output rows
+      that single key will emit — the worst-case skew contributions AQE
+      skew-join thresholds and salting (operators/asof.py) need sizing
+      against. Exact integers at any scale.
+
+    Output (part, key, i1, i2, i3):
+    ``('left', '', n_rows, n_distinct_keys, -1)``, same for 'right';
+    ``('overlap', '', matched, left_only, right_only)`` distinct keys;
+    ``('hot', key_str, cnt_l, cnt_r, cnt_l*cnt_r)`` per doubly-hot key.
+    NULL keys are excluded everywhere (they never match an equi-join).
+    """
+    from profet_spark.operators import sketches  # avoid import cycle
+
+    right_on = right_on or left_on
+    if top_n < 1:
+        raise ValueError("join_preflight: top_n must be >= 1")
+    lk = (left.select(F.col(left_on).alias("k"))
+          .where(F.col("k").isNotNull()))
+    rk = (right.select(F.col(right_on).alias("k"))
+          .where(F.col("k").isNotNull()))
+
+    def _side(kdf: DataFrame, tag: str) -> DataFrame:
+        return (kdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.theta_sketch_agg("k", F.lit(lgk)).alias("sk"))
+            .select(F.lit(tag).alias("part"), F.lit("").alias("key"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.theta_sketch_estimate("sk").alias("i2"),
+                    F.lit(-1).cast("bigint").alias("i3"), "sk"))
+
+    ls, rs = _side(lk, "left"), _side(rk, "right")
+    overlap = (ls.select(F.col("sk").alias("ska"))
+               .join(rs.select(F.col("sk").alias("skb")))
+               .select(
+                   F.lit("overlap").alias("part"), F.lit("").alias("key"),
+                   F.theta_sketch_estimate(
+                       F.theta_intersection("ska", "skb")).alias("i1"),
+                   F.theta_sketch_estimate(
+                       F.theta_difference("ska", "skb")).alias("i2"),
+                   F.theta_sketch_estimate(
+                       F.theta_difference("skb", "ska")).alias("i3")))
+
+    lt = (skew_profile(lk, "k", top_n=top_n)
+          .select(F.col("k"), F.col("cnt").alias("cnt_l")))
+    rt = (skew_profile(rk, "k", top_n=top_n)
+          .select(F.col("k"), F.col("cnt").alias("cnt_r")))
+    hot = (lt.join(rt, "k")
+           .select(F.lit("hot").alias("part"),
+                   F.col("k").cast("string").alias("key"),
+                   F.col("cnt_l").alias("i1"), F.col("cnt_r").alias("i2"),
+                   (F.col("cnt_l") * F.col("cnt_r")).alias("i3")))
+    return (ls.drop("sk").unionByName(rs.drop("sk"))
+            .unionByName(overlap).unionByName(hot))

