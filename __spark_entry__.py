@@ -3611,7 +3611,21 @@ def _q_a10a11_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("period_b").cast("string").alias("s2"), F.lit("").alias("s3"),
         i64("retained").alias("i1"), i64("churned").alias("i2"),
         i64("fresh").alias("i3"), F.lit(-1.0).cast("double").alias("x1"))
-    return a10.unionByName(a11).unionByName(a16).unionByName(a17)
+    # a17m: the days→total theta UNION from the stored sketch rows only
+    # (merge_theta_rollup — the rescan-free span path, theta twin of
+    # a16-hllm; exact-regime == plain COUNT DISTINCT)
+    from profet_spark.operators import sketches as _sk
+    ev17 = _events(spark, sf_dir).withColumn("day", F.expr(_A16_DAY))
+    a17m = _sk.merge_theta_rollup(
+        _sk.theta_rollup(ev17, ["day"], "user_id"), []).select(
+        F.lit("a17m").alias("part"), F.lit("").alias("s1"),
+        F.lit("").alias("s2"), F.lit("").alias("s3"),
+        i64("n_distinct_est").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"),
+        F.lit(-1).cast("bigint").alias("i3"),
+        F.lit(-1.0).cast("double").alias("x1"))
+    return (a10.unionByName(a11).unionByName(a16).unionByName(a17)
+            .unionByName(a17m))
 
 
 def _q_b1b2_batch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5436,6 +5450,12 @@ def oracle_sql() -> dict[str, str]:
                '', CAST(retained AS BIGINT), CAST(churned AS BIGINT),
                CAST(fresh AS BIGINT), CAST(-1.0 AS DOUBLE)
         FROM ({d['a17_theta_retention']})
+        UNION ALL
+        SELECT 'a17m', '', '', '',
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1.0 AS DOUBLE)
+        FROM events
     """
     # B3: serving order over B1's batch identities (same b1 oracle text)
     d["b3_epoch_order"] = _b3_oracle_sql().format(

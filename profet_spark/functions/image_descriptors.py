@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from profet_spark.imaging import average_hash, decode, luminance, phash_dct
+from profet_spark.imaging import average_hash, decode, dhash, luminance, phash_dct
 
 IMG_FEATURES = [
     ("lum_mean", T.DoubleType()),
@@ -35,10 +35,11 @@ IMG_FEATURES = [
     ("rowprof_mean", T.DoubleType()),
     ("phash_check", T.LongType()),
     ("phash_dct", T.LongType()),
+    ("dhash", T.LongType()),
     ("decode_ok", T.BooleanType()),
 ]
 
-_INT_FEATURES = {"phash_check", "phash_dct"}
+_INT_FEATURES = {"phash_check", "phash_dct", "dhash"}
 
 _PROFILE_WINDOW = 5
 
@@ -87,6 +88,7 @@ def compute_image_stats(data: bytes, fmt: str) -> dict:
         "rowprof_mean": pmean,
         "phash_check": average_hash(arr),
         "phash_dct": phash_dct(arr),
+        "dhash": dhash(arr),
         "decode_ok": True,
     }
 

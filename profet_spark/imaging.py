@@ -179,7 +179,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
-def block_mean_resize(lum: np.ndarray, size: int) -> np.ndarray:
+def block_mean_resize(lum: np.ndarray, size: int,
+                      size_w: int | None = None) -> np.ndarray:
     """Deterministic area-style downsample of a 2-D array to
     ``size × size`` block means. Block boundaries are the integer grid
     ``(k * n) // size`` (every source pixel lands in exactly one block,
@@ -188,8 +189,9 @@ def block_mean_resize(lum: np.ndarray, size: int) -> np.ndarray:
     smaller than ``size`` (blocks then repeat source rows/cols via the
     duplicate boundaries, equivalent to nearest-neighbor upsampling)."""
     h, w = lum.shape
+    size_w = size if size_w is None else size_w
     rb = (np.arange(size, dtype=np.int64) * h) // size
-    cb = (np.arange(size, dtype=np.int64) * w) // size
+    cb = (np.arange(size_w, dtype=np.int64) * w) // size_w
     # reduceat repeats the row at a duplicated boundary; sizes below
     # account for that so each block divides by its true pixel count
     rs = np.maximum(np.diff(np.append(rb, h)), 1)
@@ -251,6 +253,22 @@ def phash_dct(arr: np.ndarray, hash_size: int = 8,
     low = d[:hash_size, :hash_size].flatten()
     med = float(np.median(low[1:]))
     return _pack_bits_int64(low > med)
+
+
+def dhash(arr: np.ndarray, hash_size: int = 8) -> int:
+    """Row-gradient difference hash (dHash) → signed int64: luma
+    block-mean resized to ``hash_size × (hash_size+1)``, bit =
+    ``left < right`` for each horizontally adjacent pair, packed
+    row-major MSB-first. Captures gradient STRUCTURE, so it is
+    invariant to global brightness/contrast shifts by construction
+    (every comparison shifts/scales both sides together) and cheap —
+    no DCT. The third member of the hash family (aHash / pHash /
+    dHash); all feed the same D8 pigeonhole pair machinery."""
+    if not (1 <= hash_size * hash_size <= 64):
+        raise ValueError(
+            f"dhash: hash_size must be in 1..8, got {hash_size}")
+    g = block_mean_resize(luminance(arr), hash_size, hash_size + 1)
+    return _pack_bits_int64((g[:, :-1] < g[:, 1:]).flatten())
 
 
 def average_hash(arr: np.ndarray) -> int:

@@ -195,3 +195,30 @@ def test_phash_dct_drives_d8_pair_detection(spark):
 def test_phash_dct_hash_size_guard():
     with pytest.raises(ValueError, match="hash_size"):
         imaging.phash_dct(_rand_img(40), hash_size=16)
+
+
+def test_dhash_reference_and_invariance():
+    """Independent serial reference + exact brightness/contrast
+    invariance (every gradient comparison shifts/scales together)."""
+    arr = _rand_img(50, w=64, h=48)
+    lum = imaging.luminance(arr)
+    g = imaging.block_mean_resize(lum, 8, 9)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | int(g[r, c] < g[r, c + 1])
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert imaging.dhash(arr) == want
+    shifted = np.clip(arr.astype(np.float64) * 0.7 + 30, 0, 255)
+    assert imaging.dhash(shifted) == imaging.dhash(arr)  # ALL 64 bits
+    with pytest.raises(ValueError, match="hash_size"):
+        imaging.dhash(arr, hash_size=9)
+
+
+def test_block_mean_resize_rectangular():
+    rng = np.random.default_rng(51)
+    a = rng.integers(0, 256, size=(64, 72)).astype(np.float64)
+    got = imaging.block_mean_resize(a, 8, 9)
+    assert got.shape == (8, 9)
+    want = a.reshape(8, 8, 9, 8).mean(axis=(1, 3))
+    np.testing.assert_allclose(got, want)
