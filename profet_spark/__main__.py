@@ -134,6 +134,13 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
         emb = load_table(spark, input_root, "embeddings")
         return dedup.semdedup(emb, n_centroids=n_shards,
                               threshold=threshold)
+    if pipeline == "image_dedup":
+        # keep one canonical image per perceptual near-dup cluster,
+        # stored-phash mode (bytes never read; <=3-bit Hamming — the
+        # pigeonhole join's full-recall bound). Pixel-mode (DCT pHash
+        # recomputed from bytes) is the library call with hash_col=None.
+        snaps = load_table(spark, input_root, "images")
+        return dedup.drop_near_duplicate_images(snaps, hash_col="phash")
     if pipeline == "retention":
         # A17: day-over-day retained/churned/fresh distinct users from
         # per-day theta sketch rows only (set-expression rollup; the
@@ -163,7 +170,8 @@ def _build(spark, pipeline: str, input_root: str, eval_root: str | None = None,
 PIPELINES = ("caption_features", "image_features", "curate", "quality",
              "ingest", "compact", "scrub", "decontaminate", "image_curate",
              "batch_plan", "materialize", "diff", "cap", "zorder",
-             "semdedup", "pq_index", "snapshot", "spandedup", "retention")
+             "semdedup", "pq_index", "snapshot", "spandedup", "retention",
+             "image_dedup")
 
 
 def main(argv: list[str] | None = None, _spark=None) -> int:

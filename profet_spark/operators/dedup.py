@@ -1158,3 +1158,48 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
     out = j.withColumn(
         out_col, F.when(F.col("__spans").isNull(), txt).otherwise(cut))
     return out.drop("__spans")
+
+
+def drop_near_duplicate_images(df: DataFrame, id_col: str = "image_id",
+                               bytes_col: str = "bytes",
+                               fmt_col: str = "fmt",
+                               hash_col: str | None = None,
+                               max_hamming: int = 3,
+                               max_bucket: int | None = None,
+                               algorithm: str = "propagate") -> DataFrame:
+    """One-call image near-dedup: keep exactly ONE canonical image per
+    perceptual near-duplicate cluster (minimum id — the D6 convention),
+    the image-payload twin of :func:`drop_near_duplicates`.
+
+    ``hash_col``: a precomputed int64 perceptual-hash column (the stored
+    ``phash``, or a prior run's ``phash_dct``/``dhash``) — the dedup
+    then never touches ``bytes``. When None, the true DCT pHash is
+    computed from pixels through the U3 kernel
+    (functions/image_descriptors.add_image_features — Arrow-batched
+    decode, binary column pruned immediately after), which catches the
+    brightness/contrast-shifted near-dups the stored aHash misses.
+
+    Composition: D8 :func:`hamming_pairs` (pigeonhole 16-bit-block
+    equi-join, full recall ≤ ``max_hamming`` bits, ``max_bucket`` skew
+    cap for boilerplate-asset mega-clusters) → D6 :func:`dup_clusters`
+    (connected components — a star-shaped edge set must not leave two
+    survivors) → one id-only anti-join. Nothing wider than
+    (id, 64-bit hash) ever shuffles."""
+    if hash_col is None:
+        from profet_spark.functions.image_descriptors import (
+            add_image_features,
+        )
+        sigs = add_image_features(
+            df.select(id_col, bytes_col, fmt_col),
+            bytes_col=bytes_col, fmt_col=fmt_col).where(
+            F.col("decode_ok")).select(id_col, "phash_dct")
+        hash_name = "phash_dct"
+    else:
+        sigs = df.select(id_col, hash_col)
+        hash_name = hash_col
+    pairs = hamming_pairs(sigs, id_col=id_col, bits_col=hash_name,
+                          max_hamming=max_hamming, max_bucket=max_bucket)
+    clusters = dup_clusters(pairs, algorithm=algorithm)
+    drops = (clusters.where(F.col("id") != F.col("cluster_id"))
+             .select(F.col("id").alias(id_col)))
+    return df.join(drops, id_col, "left_anti")

@@ -787,3 +787,45 @@ class TestRepeatedSpans:
         plan = spans._jdf.queryExecution().executedPlan().toString()
         exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
         assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_drop_near_duplicate_images_pixel_mode(spark):
+    """Pixel mode: a brightness-dimmed copy clusters with its original
+    via the DCT pHash and only the minimum id survives; unrelated
+    images and undecodable payloads are untouched/dropped cleanly."""
+    import numpy as np
+    import pandas as pd
+
+    from profet_spark import imaging
+
+    rng = np.random.default_rng(60)
+    base = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    dim = np.clip(base.astype(np.float64) * 0.6, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    pdf = pd.DataFrame({
+        "image_id": ["a", "a_dim", "z", "bad"],
+        "bytes": [imaging.encode_png(base), imaging.encode_png(dim),
+                  imaging.encode_png(other), b"\x00garbage"],
+        "fmt": ["png"] * 4,
+    })
+    df = spark.createDataFrame(pdf)
+    kept = {r.image_id for r in
+            dedup.drop_near_duplicate_images(df).collect()}
+    # 'a' < 'a_dim' so 'a' is canonical; 'bad' never decodes so it can
+    # never be anyone's duplicate and passes through
+    assert kept == {"a", "z", "bad"}
+
+
+def test_drop_near_duplicate_images_stored_hash_mode(spark):
+    """hash_col mode: dedup over the stored phash column — bytes are
+    never required (no bytes column at all here)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(image_id=1, phash=0b1111000011110000),
+        Row(image_id=2, phash=0b1111000011110001),   # 1 bit from id 1
+        Row(image_id=3, phash=-42),                  # far away
+    ])
+    kept = {r.image_id for r in dedup.drop_near_duplicate_images(
+        df, hash_col="phash").collect()}
+    assert kept == {1, 3}
