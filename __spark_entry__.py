@@ -1133,7 +1133,30 @@ def _q_lsh_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("na"),
         F.lit(-1).cast("bigint").alias("nb"),
         F.lit(-1.0).alias("jaccard"))
-    return pair_rows.unionByName(cluster_rows)
+    # D11 incremental pairs (round 4 session 7): the daily-ingest path,
+    # graded in the same row — its pairs are a SUBSET relation the
+    # oracle reproduces by filtering the same full-D3 pair CTE
+    d11_rows = _q_incremental_dedup(spark, sf_dir).select(
+        F.lit("d11").alias("part"),
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        "inter", "na", "nb", "jaccard")
+    return pair_rows.unionByName(cluster_rows).unionByName(d11_rows)
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 incremental near-dup detection (operators/dedup.py
+    `incremental_near_dup_pairs`): docs with doc_id % 10 == 0 play the
+    new ingest batch, the rest the already-signatured corpus (its
+    signature table stands in for an S7/S13 read — content-derived, so
+    values are identical). Result contract: EXACTLY the full-D3 pairs
+    over the whole corpus restricted to batch-touching pairs (band
+    union == union banding; exact verify identical) — which is
+    verbatim how the oracle grades it."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    store = docs.where(F.col("doc_id") % 10 != 0)
+    ssig = dedup.minhash_signature_table(store)
+    return dedup.incremental_near_dup_pairs(batch, ssig, store)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4058,6 +4081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_part_stats": _q_part_stats,
         # D3/D6 components (graded together via d3d6_lsh_dedup above)
         "d3_minhash_lsh": _q_minhash_lsh,
+        # D11 incremental ingest-vs-store dedup (graded in-window via
+        # d3d6_lsh_dedup part d11)
+        "d11_incremental_dedup": _q_incremental_dedup,
         "d6_dup_clusters": _q_dup_clusters,
         # remaining §2.9 streaming twins (tumbling/session/stateful-asof
         # are graded in the top 50; these two are mirror-graded)
@@ -4745,6 +4771,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(-1 AS INTEGER), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1.0 AS DOUBLE)
         FROM c
+        UNION ALL
+        SELECT 'd11', id_a, id_b, inter, na, nb, jaccard
+        FROM p WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """
+    # D11 standalone: the same filtered full-D3 pair set
+    d["d11_incremental_dedup"] = f"""
+        SELECT * FROM ({d['d3_minhash_lsh']})
+        WHERE id_a % 10 = 0 OR id_b % 10 = 0
     """
     # D8: brute-force XOR/bit_count twin of the pigeonhole block join
     # (full recall for hamming<=3 is the operator's exactness claim, so

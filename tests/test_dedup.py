@@ -829,3 +829,49 @@ def test_drop_near_duplicate_images_stored_hash_mode(spark):
     kept = {r.image_id for r in dedup.drop_near_duplicate_images(
         df, hash_col="phash").collect()}
     assert kept == {1, 3}
+
+
+def test_incremental_near_dup_equals_full_run_filtered(spark, sf_dir):
+    from profet_spark.sources import load_table
+
+    """D11 == full D3 over store ∪ batch, filtered to batch-touching
+    pairs — the incremental path must not invent or miss a single pair
+    (band union == union banding; exact verify identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    store = docs.where(F.col("doc_id") % 10 != 0)
+    ssig = dedup.minhash_signature_table(store)
+    got = dedup.incremental_near_dup_pairs(batch, ssig, store).toPandas()
+    full = dedup.minhash_lsh_pairs(docs).toPandas()
+    bids = {r.doc_id for r in batch.select("doc_id").collect()}
+    want = full[[a in bids or b in bids
+                 for a, b in zip(full.id_a, full.id_b)]]
+    key = ["id_a", "id_b"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    for c in ["id_a", "id_b", "inter", "na", "nb"]:
+        assert got_s[c].tolist() == want_s[c].tolist(), c
+    assert (got_s["jaccard"] - want_s["jaccard"]).abs().max() <= 0
+
+
+def test_incremental_near_dup_never_reshingles_store(spark, sf_dir):
+    from profet_spark.sources import load_table
+
+    """The store contributes ONLY its signature rows: the plan must not
+    contain a second shingle explode over the store text (one explode
+    for the batch signatures, one bounded explode for candidate
+    verification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    store = docs.where(F.col("doc_id") % 10 != 0)
+    ssig = dedup.minhash_signature_table(store).cache()
+    ssig.count()  # materialized, as the S7-read production shape
+    out = dedup.incremental_near_dup_pairs(batch, ssig, store,
+                                           persist=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the cached signature table serves the store side: no store-side
+    # posexplode over full store text outside the candidate-bounded
+    # verify (which is gated by the broadcast semi join)
+    assert plan.count("InMemoryRelation") >= 1
+    ssig.unpersist()
