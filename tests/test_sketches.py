@@ -185,3 +185,30 @@ def test_merge_theta_rollup_respects_lgk(events):
     assert merged.collect()[0]["n_distinct_est"] == direct
     with pytest.raises(ValueError, match="lgk"):
         sketches.merge_theta_rollup(daily, [], lgk=30)
+
+
+def test_retention_rollup_property_random_sets(spark):
+    """Hypothesis-style randomized check (seeded loop — the session
+    fixture makes @given awkward for Spark DataFrames at this size):
+    random (day, user) multisets with gaps must reproduce Python set
+    algebra exactly in the theta exact regime."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        days = sorted(rng.sample(range(100), rng.randint(3, 8)))
+        rows = [(d, rng.randint(0, 40))
+                for d in days for _ in range(rng.randint(1, 30))]
+        df = spark.createDataFrame(rows, ["day", "user_id"])
+        daily = sketches.theta_rollup(df, ["day"], "user_id")
+        got = sketches.retention_rollup(daily, "day").toPandas()
+        byday = {}
+        for d, u in rows:
+            byday.setdefault(d, set()).add(u)
+        expect = {(d, d + 1) for d in byday if d + 1 in byday}
+        assert {(r.period_a, r.period_b)
+                for _, r in got.iterrows()} == expect
+        for _, r in got.iterrows():
+            a, b = byday[r.period_a], byday[r.period_b]
+            assert (r.retained, r.churned, r.fresh) == (
+                len(a & b), len(a - b), len(b - a))
