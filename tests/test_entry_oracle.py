@@ -20,13 +20,13 @@ import pytest
 # 160 tests passed at each SF; at the session-6 FINAL HEAD with
 # the D10 keys — 159 keys / 162 tests passed at each SF; and at the
 # session-7 HEAD 2026-08-21 with the JB bloom-join + A17 theta keys —
-# 163 keys / 165 tests at each SF; at the session-7 HEAD with
-# composite-key bloom + the st_a17 streaming twin — 164 keys / 166
+# 162 keys / 165 tests at each SF; at the session-7 HEAD with
+# composite-key bloom + the st_a17 streaming twin — 163 keys / 166
 # tests at each SF; at the session-7 HEAD with DQ3
-# join-preflight, dHash, and the a17m merged-theta part — 165 keys /
+# join-preflight, dHash, and the a17m merged-theta part — 164 keys /
 # 167 tests at each SF, full suite 696 passed / 1 skipped; and at the
 # session-7 FINAL HEAD with D11 incremental dedup + image near-dedup —
-# 166 keys / 168 tests at each SF, full suite 702 passed / 1 skipped)
+# 165 keys / 168 tests at each SF, full suite 702 passed / 1 skipped)
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
