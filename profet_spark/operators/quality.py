@@ -286,8 +286,6 @@ def join_preflight(left: DataFrame, right: DataFrame,
     ``('hot', key_str, cnt_l, cnt_r, cnt_l*cnt_r)`` per doubly-hot key.
     NULL keys are excluded everywhere (they never match an equi-join).
     """
-    from profet_spark.operators import sketches  # avoid import cycle
-
     right_on = right_on or left_on
     if top_n < 1:
         raise ValueError("join_preflight: top_n must be >= 1")

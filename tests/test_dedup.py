@@ -832,11 +832,11 @@ def test_drop_near_duplicate_images_stored_hash_mode(spark):
 
 
 def test_incremental_near_dup_equals_full_run_filtered(spark, sf_dir):
-    from profet_spark.sources import load_table
-
     """D11 == full D3 over store ∪ batch, filtered to batch-touching
     pairs — the incremental path must not invent or miss a single pair
     (band union == union banding; exact verify identical)."""
+    from profet_spark.sources import load_table
+
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 10 == 0)
     store = docs.where(F.col("doc_id") % 10 != 0)
@@ -856,22 +856,32 @@ def test_incremental_near_dup_equals_full_run_filtered(spark, sf_dir):
 
 
 def test_incremental_near_dup_never_reshingles_store(spark, sf_dir):
+    """The store contributes ONLY its signature rows: count the
+    Generate (explode) nodes in the optimized plan — batch signature
+    shingles, band hashes, candidate-verify shingles, and the pair-id
+    explode — and pin that NO additional store-text shingle explode
+    appears."""
     from profet_spark.sources import load_table
 
-    """The store contributes ONLY its signature rows: the plan must not
-    contain a second shingle explode over the store text (one explode
-    for the batch signatures, one bounded explode for candidate
-    verification)."""
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 10 == 0)
     store = docs.where(F.col("doc_id") % 10 != 0)
+    # control FIRST (before any cache exists — Spark's CacheManager
+    # matches by canonical plan, so a later-built "lazy" twin would be
+    # silently served from the cache): the uncached signature build
+    # plans store-text shingle explodes
+    lazy_plan = (dedup.incremental_near_dup_pairs(
+        batch, dedup.minhash_signature_table(store), store,
+        persist=False)._jdf.queryExecution().optimizedPlan().toString())
     ssig = dedup.minhash_signature_table(store).cache()
     ssig.count()  # materialized, as the S7-read production shape
     out = dedup.incremental_near_dup_pairs(batch, ssig, store,
                                            persist=False)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # the cached signature table serves the store side: no store-side
-    # posexplode over full store text outside the candidate-bounded
-    # verify (which is gated by the broadcast semi join)
+    # the cached signature table serves the store side, and the cached
+    # path plans STRICTLY fewer Generate (explode) nodes than the
+    # control — the store re-shingle is gone (printed plans duplicate
+    # shared subtrees, but both variants share that structure)
     assert plan.count("InMemoryRelation") >= 1
+    assert plan.count("Generate") < lazy_plan.count("Generate")
     ssig.unpersist()

@@ -210,8 +210,8 @@ def test_join_preflight_exact_regime(spark):
     # both-sides-hot keys with exact output-row products
     assert got["hot"]["1"] == (50, 20, 1000)
     assert got["hot"]["2"] == (5, 1, 5)
-    assert "3" not in got["hot"] or True    # 3 is left-only: never hot-joined
-    assert "9" not in got["hot"]
+    assert "3" not in got["hot"]            # left-only: never hot-joined
+    assert "9" not in got["hot"]            # right-only: same
 
 
 def test_join_preflight_vacuous_join_detected(spark):
