@@ -47,7 +47,13 @@ def run_level(cores: int, zpath: str, runs: int) -> dict:
         "--cores", str(cores), "--runs", str(runs),
     ]
     print("+", " ".join(cmd), file=sys.stderr)
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # same single-thread BLAS pin as run_weak_scaling (and in-process in
+    # scaling_job.py): the regime must not depend on the invoking shell
+    env = dict(os.environ,
+               OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
+               MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                         env=env)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if out.returncode != 0 or not lines:
         sys.stderr.write(out.stderr[-4000:])

@@ -44,7 +44,14 @@ def run_level(cores: int, rep_text: int, rep_img: int, zpath: str,
         "--replicate-text", str(rep_text), "--replicate-img", str(rep_img),
     ]
     print("+", " ".join(cmd), file=sys.stderr)
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # the 0.705/0.769 passes ran with a single-thread BLAS pin; pin the
+    # launcher env too (scaling_job.py also sets it in-process) so the
+    # measured regime never depends on the invoking shell
+    env = dict(os.environ,
+               OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
+               MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                         env=env)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if out.returncode != 0 or not lines:
         sys.stderr.write(out.stderr[-4000:])

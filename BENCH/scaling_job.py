@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -69,11 +70,24 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
+    # 1 task = 1 core (same rationale as profet_spark/session.py): a
+    # threaded BLAS inside each Python worker oversubscribes the box and
+    # the oversubscription GROWS with the core count — unpinned runs
+    # measured weak 8→32 as low as 0.508 vs 0.705-0.769 pinned (r4
+    # passes s6/s6b/final vs s7/s7b). Pin HERE, not in the launcher's
+    # shell, so the regime can never drift with inherited env again.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ[var] = "1"
+
     spark = (
         SparkSession.builder.appName(f"profet_scaling_{args.cores}")
         # master comes from spark-submit; shuffle partitions scale with the
         # core count (identical per-core policy at both levels)
         .config("spark.sql.shuffle.partitions", str(2 * args.cores))
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

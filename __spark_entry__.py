@@ -931,6 +931,29 @@ def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "phash_hamming_prev")
 
 
+def _q_image_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-tier SQL slice (round 5, VERDICT r4 ask #5): the
+    bitwise-gradable columns of the image snapshot pipeline, driven
+    through the REAL machinery — deterministic fixture → PNG/PPM encode
+    → mapInPandas decode + pixel stats → phash lag window — and graded
+    against BENCH/fixtures/image_slice_golden.parquet, whose stat
+    columns were frozen DIRECTLY from the pre-encode pixel arrays
+    (BENCH/freeze_image_goldens.py; no codec in the freeze path). A
+    hash-green row certifies codec roundtrip + Arrow batch plumbing +
+    stats arithmetic + the C8+W3 hamming-drift window, bit for bit.
+    The remaining non-gradable kernels (decode_ok failure mapping,
+    dhash, resize) stay numpy-golden-pinned in pytest."""
+    pdf = fixtures.make_fixture(n_entities=80)
+    df = fixtures.to_spark(spark, pdf)
+    out = imgd.add_image_features(df)
+    out = imgd.phash_hamming_to_prev(out)
+    return out.select(
+        "image_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "w", "h", "fmt", "phash", "lum_mean", "lum_var", "edge_density",
+        "rowprof_mean", "phash_dct",
+        F.col("phash_hamming_prev").cast("int").alias("phash_hamming_prev"))
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing (task mandate): deterministic image
     fixture → nearest-neighbor resize (decode→resample→re-encode) →
@@ -1120,7 +1143,8 @@ def _q_lsh_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the pair-only columns so every column keeps an integer dtype kind
     and the driver's value hash is unambiguous."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).persist()
+    pairs = dedup._register(
+        dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).persist())
     clusters = dedup.dup_clusters(pairs)
     pair_rows = pairs.select(
         F.lit("pair").alias("part"),
@@ -3389,6 +3413,21 @@ def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w3_sum").cast("double").alias("val"))
     s12 = _q_retention(spark, sf_dir).select(
         F.lit("s12").alias("part"), "event_id", "user_id", "ts", "val")
+    # S1b raw-ingest roundtrips (round 5, VERDICT r4 ask #2): JSONL +
+    # CSV quarantine ingest, every surviving row value-visible — the
+    # string payload rides the suite's `s` column as a \x1f-joined
+    # (text, lang, source) tuple, counts in user_id
+    def _s1b(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("part"),
+            F.col("doc_id").cast("bigint").alias("event_id"),
+            F.col("n_chars").cast("bigint").alias("user_id"),
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+            F.lit(-1.0).cast("double").alias("val"),
+            F.concat_ws("\x1f", "text", "lang", "source").alias("s"))
+
+    s1bj = _s1b(_q_ingest_roundtrip(spark, sf_dir), "s1bj")
+    s1bc = _s1b(_q_ingest_csv_roundtrip(spark, sf_dir), "s1bc")
     # S13/S14 lifecycle + the exactly-once streaming sink, folded into
     # the DRIVER-GRADED window (standalone keys stay at 51+): tt = time
     # travel, v4 = post-evolve/append snapshot, src = rows selected BY
@@ -3407,9 +3446,11 @@ def _q_store_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("s13rb").alias("part"), *cols)
     s13st = _q_stream_versioned_append(spark, sf_dir).select(
         F.lit("s13st").alias("part"), *cols)
-    return (s8.unionByName(s9).unionByName(s10n).unionByName(s10s)
-            .unionByName(s12).unionByName(s13tt).unionByName(s13v4)
-            .unionByName(s13src).unionByName(s13rb).unionByName(s13st))
+    out = (s8.unionByName(s9).unionByName(s10n).unionByName(s10s)
+           .unionByName(s12).unionByName(s13tt).unionByName(s13v4)
+           .unionByName(s13src).unionByName(s13rb).unionByName(s13st))
+    return (out.withColumn("s", F.lit(""))
+            .unionByName(s1bj).unionByName(s1bc))
 
 
 def _q_stream_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3455,8 +3496,20 @@ def _q_stream_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win_start").alias("t"), F.col("feature").alias("s"),
         F.col("bin").alias("i1"), F.col("n_cur").alias("i2"),
         i64(-1).alias("i3"), i64(-1).alias("i4"), F.lit(-1.0).alias("x1"))
+    # st_a17 streaming theta retention (round 5, VERDICT r4 ask #2):
+    # the day-pair set-algebra counts from streamed daily sketches —
+    # grades against the batch A17 oracle verbatim
+    a17 = _q_stream_theta_retention(spark, sf_dir).select(
+        F.lit("a17").alias("part"),
+        F.col("period_a").cast("bigint").alias("e"),
+        null_t.alias("t"), F.col("period_b").cast("string").alias("s"),
+        F.col("n_a").cast("bigint").alias("i1"),
+        F.col("n_b").cast("bigint").alias("i2"),
+        F.col("retained").cast("bigint").alias("i3"),
+        F.col("churned").cast("bigint").alias("i4"),
+        F.col("fresh").cast("double").alias("x1"))
     out = drift
-    for p in decay_parts + [wagg, te, fm4]:
+    for p in decay_parts + [wagg, te, fm4, a17]:
         out = out.unionByName(p)
     return out
 
@@ -3894,6 +3947,87 @@ def _q_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "value_z", "purch_val_z", "te_smooth")
 
 
+def _q_n1n4_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1-N4 merged ANN suite (round 5, VERDICT r4 ask #2): the whole
+    similarity-search family in ONE driver-graded row — exact cosine
+    top-k (n1), LSH ANN + its fully-distributed twin (n2/n2d), IVF ANN
+    + distributed twin (n3/n3d), PQ ADC top-k (n4p), IVF-PQ (n4i), the
+    persisted-index serving probe (n4s — write_ivf_pq_index +
+    ivf_pq_probe over the parquet artifact, same oracle as n4i), and
+    the exploded (id, cid, subspace, code) index rows themselves (n4x —
+    every code byte hash-visible). All parts are deterministic
+    (lowest_id centroids/codebooks, exact int64 arithmetic) so each
+    grades bitwise against its standalone component oracle, composed
+    verbatim in oracle_sql. Generic (part, q, nb, rank, i1, x1) layout:
+    i1 carries N4's exact-int ADC distances, x1 the N1-N3 cosines.
+    Components stay registered at 51+ and mirror-graded."""
+    i64 = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    neg1 = F.lit(-1).cast("bigint")
+
+    def cos_part(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            F.lit(p).alias("part"), i64("query_id").alias("q"),
+            i64("neighbor_id").alias("nb"), i64("rank").alias("rank"),
+            neg1.alias("i1"), F.col("cosine").cast("double").alias("x1"))
+
+    def adc_part(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            F.lit(p).alias("part"), i64("query_id").alias("q"),
+            i64("neighbor_id").alias("nb"), i64("rank").alias("rank"),
+            i64("dist").alias("i1"),
+            F.lit(-1.0).cast("double").alias("x1"))
+
+    n4x = _q_ivf_pq_index(spark, sf_dir).select(
+        F.lit("n4x").alias("part"), i64("vec_id").alias("q"),
+        i64("cid").alias("nb"), i64("s").alias("rank"),
+        i64("code").alias("i1"), F.lit(-1.0).cast("double").alias("x1"))
+    out = cos_part(_q_cosine_topk(spark, sf_dir), "n1")
+    for p in [cos_part(_q_lsh_ann(spark, sf_dir), "n2"),
+              cos_part(_q_lsh_ann_distributed(spark, sf_dir), "n2d"),
+              cos_part(_q_ivf_ann(spark, sf_dir), "n3"),
+              cos_part(_q_ivf_ann_distributed(spark, sf_dir), "n3d"),
+              adc_part(_q_pq_topk(spark, sf_dir), "n4p"),
+              adc_part(_q_ivf_pq_topk(spark, sf_dir), "n4i"),
+              adc_part(_q_ivf_pq_probe(spark, sf_dir), "n4s"),
+              n4x]:
+        out = out.unionByName(p)
+    return out
+
+
+_QUERY_SCOPE: "dedup.PersistScope | None" = None
+
+
+def _scoped(fn: Callable[[SparkSession, str], DataFrame]
+            ) -> Callable[[SparkSession, str], DataFrame]:
+    """Bound the cache footprint of a sequential queries() sweep.
+
+    The dedup/similarity operators persist multiply-referenced
+    intermediates; a driver evaluating all 165 keys in ONE session used
+    to accumulate those blocks until heap pressure (observed: OOM at
+    key ~112 under a 1 GiB default driver). Each wrapped query now
+    releases the PREVIOUS query's PersistScope and registers its own
+    persists in a fresh one — the scope stays alive after the function
+    returns (the driver evaluates the returned frame next, and the
+    cached subtrees serve that evaluation), and is reclaimed when the
+    next query is constructed. At most one query's intermediates are
+    ever cached; released frames recompute correctly if re-evaluated."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _QUERY_SCOPE
+        if _QUERY_SCOPE is not None:
+            _QUERY_SCOPE.release()
+        _QUERY_SCOPE = dedup.PersistScope()
+        prev = dedup.PersistScope._active
+        dedup.PersistScope._active = _QUERY_SCOPE
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            dedup.PersistScope._active = prev
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver grades the FIRST 50 keys.
     Positions 1-50 are chosen so every SURVEY §2 operator has a graded
@@ -3906,8 +4040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row). Positions 51+ are strategy variants and the merged suites'
     components — still run by tests/test_entry_oracle.py, and the window
     composition is pinned by
-    test_grading_window_covers_every_operator_family."""
-    return {
+    test_grading_window_covers_every_operator_family.
+
+    Every entry is wrapped by :func:`_scoped`, which bounds the cache
+    footprint of a sequential full-registry sweep to ONE query's
+    persisted intermediates (see its docstring)."""
+    d = {
         # -- windows (W1-W11) ------------------------------- 1-7
         # W3+W4 share one graded row (merged suite) so the window can also
         # grade the W9-W11+FM2 profile/audit suite without losing coverage
@@ -3956,6 +4094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profet_features_sql_slice": _q_profet_sql_slice,
         "profet_caption_features": _q_profet_features,
         "image_snapshot_pipeline": _q_image_pipeline,
+        # hash-graded slice of the image pipeline vs frozen
+        # direct-from-pixels goldens (round 5 — codec roundtrip +
+        # Arrow plumbing + stats + drift window, bitwise)
+        "image_features_sql_slice": _q_image_slice,
         "multimodal_resize_pipeline": _q_multimodal,
         # -- text analysis (T1-T5) -------------------------- 35
         "t1t5_textstats": _q_textstats_suite,
@@ -3983,10 +4125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- composed end-to-end pipeline (FM→FM5→FE1→FE2) --
         # the "assemble a leakage-safe training set" integration row
         "e2e_training_pipeline": _q_e2e_training_pipeline,
-        # -- ANN (N1-N3) ------------------------------------
-        "n1_cosine_topk": _q_cosine_topk,
-        "n2_lsh_ann": _q_lsh_ann,
-        "n3_ivf_ann": _q_ivf_ann,
+        # -- ANN (N1-N4, round 5 merged: exact/LSH/IVF + both
+        # distributed twins + PQ/IVF-PQ/index/serving probe) --
+        "n1n4_ann_suite": _q_n1n4_ann_suite,
+        # D11 incremental ingest-vs-store near-dup, standalone driver
+        # row (r4 marked it weak pending the plan pin — now green)
+        "d11_incremental_dedup": _q_incremental_dedup,
         # -- sources / sinks (S1, S4, S7, S8+S9) ------------
         "s1_partition_pruned_scan": _q_partition_pruned_scan,
         "s4_feature_roundtrip": _q_feature_roundtrip,
@@ -4044,7 +4188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_dup_lsh": _q_embedding_dup_lsh,
         # D9 SemDeDup standalone (graded via d5_embedding_suite 'sem-*')
         "d9_semantic_dedup": _q_semantic_dedup,
-        # N4 product-quantization ADC top-k (mirror-graded, bit-exact)
+        # ANN components (graded in-window via n1n4_ann_suite)
+        "n1_cosine_topk": _q_cosine_topk,
+        "n2_lsh_ann": _q_lsh_ann,
+        "n3_ivf_ann": _q_ivf_ann,
         "n4_pq_topk": _q_pq_topk,
         "n4_ivf_pq_topk": _q_ivf_pq_topk,
         "n4_ivf_pq_index": _q_ivf_pq_index,
@@ -4080,11 +4227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_cube": _q_cube,
         "j2_star_dims": _q_star_dims,
         "a9_part_stats": _q_part_stats,
-        # D3/D6 components (graded together via d3d6_lsh_dedup above)
+        # D3/D6 components (graded together via d3d6_lsh_dedup above;
+        # D11 now holds its own in-window row)
         "d3_minhash_lsh": _q_minhash_lsh,
-        # D11 incremental ingest-vs-store dedup (graded in-window via
-        # d3d6_lsh_dedup part d11)
-        "d11_incremental_dedup": _q_incremental_dedup,
         "d6_dup_clusters": _q_dup_clusters,
         # remaining §2.9 streaming twins (tumbling/session/stateful-asof
         # are graded in the top 50; these two are mirror-graded)
@@ -4164,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A3 image variant: k-mer spectrum over the phash nibble stream
         "a3_phash_nibble_ngrams": _q_phash_nibble_ngrams,
     }
+    return {k: _scoped(v) for k, v in d.items()}
 
 
 # --------------------------------------------------- oracle SQL builders
@@ -5072,35 +5218,35 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(ts AS DATE) >= DATE '{_S12_CUTOFF}'
     """
     d["s8s9_store_maintenance"] = f"""
-        SELECT 's8' AS part, event_id, user_id, ts, val
+        SELECT 's8' AS part, event_id, user_id, ts, val, '' AS s
         FROM ({d['s8_upsert_merge']})
         UNION ALL
-        SELECT 's9', event_id, user_id, ts, val
+        SELECT 's9', event_id, user_id, ts, val, ''
         FROM ({d['s9_compaction']})
         UNION ALL
-        SELECT 's10n', event_id, user_id, ts, CAST(w3_n AS DOUBLE)
+        SELECT 's10n', event_id, user_id, ts, CAST(w3_n AS DOUBLE), ''
         FROM ({d['s10_incremental_backfill']})
         UNION ALL
-        SELECT 's10s', event_id, user_id, ts, CAST(w3_sum AS DOUBLE)
+        SELECT 's10s', event_id, user_id, ts, CAST(w3_sum AS DOUBLE), ''
         FROM ({d['s10_incremental_backfill']})
         UNION ALL
-        SELECT 's12', event_id, user_id, ts, val
+        SELECT 's12', event_id, user_id, ts, val, ''
         FROM ({d['s12_retention']})
         UNION ALL
-        SELECT 's13tt', event_id, user_id, ts, val
+        SELECT 's13tt', event_id, user_id, ts, val, ''
         FROM ({d['s13_versioned_store']}) WHERE part = 'tt'
         UNION ALL
-        SELECT 's13v4', event_id, user_id, ts, val
+        SELECT 's13v4', event_id, user_id, ts, val, ''
         FROM ({d['s13_versioned_store']}) WHERE part = 'v4'
         UNION ALL
-        SELECT 's13src', event_id, user_id, ts, val
+        SELECT 's13src', event_id, user_id, ts, val, ''
         FROM ({d['s13_versioned_store']})
         WHERE part = 'v4' AND src = 'late'
         UNION ALL
-        SELECT 's13rb', event_id, user_id, ts, val
+        SELECT 's13rb', event_id, user_id, ts, val, ''
         FROM ({d['s13_versioned_store']}) WHERE part = 'rb'
         UNION ALL
-        SELECT 's13st', event_id, user_id, ts, val
+        SELECT 's13st', event_id, user_id, ts, val, ''
         FROM ({d['st_s13_append_stream']})
     """
     # §2.9 merged streaming suites: each part grades against the SAME
@@ -5394,6 +5540,20 @@ def oracle_sql() -> dict[str, str]:
                text || ', "q"' || chr(10) || 'line2 \\tail' AS text,
                lang, source, n_chars
         FROM documents"""
+    # ... folded into the store-maintenance suite (round 5): the string
+    # payload rides the suite's `s` column as a \x1f-joined tuple
+    d["s8s9_store_maintenance"] += f"""
+        UNION ALL
+        SELECT 's1bj', CAST(doc_id AS BIGINT), CAST(n_chars AS BIGINT),
+               CAST(NULL AS TIMESTAMP), CAST(-1.0 AS DOUBLE),
+               concat_ws(chr(31), text, lang, source)
+        FROM ({d['s1b_ingest_roundtrip']})
+        UNION ALL
+        SELECT 's1bc', CAST(doc_id AS BIGINT), CAST(n_chars AS BIGINT),
+               CAST(NULL AS TIMESTAMP), CAST(-1.0 AS DOUBLE),
+               concat_ws(chr(31), text, lang, source)
+        FROM ({d['s1b_ingest_csv_roundtrip']})
+    """
     # P7: same weight/bucket literals via _p7_oracle_sql
     d["p7_mixture_weights"] = _p7_oracle_sql()
     # A10+A11 merged suite: both agg oracles composed verbatim, tagged
@@ -5463,6 +5623,15 @@ def oracle_sql() -> dict[str, str]:
              ON p.period_a = i.period_a AND p.period_b = i.period_b
     """
     d["st_a17_retention_stream"] = d["a17_theta_retention"]
+    # ... and folded into the driver-graded profile suite (round 5)
+    d["st_profile_suite"] += f"""
+        UNION ALL
+        SELECT 'a17', CAST(period_a AS BIGINT), CAST(NULL AS TIMESTAMP),
+               CAST(period_b AS VARCHAR), CAST(n_a AS BIGINT),
+               CAST(n_b AS BIGINT), CAST(retained AS BIGINT),
+               CAST(churned AS BIGINT), CAST(fresh AS DOUBLE)
+        FROM ({d['st_a17_retention_stream']})
+    """
     d["a10a11_agg_suite"] = f"""
         SELECT 'a10' AS part, lang AS s1, '' AS s2, '' AS s3,
                CAST(n_docs AS BIGINT) AS i1,
@@ -5708,6 +5877,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(i3 AS BIGINT), CAST(-1 AS BIGINT)
         FROM ({d['dq3_join_preflight']})
     """
+    # Image-tier SQL slice (round 5): frozen direct-from-pixels goldens
+    # (BENCH/freeze_image_goldens.py) + the hamming-drift window
+    # recomputed in SQL from the stored phash column — grades the codec
+    # roundtrip, the Arrow decode plumbing, and the C8+W3 drift window
+    d["image_features_sql_slice"] = """
+        SELECT image_id, ts, w, h, fmt, phash,
+               g_lum_mean AS lum_mean, g_lum_var AS lum_var,
+               g_edge_density AS edge_density,
+               g_rowprof_mean AS rowprof_mean,
+               g_phash_dct AS phash_dct,
+               CASE WHEN prev IS NULL THEN NULL
+                    ELSE CAST(bit_count(xor(phash, prev)) AS INTEGER)
+               END AS phash_hamming_prev
+        FROM (SELECT *, lag(phash) OVER (
+                  PARTITION BY image_id ORDER BY ts) AS prev
+              FROM read_parquet(
+                  '/root/repo/BENCH/fixtures/image_slice_golden.parquet'))
+    """
+    # N1-N4 merged ANN suite (round 5): every part composed verbatim
+    # from its standalone component oracle — the serving probe (n4s)
+    # deliberately grades against the SAME SQL as the in-memory IVF-PQ
+    # build, and the index part (n4x) exposes every code byte.
+    _ann_cos = """
+        SELECT '{p}' AS part, CAST(query_id AS BIGINT) AS q,
+               CAST(neighbor_id AS BIGINT) AS nb, CAST(rank AS BIGINT) AS rank,
+               CAST(-1 AS BIGINT) AS i1, CAST(cosine AS DOUBLE) AS x1
+        FROM ({sql})"""
+    _ann_adc = """
+        SELECT '{p}' AS part, CAST(query_id AS BIGINT) AS q,
+               CAST(neighbor_id AS BIGINT) AS nb, CAST(rank AS BIGINT) AS rank,
+               CAST(dist AS BIGINT) AS i1, CAST(-1.0 AS DOUBLE) AS x1
+        FROM ({sql})"""
+    d["n1n4_ann_suite"] = " UNION ALL ".join(
+        [_ann_cos.format(p=p, sql=d[k]) for p, k in
+         [("n1", "n1_cosine_topk"), ("n2", "n2_lsh_ann"),
+          ("n2d", "n2_lsh_ann_distributed"), ("n3", "n3_ivf_ann"),
+          ("n3d", "n3_ivf_ann_distributed")]]
+        + [_ann_adc.format(p=p, sql=d[k]) for p, k in
+           [("n4p", "n4_pq_topk"), ("n4i", "n4_ivf_pq_topk"),
+            ("n4s", "n4_ivf_pq_probe")]]
+        + [f"""
+        SELECT 'n4x' AS part, CAST(vec_id AS BIGINT) AS q,
+               CAST(cid AS BIGINT) AS nb, CAST(s AS BIGINT) AS rank,
+               CAST(code AS BIGINT) AS i1, CAST(-1.0 AS DOUBLE) AS x1
+        FROM ({d['n4_ivf_pq_index']})"""])
     return d
 
 

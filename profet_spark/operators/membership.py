@@ -76,6 +76,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import BooleanType
 
 __all__ = ["BloomFilter", "build_bloom", "bloom_prune",
@@ -174,6 +175,58 @@ def _cols(on: str | Sequence[str]) -> list[str]:
     return cols
 
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType)
+
+
+def _common_hash_type(lt: T.DataType, rt: T.DataType) -> T.DataType | None:
+    """The type BOTH sides must be cast to before ``xxhash64`` so the
+    build and probe hash identical bit patterns for join-equal keys.
+
+    ``xxhash64`` is TYPE-SENSITIVE (an int32 ``5`` and an int64 ``5``
+    hash differently) while Spark's equi-join coerces both sides to a
+    common type — so hashing each side's native type is a Bloom
+    false-NEGATIVE factory whenever the dtypes differ. Returns ``None``
+    when the types already match (no cast), the coerced numeric type
+    when Spark's own join coercion is representable here (integral ×
+    integral → bigint; any numeric mix → double, which matches the
+    join's equality exactly — two keys equal under the coerced join iff
+    equal as doubles — so precision loss above 2^53 merely merges keys
+    the JOIN also merges, a phantom member the exact tier repairs), and
+    raises for any other differing pair rather than risk silent false
+    negatives."""
+    if lt == rt:
+        return None
+    if isinstance(lt, _INTEGRAL) and isinstance(rt, _INTEGRAL):
+        return T.LongType()
+    if isinstance(lt, _NUMERIC) and isinstance(rt, _NUMERIC):
+        return T.DoubleType()
+    raise ValueError(
+        f"membership: left/right key dtypes {lt.simpleString()} vs "
+        f"{rt.simpleString()} differ and are not a supported numeric "
+        f"coercion — cast the keys to a common type before the bloom "
+        f"join (hashing them as-is would produce false negatives)")
+
+
+def _join_cast_types(left: DataFrame, right: DataFrame,
+                     lcols: Sequence[str],
+                     rcols: Sequence[str]) -> list[T.DataType | None]:
+    return [_common_hash_type(left.schema[lc].dataType,
+                              right.schema[rc].dataType)
+            for lc, rc in zip(lcols, rcols)]
+
+
+def _hash_exprs(cols: Sequence[str],
+                cast_types: Sequence[T.DataType | None] | None):
+    """The per-column expressions fed to ``xxhash64`` — the stored
+    columns are NEVER rewritten (output schemas stay byte-identical to
+    the plain joins); only the hash input is coerced."""
+    if cast_types is None:
+        return [F.col(c) for c in cols]
+    return [F.col(c).cast(t) if t is not None else F.col(c)
+            for c, t in zip(cols, cast_types)]
+
+
 def _key_pair(on, right_on) -> tuple[list[str], list[str]]:
     """Normalize (on, right_on) to equal-length column lists — a silent
     zip-truncation here would make the build and probe hash DIFFERENT
@@ -206,7 +259,9 @@ def _all_not_null(cols: Sequence[str]):
 def build_bloom(keys: DataFrame, on: str | Sequence[str], *,
                 expected: int | None = None,
                 fpp: float = 0.01,
-                max_bits: int = _MAX_BITS_DEFAULT) -> BloomFilter:
+                max_bits: int = _MAX_BITS_DEFAULT,
+                cast_types: Sequence[T.DataType | None] | None = None
+                ) -> BloomFilter:
     """Distributed Bloom build over ``keys[on]`` — a single column or a
     COMPOSITE key (list of columns, hashed together by the same
     multi-argument ``xxhash64`` the probe uses). Rows with a NULL in
@@ -227,7 +282,8 @@ def build_bloom(keys: DataFrame, on: str | Sequence[str], *,
     cols = _cols(on)
     kdf = (keys.select(*[F.col(c) for c in cols])
            .where(_all_not_null(cols))
-           .select(F.xxhash64(*cols).alias(_KEY64)))
+           .select(F.xxhash64(*_hash_exprs(cols, cast_types))
+                   .alias(_KEY64)))
     if expected is None:
         expected = kdf.count()
     m_bits, k = _size_filter(expected, fpp, max_bits)
@@ -268,7 +324,8 @@ def build_bloom(keys: DataFrame, on: str | Sequence[str], *,
 
 
 def _membership_col(spark: SparkSession, bloom: BloomFilter,
-                    on: str | Sequence[str]):
+                    on: str | Sequence[str],
+                    cast_types: Sequence[T.DataType | None] | None = None):
     """``might_contain(on)`` as a Column: bitmap via a SparkContext
     broadcast (one copy per executor, not per task), probed by an
     Arrow-batched pandas_udf over the JVM-computed ``xxhash64(on...)``
@@ -287,14 +344,21 @@ def _membership_col(spark: SparkSession, bloom: BloomFilter,
         return pd.Series(flt.might_contain_np(key64.to_numpy(np.int64)))
 
     cols = _cols(on)
-    return _all_not_null(cols) & _might_contain(F.xxhash64(*cols))
+    return _all_not_null(cols) & _might_contain(
+        F.xxhash64(*_hash_exprs(cols, cast_types)))
 
 
 def bloom_prune(df: DataFrame, bloom: BloomFilter,
-                on: str | Sequence[str]) -> DataFrame:
+                on: str | Sequence[str], *,
+                cast_types: Sequence[T.DataType | None] | None = None
+                ) -> DataFrame:
     """Keep rows whose ``on`` MIGHT be in the filter — a SUPERSET of the
-    true members, produced with no shuffle (map-side Filter only)."""
-    return df.where(_membership_col(df.sparkSession, bloom, on))
+    true members, produced with no shuffle (map-side Filter only).
+    ``cast_types`` must repeat whatever coercion the filter was BUILT
+    with (``xxhash64`` is type-sensitive — see
+    :func:`_common_hash_type`)."""
+    return df.where(_membership_col(df.sparkSession, bloom, on,
+                                    cast_types))
 
 
 def bloom_semi_join(left: DataFrame, right: DataFrame,
@@ -307,9 +371,10 @@ def bloom_semi_join(left: DataFrame, right: DataFrame,
     the exact join. Bit-for-bit equal to
     ``left.join(right, left[on]==right[right_on], 'left_semi')``."""
     lcols, rcols = _key_pair(on, right_on)
+    casts = _join_cast_types(left, right, lcols, rcols)
     bloom = build_bloom(right, rcols, expected=expected, fpp=fpp,
-                        max_bits=max_bits)
-    pruned = bloom_prune(left, bloom, lcols)
+                        max_bits=max_bits, cast_types=casts)
+    pruned = bloom_prune(left, bloom, lcols, cast_types=casts)
     return pruned.join(_right_keys(right, lcols, rcols), lcols,
                        "left_semi")
 
@@ -330,9 +395,10 @@ def bloom_anti_join(left: DataFrame, right: DataFrame,
     scans with pushed filters beat one full-table shuffle. Callers that
     prefer one pass can persist ``left`` first."""
     lcols, rcols = _key_pair(on, right_on)
+    casts = _join_cast_types(left, right, lcols, rcols)
     bloom = build_bloom(right, rcols, expected=expected, fpp=fpp,
-                        max_bits=max_bits)
-    member = _membership_col(left.sparkSession, bloom, lcols)
+                        max_bits=max_bits, cast_types=casts)
+    member = _membership_col(left.sparkSession, bloom, lcols, casts)
     sure_out = left.where(~member | ~_all_not_null(lcols))
     maybe = left.where(member)
     return sure_out.unionByName(

@@ -142,13 +142,18 @@ def test_grading_window_covers_every_operator_family():
         # filters / scalars / set ops (C6+C8+C9 merged round 4)
         "f1_doc_filter", "f5_terminal_composition", "c5c7_event_scalars",
         "c6c9_scalar_suite", "o4o5_setops_topk",
-        # UDF kernels / pipelines
+        # UDF kernels / pipelines (+ the round-5 image-tier SQL slice:
+        # codec roundtrip + stats + drift window vs frozen
+        # direct-from-pixels goldens, hash-graded)
         "profet_features_sql_slice", "profet_caption_features",
-        "image_snapshot_pipeline", "multimodal_resize_pipeline",
-        # text / corpus / dedup / ANN tiers
+        "image_snapshot_pipeline", "image_features_sql_slice",
+        "multimodal_resize_pipeline",
+        # text / corpus / dedup / ANN tiers (round 5: N1-N4 + both
+        # distributed twins + PQ/IVF-PQ/index/serving merged into one
+        # suite; D11 standalone row)
         "t1t5_textstats", "p1p4_corpus_suite", "d1d7_exact_dedup",
         "d2_ngram_jaccard", "d3d6_lsh_dedup", "d4d8_hamming",
-        "d5_embedding_suite", "n1_cosine_topk", "n2_lsh_ann", "n3_ivf_ann",
+        "d5_embedding_suite", "n1n4_ann_suite", "d11_incremental_dedup",
         # sources / sinks (S8+S9 graded via the maintenance suite,
         # round 4; S13/S14 versioned snapshots + schema evolution + the
         # exactly-once streaming sink graded via the same suite's

@@ -281,3 +281,56 @@ def test_key_list_validation(spark):
         mb.bloom_anti_join(probe, build, ["a", "b"], right_on=["x"])
     with pytest.raises(ValueError, match="non-empty"):
         mb.build_bloom(build, [])
+
+
+def test_mixed_key_dtypes_coerce_before_hashing(spark):
+    """ADVICE r4 (high): xxhash64 is type-sensitive — int32 ``5`` and
+    int64 ``5`` hash differently — while the plain equi-join coerces,
+    so hashing native dtypes made every cross-dtype key a Bloom false
+    negative (semi lost true members; anti leaked them into sure_out).
+    The joins must now coerce the hash input (never the stored
+    columns) and stay bit-for-bit equal to the plain joins."""
+    probe = spark.range(200).select(
+        F.col("id").cast("int").alias("k"),        # int32 probe
+        F.col("id").alias("payload"))
+    build = spark.createDataFrame(
+        [Row(k=int(i)) for i in range(0, 60, 2)])  # int64 build
+    assert dict(probe.dtypes)["k"] == "int"
+    assert dict(build.dtypes)["k"] == "bigint"
+
+    want_semi = probe.join(build.distinct(), "k", "left_semi")
+    want_anti = probe.join(build.distinct(), "k", "left_anti")
+    got_semi = mb.bloom_semi_join(probe, build, "k")
+    got_anti = mb.bloom_anti_join(probe, build, "k")
+    assert want_semi.count() == 30  # the regression returned 0 here
+    assert _rows(got_semi, "k", "payload") == _rows(want_semi, "k",
+                                                    "payload")
+    assert _rows(got_anti, "k", "payload") == _rows(want_anti, "k",
+                                                    "payload")
+    # output schema is the PROBE's schema, untouched by the coercion
+    assert got_semi.schema == want_semi.schema
+
+
+def test_mixed_numeric_key_dtypes_coerce_to_double(spark):
+    """int64 probe vs double build: both hash through double — exactly
+    the coercion the plain join applies — so equality survives."""
+    probe = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").alias("payload"))
+    build = spark.createDataFrame(
+        [Row(kd=float(i)) for i in range(0, 40, 4)])
+    want = probe.join(build.distinct(),
+                      probe["k"] == build["kd"], "left_semi")
+    got = mb.bloom_semi_join(probe, build, "k", right_on="kd")
+    assert _rows(got, "payload") == _rows(want, "payload")
+    assert got.count() == 10
+
+
+def test_incompatible_key_dtypes_raise(spark):
+    """string vs int has no safe hash coercion here — raise loudly
+    instead of risking silent false negatives."""
+    probe = spark.createDataFrame([Row(k="5", v=1)])
+    build = spark.createDataFrame([Row(k=5)])
+    with pytest.raises(ValueError, match="dtypes"):
+        mb.bloom_semi_join(probe, build, "k")
+    with pytest.raises(ValueError, match="dtypes"):
+        mb.bloom_anti_join(probe, build, "k")

@@ -260,3 +260,30 @@ def test_image_corpus_to_batch_plan(spark, tmp_path):
         assert 0 <= r.crop_x <= max(r.w - 8, 0)
         assert 0 <= r.crop_y <= max(r.h - 8, 0)
         assert r.flip in (0, 1)
+
+
+def test_image_slice_goldens_reproducible():
+    """The committed BENCH/fixtures/image_slice_golden.parquet must be
+    re-derivable from the seeded fixture + raw pixel arrays (no codec
+    in the freeze path) — a drifted fixture or stats change has to show
+    up HERE, not as a silent driver hash mismatch."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "freeze_image_goldens",
+        os.path.join(root, "BENCH", "freeze_image_goldens.py"))
+    frz = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(frz)
+    want = frz.build()
+    got = pd.read_parquet(
+        os.path.join(root, "BENCH", "fixtures",
+                     "image_slice_golden.parquet"))
+    assert len(got) == len(want) == 503
+    for c in want.columns:
+        a = got[c].to_numpy()
+        b = want[c].to_numpy()
+        assert (a == b).all(), f"golden column {c} drifted"
