@@ -75,6 +75,11 @@ def main() -> None:
       fan-out would show for the bandwidth-bound descriptor kernel.
     """
     runs = int(os.environ.get("SCALING_RUNS", "3"))
+    # --out guards the committed per-round records (same convention as
+    # run_weak_scaling.py): an unnamed rerun once clobbered history
+    out_name = "scaling.json"
+    if "--out" in sys.argv:
+        out_name = sys.argv[sys.argv.index("--out") + 1]
     zpath = build_zip()
     levels = {c: run_level(c, zpath, runs) for c in (2, 8, 32)}
     eff_2_8 = (levels[8]["rows_per_sec"] / levels[2]["rows_per_sec"]) / 4.0
@@ -87,7 +92,7 @@ def main() -> None:
         "passes_2_to_8": eff_2_8 >= 0.8,
         "passes_8_to_32": eff_8_32 >= 0.8,
     }
-    with open(os.path.join(BENCH, "scaling.json"), "w") as f:
+    with open(os.path.join(BENCH, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -3994,6 +3994,39 @@ def _q_n1n4_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 D11 streaming twin (round 5,
+    streaming/dedup_stream.ingest_stream): the documents corpus split
+    into two parquet files, drained as streaming micro-batches — each
+    batch signatured once, near-dup-detected against the accumulating
+    signature store (never re-shingling it), its signatures upserted
+    (S8), its pairs + lineage/metrics marker committed exactly-once.
+    The UNION of the per-batch pair outputs is precisely the FULL batch
+    D3 pair set over the ingested corpus (batch-internal pairs land
+    with their batch, cross-batch pairs with the later one, none twice)
+    — so this streaming composition grades bitwise against the plain
+    d3_minhash_lsh oracle, whatever the trigger file order."""
+    import tempfile
+
+    from profet_spark.streaming import ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="st_d11_src_")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+    store = tempfile.mkdtemp(prefix="st_d11_store_") + "/store"
+    pairs_dir = tempfile.mkdtemp(prefix="st_d11_pairs_")
+    ck = tempfile.mkdtemp(prefix="st_d11_ck_")
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = ingest_stream(stream, store, pairs_dir, ck)
+    q.awaitTermination(600)
+    return spark.read.parquet(pairs_dir).select(
+        "id_a", "id_b", "inter", "na", "nb", "jaccard")
+
+
 _QUERY_SCOPE: "dedup.PersistScope | None" = None
 
 
@@ -4033,13 +4066,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Positions 1-50 are chosen so every SURVEY §2 operator has a graded
     representative (merged suites cover A1-A3, A4+A5, A7+A8, A12-A14,
     T1-T5, P6+T6 (hygiene), C5+C7, C6+C8+C9, O4+O5, W3+W4, J4+J5,
-    W9-W12+FM2-FE2, S8+S9, and the eleven §2.9 streaming twins — three
-    standalone plus the profile and curation stream suites — in one row
-    each; e2e_training_pipeline is the composed FM→FM5→FE1→FE2
-    integration row; image_curation_pipeline is the rows-only image-gate
-    row). Positions 51+ are strategy variants and the merged suites'
-    components — still run by tests/test_entry_oracle.py, and the window
-    composition is pinned by
+    W9-W12+FM2-FE2, S8-S14+S1b (store maintenance incl. the round-5
+    JSONL/CSV ingest parts), N1-N4 (the round-5 nine-part ANN suite:
+    exact/LSH/IVF + distributed twins + PQ/IVF-PQ/index/serving probe),
+    and the §2.9 streaming twins — three standalone plus the profile
+    (round 5: + st_a17 retention part) and curation stream suites — in
+    one row each; e2e_training_pipeline is the composed FM→FM5→FE1→FE2
+    integration row; d11_incremental_dedup holds its own round-5 row;
+    image_features_sql_slice hash-grades the image pipeline against
+    frozen direct-from-pixels goldens; image_curation_pipeline is the
+    rows-only image-gate row). Positions 51+ are strategy variants,
+    the merged suites' components, and the round-5 st_d11 streaming
+    ingest twin — still run by tests/test_entry_oracle.py, and the
+    window composition is pinned by
     test_grading_window_covers_every_operator_family.
 
     Every entry is wrapped by :func:`_scoped`, which bounds the cache
@@ -4234,6 +4273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining §2.9 streaming twins (tumbling/session/stateful-asof
         # are graded in the top 50; these two are mirror-graded)
         "st_f3_dedup_stream": _q_stream_dedup,
+        # D11 streaming twin (round 5): micro-batch ingest + signature
+        # store maintenance; union of per-batch pairs == batch D3
+        "st_d11_ingest_stream": _q_stream_ingest_dedup,
         "st_w7_sliding_stream": _q_stream_sliding,
         "st_w11_drift_stream": _q_stream_drift,
         "st_w12_decay_stream": _q_stream_decayed,
@@ -5050,6 +5092,10 @@ def oracle_sql() -> dict[str, str]:
     d["p9_vocab_topk"] = _p9_oracle_sql()
     # streaming twins: graded against the SAME SQL as their batch ops
     d["st_f3_dedup_stream"] = "SELECT DISTINCT user_id, ts FROM events"
+    # D11 streaming twin: the per-batch pair union over a parity split
+    # of documents IS the full batch D3 pair set (see the query's
+    # docstring), so the batch oracle grades it verbatim
+    d["st_d11_ingest_stream"] = d["d3_minhash_lsh"]
     d["st_w7_sliding_stream"] = (
         f"SELECT user_id, win_start, n FROM ({d['w7_sliding']})")
     # N4 PQ ADC top-k: exact-int approximate result (see the builder)

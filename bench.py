@@ -360,6 +360,24 @@ def main():
                                      hash_strategy="xxhash64")
         return dedup.cut_spans(docs, spans)
 
+    def incremental_ingest(spark, sf_dir):
+        """D11 signature-store daily ingest (new in round 5): half the
+        corpus ingested as day 1 (store bootstrap: batch-internal pairs
+        + signature write), the other half as day 2 (batch-only
+        shingling against the day-1 materialized signatures + S8
+        footprint upsert). Fresh temp store per iteration so every run
+        pays both days' full write+detect cycle. Own stage key so
+        earlier-round totals stay comparable by summing shared keys."""
+        docs = (load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text").repartition(docs_parts))
+        store = tempfile.mkdtemp(prefix="bench_sigstore_")
+        dedup.signature_store_ingest(
+            spark, docs.where(F.col("doc_id") % 2 == 0), store,
+            ingest_ts="2025-01-01 00:00:00")
+        return dedup.signature_store_ingest(
+            spark, docs.where(F.col("doc_id") % 2 == 1), store,
+            ingest_ts="2025-01-02 00:00:00")
+
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir, ev_parts),
         "profile_features": lambda: profile_features(spark, sf_dir),
@@ -376,6 +394,7 @@ def main():
         "versioned_store": lambda: versioned_store(spark, sf_dir),
         "span_dedup": lambda: span_dedup(spark, sf_dir),
         "retention_rollup": lambda: retention_rollup(spark, sf_dir),
+        "incremental_ingest": lambda: incremental_ingest(spark, sf_dir),
     }
     # warm-up (untimed): exercise shuffle + window + Python-worker startup
     # on small slices so the first timed stage isn't paying JVM cold-start

@@ -3,6 +3,10 @@
 a streaming twin with matching semantics (verified in tests/test_streaming.py
 by running both on the same rows)."""
 
+from profet_spark.streaming.dedup_stream import (  # noqa: F401
+    committed_batches,
+    ingest_stream,
+)
 from profet_spark.streaming.temporal_stream import (  # noqa: F401
     dedup_within_watermark,
     read_parquet_stream,

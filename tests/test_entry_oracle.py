@@ -26,7 +26,11 @@ import pytest
 # join-preflight, dHash, and the a17m merged-theta part — 164 keys /
 # 167 tests at each SF, full suite 696 passed / 1 skipped; and at the
 # session-7 FINAL HEAD with D11 incremental dedup + image near-dedup —
-# 165 keys / 168 tests at each SF, full suite 702 passed / 1 skipped)
+# 165 keys / 168 tests at each SF, full suite 702 passed / 1 skipped;
+# and at the ROUND-5 HEAD 2026-08-21 with the n1n4 ANN suite, the
+# image-features SQL slice, the s1b/st_a17 window parts, the D11
+# signature store + st_d11 streaming twin — 168 keys / 171 tests green
+# at sf0.001 AND sf0.01, full suite 717 passed / 1 skipped / 0 failed)
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")

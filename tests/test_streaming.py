@@ -830,3 +830,120 @@ def test_theta_rollup_stream_equals_batch_multi_batch(spark, sf_dir,
     cols = ["period_a", "period_b", "n_a", "n_b", "retained", "churned",
             "fresh"]
     assert _pdf(got.select(cols)).equals(_pdf(want.select(cols)))
+
+
+def test_ingest_stream_equals_batch_two_day_replay(spark, sf_dir,
+                                                   tmp_path_factory):
+    """D11 streaming twin (round 5): two micro-batches (one file per
+    trigger) through streaming.ingest_stream must produce the SAME
+    per-day pair sets and the SAME signature store as driving
+    signature_store_ingest by hand with the same splits."""
+    from profet_spark.operators import dedup
+    from profet_spark.sources import partitioned as P
+    from profet_spark.streaming import committed_batches, ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300).select("doc_id", "text")
+    day1 = docs.where(F.col("doc_id") % 3 == 0)
+    day2 = docs.where(F.col("doc_id") % 3 == 1)
+    src = str(tmp_path_factory.mktemp("d11_src"))
+    day1.coalesce(1).write.mode("overwrite").parquet(src)
+    import time as _t
+    _t.sleep(1.1)  # file source orders by mtime
+    day2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path_factory.mktemp("d11_store")) + "/store"
+    pairs_dir = str(tmp_path_factory.mktemp("d11_pairs"))
+    ck = str(tmp_path_factory.mktemp("d11_ck"))
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = ingest_stream(stream, store, pairs_dir, ck)
+    q.awaitTermination(300)
+
+    # batch control with identical splits
+    bstore = str(tmp_path_factory.mktemp("d11_bstore")) + "/store"
+    b1 = dedup.signature_store_ingest(
+        spark, day1, bstore, ingest_ts="2025-01-01 00:00:00",
+        persist=False).toPandas()
+    b2 = dedup.signature_store_ingest(
+        spark, day2, bstore, ingest_ts="2025-01-02 00:00:00",
+        persist=False).toPandas()
+    key = ["id_a", "id_b"]
+    for bid, want in [(0, b1), (1, b2)]:
+        got = spark.read.parquet(f"{pairs_dir}/batch={bid}").toPandas()
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        assert g[key + ["inter", "na", "nb"]].equals(
+            w[key + ["inter", "na", "nb"]]), f"batch {bid}"
+    # identical stores (signature rows bitwise)
+    srt = lambda d: d.sort_values("id").reset_index(drop=True)  # noqa: E731
+    ssig = srt(P.scan_pruned(spark, store + "/signatures",
+                             ts_col="ingest_ts", entity_col="id")
+               .select("id", "sig").toPandas())
+    bsig = srt(P.scan_pruned(spark, bstore + "/signatures",
+                             ts_col="ingest_ts", entity_col="id")
+               .select("id", "sig").toPandas())
+    assert len(ssig) == len(bsig)
+    assert all(list(a) == list(b) for a, b in zip(ssig.sig, bsig.sig))
+    # lineage + metrics markers (north rule: resumable with metrics)
+    rec = committed_batches(store)
+    assert set(rec) == {0, 1}
+    assert rec[0]["rows"] == day1.count()
+    assert rec[1]["n_pairs"] == len(b2)
+
+
+def test_ingest_stream_crash_replay_is_idempotent(spark, sf_dir,
+                                                  tmp_path_factory):
+    """Replaying committed batches (fresh checkpoint, same store) must
+    not change the store or the pair outputs — the marker short-cut AND
+    the by-construction idempotence both hold."""
+    import os
+
+    from profet_spark.sources import partitioned as P
+    from profet_spark.streaming import ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 150).select("doc_id", "text")
+    src = str(tmp_path_factory.mktemp("d11r_src"))
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    store = str(tmp_path_factory.mktemp("d11r_store")) + "/store"
+    pairs_dir = str(tmp_path_factory.mktemp("d11r_pairs"))
+
+    def run(ck):
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = ingest_stream(stream, store, pairs_dir, ck)
+        q.awaitTermination(300)
+
+    run(str(tmp_path_factory.mktemp("ck1")))
+    sig0 = (P.scan_pruned(spark, store + "/signatures",
+                          ts_col="ingest_ts", entity_col="id")
+            .select("id", "sig").toPandas().sort_values("id")
+            .reset_index(drop=True))
+    p0 = spark.read.parquet(pairs_dir + "/batch=0").toPandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    run(str(tmp_path_factory.mktemp("ck2")))  # fresh checkpoint => replay
+    sig1 = (P.scan_pruned(spark, store + "/signatures",
+                          ts_col="ingest_ts", entity_col="id")
+            .select("id", "sig").toPandas().sort_values("id")
+            .reset_index(drop=True))
+    p1 = spark.read.parquet(pairs_dir + "/batch=0").toPandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    assert len(sig0) == len(sig1) == docs.count()
+    assert all(list(a) == list(b) for a, b in zip(sig0.sig, sig1.sig))
+    assert p0[["id_a", "id_b", "inter"]].equals(p1[["id_a", "id_b", "inter"]])
+    # now FORCE the no-marker path: delete markers, replay again — the
+    # by-construction idempotence (upsert no-op + batch-wins anti-join)
+    # must hold without the short-cut
+    for f in os.listdir(store + "/_batches"):
+        os.remove(os.path.join(store, "_batches", f))
+    run(str(tmp_path_factory.mktemp("ck3")))
+    sig2 = (P.scan_pruned(spark, store + "/signatures",
+                          ts_col="ingest_ts", entity_col="id")
+            .select("id", "sig").toPandas().sort_values("id")
+            .reset_index(drop=True))
+    p2 = spark.read.parquet(pairs_dir + "/batch=0").toPandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    assert len(sig2) == len(sig0)
+    assert all(list(a) == list(b) for a, b in zip(sig0.sig, sig2.sig))
+    assert p0[["id_a", "id_b", "inter"]].equals(p2[["id_a", "id_b", "inter"]])
