@@ -1426,10 +1426,21 @@ def signature_store_ingest(spark, batch: DataFrame, store_dir: str, *,
                           F.col(text_col).alias("text"))
              .withColumn("ingest_ts", ts_lit))
     if P.read_spec(sig_dir) is not None:
+        # S8 with key_cols=['id'] runs the moved-key probe — a
+        # key-column-pruned scan of the WHOLE store — once per upsert
+        # (twice here). A moved key exists iff some batch id was
+        # already ingested, so probe that ONCE against the signature
+        # table we already read (narrow id column, broadcast batch-id
+        # semi join) and downgrade both upserts to the pure
+        # batch-footprint 'skip' mode in the common no-reingest case.
+        batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
+        reingested = (ssig.join(F.broadcast(batch_ids), "id",
+                                "left_semi").limit(1).count() > 0)
+        mode = "extend" if reingested else "skip"
         P.upsert_partitioned(spark, srows, sig_dir, key_cols=["id"],
-                             on_moved_keys="extend")
+                             on_moved_keys=mode)
         P.upsert_partitioned(spark, trows, txt_dir, key_cols=["id"],
-                             on_moved_keys="extend")
+                             on_moved_keys=mode)
     else:
         P.write_partitioned(srows, sig_dir, ts_col="ingest_ts",
                             entity_col="id", n_buckets=n_buckets)
