@@ -88,9 +88,59 @@ def build() -> pd.DataFrame:
     return out
 
 
+RESIZE_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fixtures", "resize_slice_golden.parquet")
+RESIZE_ENTITIES = 24
+RESIZE_WH = 8
+
+
+def build_resize() -> pd.DataFrame:
+    """Golden stats of the 8×8 nearest-neighbor resample of every
+    snapshot in the 24-entity multimodal fixture — computed from the
+    RAW pixel arrays (decode-free), same convention as :func:`build`.
+    The driver key `multimodal_resize_slice` proves
+    decode → _resize_nn → PPM re-encode → decode → stats reproduces
+    these bitwise."""
+    from profet_spark.functions.multimodal import _resize_nn
+
+    pdf = fixtures.make_fixture(n_entities=RESIZE_ENTITIES,
+                                img_sizes=(16, 32))
+    pdf = pdf.copy()
+    pdf["ver"] = pdf.groupby("image_id").cumcount()
+    stats = []
+    for r in pdf.itertuples():
+        arr = fixtures.pixel_array(r.image_id, int(r.ver),
+                                   int(r.w), int(r.h))
+        # _resize_nn's fancy indexing returns a non-contiguous view
+        # whose pairwise-summation order differs from the C-contiguous
+        # array the codec roundtrip yields (1-ulp drift in the means);
+        # the pipeline's layout is laundered through the PPM bytes, so
+        # freeze from the same C-contiguous layout
+        g = golden_stats(np.ascontiguousarray(
+            _resize_nn(arr, RESIZE_WH, RESIZE_WH)))
+        stats.append({"g_lum_mean": g["g_lum_mean"],
+                      "g_lum_var": g["g_lum_var"],
+                      "g_edge_density": g["g_edge_density"]})
+    return pd.concat(
+        [pdf[["image_id", "ts"]].reset_index(drop=True),
+         pd.DataFrame(stats)], axis=1)
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    rout = build_resize()
+    rschema = pa.schema([
+        ("image_id", pa.string()), ("ts", pa.timestamp("us")),
+        ("g_lum_mean", pa.float64()), ("g_lum_var", pa.float64()),
+        ("g_edge_density", pa.float64()),
+    ])
+    os.makedirs(os.path.dirname(RESIZE_OUT), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(rout, schema=rschema,
+                                        preserve_index=False),
+                   RESIZE_OUT, compression="snappy")
+    print(f"wrote {len(rout)} rows -> {RESIZE_OUT}")
 
     out = build()
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

@@ -970,6 +970,27 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_multimodal_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize tier, graded BITWISE (round 5): the REAL
+    pipeline — fixture → PNG/PPM encode → mapInPandas decode →
+    nearest-neighbor 8×8 resample → PPM re-encode → second decode →
+    pixel stats — against BENCH/fixtures/resize_slice_golden.parquet,
+    whose stats were frozen from _resize_nn over the RAW pre-encode
+    pixel arrays (no codec in the freeze path). A hash-green row
+    certifies BOTH codec roundtrips plus the resample plumbing bit for
+    bit; the video/audio kernels stay numpy-golden-pinned in
+    tests/test_multimodal.py."""
+    from profet_spark.functions import multimodal as mm
+
+    pdf = fixtures.make_fixture(n_entities=24, img_sizes=(16, 32))
+    df = fixtures.to_spark(spark, pdf).select(
+        "image_id", "ts", "bytes", "w", "h", "fmt")
+    resized = mm.resize_images(df, 8, 8)
+    return imgd.add_image_features(resized).select(
+        "image_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "w", "h", "fmt", "lum_mean", "lum_var", "edge_density")
+
+
 def _q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image curation gate (functions/image_descriptors.py curate_images):
     metadata tier (resolution/aspect/format — Catalyst predicates, bytes
@@ -1105,6 +1126,28 @@ def _q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "phash")
     latest = df.groupBy("image_id").agg(F.max_by("phash", "ts").alias("phash"))
     return dedup.phash_dup_pairs(latest, max_hamming=3, max_bucket=16)
+
+
+def _q_image_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8×D6 image keep-one near-dedup, graded BITWISE (round 5): the
+    full composition — uncapped pigeonhole hamming pairs (≤3 bits) on
+    the stored perceptual hash of each entity's latest snapshot →
+    connected components → keep-min-id anti-join
+    (dedup.drop_near_duplicate_images, stored-hash mode: bytes never
+    read) — against a DuckDB oracle that recomputes pairs with
+    bit_count(xor) and the components with a recursive CTE over the
+    SAME frozen fixture table the image slice grades against. The
+    fixture's collapsed average-hashes (hundreds of hamming-0 pairs)
+    make the cluster structure non-trivial. The capped production
+    variant (max_bucket=16 vs the planted mega-cluster) stays
+    rows-only as d8_phash_dup_pairs + numpy-asserted."""
+    pdf = fixtures.make_fixture(n_entities=80)
+    df = fixtures.to_spark(spark, pdf)
+    latest = df.groupBy("image_id").agg(
+        F.max_by("phash", "ts").alias("phash"))
+    kept = dedup.drop_near_duplicate_images(
+        latest, hash_col="phash", max_hamming=3, max_bucket=None)
+    return kept.select("image_id", "phash")
 
 
 def _q_exact_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4137,7 +4180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # direct-from-pixels goldens (round 5 — codec roundtrip +
         # Arrow plumbing + stats + drift window, bitwise)
         "image_features_sql_slice": _q_image_slice,
-        "multimodal_resize_pipeline": _q_multimodal,
+        # hash-graded slice of the resize tier vs frozen
+        # direct-from-pixels goldens (round 5; both codec roundtrips —
+        # supersedes the rows-only multimodal_resize_pipeline, which
+        # moves to 51+ and stays numpy-asserted)
+        "multimodal_resize_slice": _q_multimodal_slice,
         # -- text analysis (T1-T5) -------------------------- 35
         "t1t5_textstats": _q_textstats_suite,
         # -- corpus pipeline tier (P1-P4): split/sample/pack/tfidf in one
@@ -4256,6 +4303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_segment_dedup": _q_segment_dedup,
         "d8_fp_hamming": _q_fp_hamming,
         "d8_phash_dup_pairs": _q_phash_dup_pairs,
+        # D8×D6 image keep-one, bitwise vs the frozen fixture table
+        "d8_image_keep_one": _q_image_keep_one,
+        # rows-only multimodal pipeline (window slot taken over by the
+        # hash-graded multimodal_resize_slice in round 5)
+        "multimodal_resize_pipeline": _q_multimodal,
         "c5_date_scalars": _q_date_scalars,
         "c7_map_ops": _q_map_ops,
         "o4_set_ops": _q_set_ops,
@@ -5940,6 +5992,47 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY image_id ORDER BY ts) AS prev
               FROM read_parquet(
                   '/root/repo/BENCH/fixtures/image_slice_golden.parquet'))
+    """
+    # Multimodal resize slice (round 5): frozen direct-from-pixels
+    # goldens of the 8×8 nearest-neighbor resample's stats — grades
+    # decode → resample → re-encode → decode → stats bitwise
+    d["multimodal_resize_slice"] = """
+        SELECT image_id, ts, CAST(8 AS INTEGER) AS w,
+               CAST(8 AS INTEGER) AS h, 'ppm' AS fmt,
+               g_lum_mean AS lum_mean, g_lum_var AS lum_var,
+               g_edge_density AS edge_density
+        FROM read_parquet(
+            '/root/repo/BENCH/fixtures/resize_slice_golden.parquet')
+    """
+    # D8×D6 image keep-one (round 5): pairs via bit_count(xor) on the
+    # frozen fixture's stored phash (latest snapshot per entity),
+    # components via the same recursive-CTE convention as d6, survivors
+    # via anti-join — the whole image near-dedup composition bitwise
+    d["d8_image_keep_one"] = """
+        WITH RECURSIVE latest AS (
+          SELECT image_id, phash FROM (
+            SELECT image_id, phash, row_number() OVER (
+                PARTITION BY image_id ORDER BY ts DESC) AS rn
+            FROM read_parquet(
+                '/root/repo/BENCH/fixtures/image_slice_golden.parquet'))
+          WHERE rn = 1),
+        p AS (
+          SELECT a.image_id AS id_a, b.image_id AS id_b
+          FROM latest a JOIN latest b
+            ON a.image_id < b.image_id
+           AND bit_count(xor(a.phash, b.phash)) <= 3),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        r(id, lbl) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b
+        ),
+        c AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id),
+        drops AS (SELECT id FROM c WHERE id <> cluster_id)
+        SELECT l.image_id, l.phash
+        FROM latest l LEFT JOIN drops d ON l.image_id = d.id
+        WHERE d.id IS NULL
     """
     # N1-N4 merged ANN suite (round 5): every part composed verbatim
     # from its standalone component oracle — the serving probe (n4s)

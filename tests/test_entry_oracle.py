@@ -151,7 +151,7 @@ def test_grading_window_covers_every_operator_family():
         # direct-from-pixels goldens, hash-graded)
         "profet_features_sql_slice", "profet_caption_features",
         "image_snapshot_pipeline", "image_features_sql_slice",
-        "multimodal_resize_pipeline",
+        "multimodal_resize_slice",
         # text / corpus / dedup / ANN tiers (round 5: N1-N4 + both
         # distributed twins + PQ/IVF-PQ/index/serving merged into one
         # suite; D11 standalone row)

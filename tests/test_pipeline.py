@@ -287,3 +287,12 @@ def test_image_slice_goldens_reproducible():
         a = got[c].to_numpy()
         b = want[c].to_numpy()
         assert (a == b).all(), f"golden column {c} drifted"
+    # the resize-slice goldens (second frozen table) pin the same way
+    rwant = frz.build_resize()
+    rgot = pd.read_parquet(
+        os.path.join(root, "BENCH", "fixtures",
+                     "resize_slice_golden.parquet"))
+    assert len(rgot) == len(rwant) == 148
+    for c in rwant.columns:
+        assert (rgot[c].to_numpy() == rwant[c].to_numpy()).all(), \
+            f"resize golden column {c} drifted"
