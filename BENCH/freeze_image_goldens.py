@@ -126,9 +126,48 @@ def build_resize() -> pd.DataFrame:
          pd.DataFrame(stats)], axis=1)
 
 
+CURATE_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fixtures", "curate_slice_golden.parquet")
+CURATE_ENTITIES = 60
+
+
+def build_curate() -> pd.DataFrame:
+    """Frozen pixel stats of the 60-entity (16,32) curation fixture —
+    the ORIGINAL (pre-planting) metadata plus decode-free golden
+    stats; the driver oracle replants the metadata defects in SQL
+    (portable h32) and recomputes the whole two-tier gate."""
+    pdf = fixtures.make_fixture(n_entities=CURATE_ENTITIES,
+                                img_sizes=(16, 32))
+    pdf = pdf.copy()
+    pdf["ver"] = pdf.groupby("image_id").cumcount()
+    stats = []
+    for r in pdf.itertuples():
+        g = golden_stats(fixtures.pixel_array(
+            r.image_id, int(r.ver), int(r.w), int(r.h)))
+        stats.append({"g_lum_mean": g["g_lum_mean"],
+                      "g_lum_var": g["g_lum_var"],
+                      "g_edge_density": g["g_edge_density"]})
+    return pd.concat(
+        [pdf[["image_id", "ts", "w", "h", "fmt"]].reset_index(drop=True),
+         pd.DataFrame(stats)], axis=1)
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    cout = build_curate()
+    cschema = pa.schema([
+        ("image_id", pa.string()), ("ts", pa.timestamp("us")),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("g_lum_mean", pa.float64()), ("g_lum_var", pa.float64()),
+        ("g_edge_density", pa.float64()),
+    ])
+    os.makedirs(os.path.dirname(CURATE_OUT), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(cout, schema=cschema,
+                                        preserve_index=False),
+                   CURATE_OUT, compression="snappy")
+    print(f"wrote {len(cout)} rows -> {CURATE_OUT}")
 
     rout = build_resize()
     rschema = pa.schema([

@@ -925,10 +925,15 @@ def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = imgd.phash_hamming_to_prev(out)
     # phash_dct: the true DCT perceptual hash computed FROM pixels
     # (imaging.phash_dct, golden-tested vs a textbook O(n^4) DCT) —
-    # feeds the same D8 pigeonhole pair machinery as the stored phash
-    return out.select("image_id", "ts", "w", "h", "fmt", "lum_mean", "lum_var",
+    # feeds the same D8 pigeonhole pair machinery as the stored phash.
+    # Round 5: hash-graded against the frozen direct-from-pixels
+    # goldens (same contract as image_features_sql_slice)
+    return out.select("image_id",
+                      F.col("ts").cast("timestamp_ntz").alias("ts"),
+                      "w", "h", "fmt", "lum_mean", "lum_var",
                       "edge_density", "rowprof_mean", "phash", "phash_dct",
-                      "phash_hamming_prev")
+                      F.col("phash_hamming_prev").cast("int")
+                      .alias("phash_hamming_prev"))
 
 
 def _q_image_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,7 +1020,9 @@ def _q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = imgd.curate_images(df, min_w=16, min_h=16, max_aspect=4.0,
                              fmts=("png", "ppm"), lum_bounds=(1.0, 254.0),
                              min_lum_var=0.0)
-    return out.select("image_id", "ts", "w", "h", "fmt", "meta_ok",
+    return out.select("image_id",
+                      F.col("ts").cast("timestamp_ntz").alias("ts"),
+                      "w", "h", "fmt", "meta_ok",
                       "pixel_ok", "keep_image", "reject_reason", "lum_mean")
 
 
@@ -4116,9 +4123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (round 5: + st_a17 retention part) and curation stream suites — in
     one row each; e2e_training_pipeline is the composed FM→FM5→FE1→FE2
     integration row; d11_incremental_dedup holds its own round-5 row;
-    image_features_sql_slice hash-grades the image pipeline against
-    frozen direct-from-pixels goldens; image_curation_pipeline is the
-    rows-only image-gate row). Positions 51+ are strategy variants,
+    image_features_sql_slice / image_snapshot_pipeline /
+    multimodal_resize_slice / image_curation_pipeline all hash-grade
+    the image tier against frozen direct-from-pixels goldens — the
+    only rows-only key left in the window is profet_caption_features,
+    whose full 340-float vector is allclose-by-design).
+    Positions 51+ are strategy variants,
     the merged suites' components, and the round-5 st_d11 streaming
     ingest twin — still run by tests/test_entry_oracle.py, and the
     window composition is pinned by
@@ -5993,6 +6003,53 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet(
                   '/root/repo/BENCH/fixtures/image_slice_golden.parquet'))
     """
+    # Image two-tier curation gate (round 5 — was rows-only): the
+    # oracle replants the metadata defects with the portable h32,
+    # recomputes the metadata tier's predicates, and evaluates the
+    # pixel tier over the frozen direct-from-pixels stats — the WHOLE
+    # gate (flags, first-failing reject_reason, NULLed stats for
+    # never-decoded rejects, and the decoded lum_mean values) bitwise
+    _cur = "read_parquet('/root/repo/BENCH/fixtures/curate_slice_golden.parquet')"
+    d["image_curation_pipeline"] = f"""
+        WITH planted AS (
+          SELECT image_id, ts,
+                 CASE WHEN {H.h32_sql_duckdb('image_id')} % 17 = 0
+                      THEN 4 ELSE w END AS w,
+                 h,
+                 CASE WHEN {H.h32_sql_duckdb('image_id')} % 13 = 0
+                      THEN 'jpg' ELSE fmt END AS fmt,
+                 g_lum_mean, g_lum_var, g_edge_density
+          FROM {_cur}),
+        flags AS (
+          SELECT *,
+                 (w < 16 OR h < 16) AS f_small,
+                 (LEAST(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) <= 0
+                  OR GREATEST(CAST(w AS DOUBLE), CAST(h AS DOUBLE))
+                     / LEAST(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) > 4.0)
+                     AS f_aspect,
+                 (fmt NOT IN ('png', 'ppm')) AS f_fmt,
+                 (g_lum_mean < 1.0 OR g_lum_mean > 254.0) AS f_lum,
+                 (g_lum_var < 0.0) AS f_flat,
+                 (g_edge_density < 0.0) AS f_blur
+          FROM planted)
+        SELECT image_id, ts, CAST(w AS INTEGER) AS w,
+               CAST(h AS INTEGER) AS h, fmt,
+               NOT (f_small OR f_aspect OR f_fmt) AS meta_ok,
+               CASE WHEN (f_small OR f_aspect OR f_fmt) THEN FALSE
+                    ELSE NOT (f_lum OR f_flat OR f_blur) END AS pixel_ok,
+               CASE WHEN (f_small OR f_aspect OR f_fmt) THEN FALSE
+                    ELSE NOT (f_lum OR f_flat OR f_blur) END AS keep_image,
+               CASE WHEN f_small THEN 'meta_small'
+                    WHEN f_aspect THEN 'meta_aspect'
+                    WHEN f_fmt THEN 'meta_fmt'
+                    WHEN f_lum THEN 'lum_bounds'
+                    WHEN f_flat THEN 'flat'
+                    WHEN f_blur THEN 'blur'
+               END AS reject_reason,
+               CASE WHEN NOT (f_small OR f_aspect OR f_fmt)
+                    THEN g_lum_mean END AS lum_mean
+        FROM flags
+    """
     # Multimodal resize slice (round 5): frozen direct-from-pixels
     # goldens of the 8×8 nearest-neighbor resample's stats — grades
     # decode → resample → re-encode → decode → stats bitwise
@@ -6033,6 +6090,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.image_id, l.phash
         FROM latest l LEFT JOIN drops d ON l.image_id = d.id
         WHERE d.id IS NULL
+    """
+    # Full image snapshot pipeline (round 5 — was rows-only): same
+    # frozen-goldens contract as image_features_sql_slice, full column
+    # set (rowprof + both hashes + drift window)
+    d["image_snapshot_pipeline"] = """
+        SELECT image_id, ts, w, h, fmt,
+               g_lum_mean AS lum_mean, g_lum_var AS lum_var,
+               g_edge_density AS edge_density,
+               g_rowprof_mean AS rowprof_mean, phash,
+               g_phash_dct AS phash_dct,
+               CASE WHEN prev IS NULL THEN NULL
+                    ELSE CAST(bit_count(xor(phash, prev)) AS INTEGER)
+               END AS phash_hamming_prev
+        FROM (SELECT *, lag(phash) OVER (
+                  PARTITION BY image_id ORDER BY ts) AS prev
+              FROM read_parquet(
+                  '/root/repo/BENCH/fixtures/image_slice_golden.parquet'))
     """
     # N1-N4 merged ANN suite (round 5): every part composed verbatim
     # from its standalone component oracle — the serving probe (n4s)

@@ -296,3 +296,12 @@ def test_image_slice_goldens_reproducible():
     for c in rwant.columns:
         assert (rgot[c].to_numpy() == rwant[c].to_numpy()).all(), \
             f"resize golden column {c} drifted"
+    # ... and the curation-gate goldens (third frozen table)
+    cwant = frz.build_curate()
+    cgot = pd.read_parquet(
+        os.path.join(root, "BENCH", "fixtures",
+                     "curate_slice_golden.parquet"))
+    assert len(cgot) == len(cwant) == 378
+    for c in cwant.columns:
+        assert (cgot[c].to_numpy() == cwant[c].to_numpy()).all(), \
+            f"curate golden column {c} drifted"
