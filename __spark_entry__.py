@@ -971,7 +971,8 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = fixtures.to_spark(spark, pdf).select("image_id", "ts", "bytes", "w", "h", "fmt")
     resized = mm.resize_images(df, 8, 8)
     return imgd.add_image_features(resized).select(
-        "image_id", "ts", "w", "h", "fmt", "lum_mean", "lum_var", "edge_density")
+        "image_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "w", "h", "fmt", "lum_mean", "lum_var", "edge_density")
 
 
 
@@ -6060,6 +6061,38 @@ def oracle_sql() -> dict[str, str]:
                g_edge_density AS edge_density
         FROM read_parquet(
             '/root/repo/BENCH/fixtures/resize_slice_golden.parquet')
+    """
+    # ... and the original pipeline key (same computation, historical
+    # name) grades against the same frozen table — rows-only no more
+    d["multimodal_resize_pipeline"] = d["multimodal_resize_slice"]
+    # D8 image adapter WITH the max_bucket=16 skew cap (round 5 — was
+    # rows-only): the oracle mirrors the pigeonhole machinery exactly —
+    # 4×16-bit block explode, oversized-(blk,val)-bucket anti-join,
+    # block equi-join, bit_count verify, pair-distinct — over the
+    # frozen fixture's stored phash (latest snapshot per entity)
+    d["d8_phash_dup_pairs"] = """
+        WITH latest AS (
+          SELECT image_id AS id, phash AS bits FROM (
+            SELECT image_id, phash, row_number() OVER (
+                PARTITION BY image_id ORDER BY ts DESC) AS rn
+            FROM read_parquet(
+                '/root/repo/BENCH/fixtures/image_slice_golden.parquet'))
+          WHERE rn = 1),
+        blocks AS (
+          SELECT id, bits, blk, (bits >> (16 * blk)) & 65535 AS val
+          FROM (SELECT id, bits, unnest([0, 1, 2, 3]) AS blk
+                FROM latest)),
+        kept AS (
+          SELECT b.id, b.bits, b.blk, b.val FROM blocks b
+          LEFT JOIN (SELECT blk, val FROM blocks GROUP BY blk, val
+                     HAVING count(*) > 16) big
+            ON b.blk = big.blk AND b.val = big.val
+          WHERE big.blk IS NULL)
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.bits, b.bits)) AS INTEGER) AS hamming
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.val = b.val AND a.id < b.id
+        WHERE bit_count(xor(a.bits, b.bits)) <= 3
     """
     # D8×D6 image keep-one (round 5): pairs via bit_count(xor) on the
     # frozen fixture's stored phash (latest snapshot per entity),
