@@ -30,7 +30,12 @@ import pytest
 # and at the ROUND-5 HEAD 2026-08-21 with the n1n4 ANN suite, the
 # image-features SQL slice, the s1b/st_a17 window parts, the D11
 # signature store + st_d11 streaming twin — 168 keys / 171 tests green
-# at sf0.001 AND sf0.01, full suite 717 passed / 1 skipped / 0 failed)
+# at sf0.001 AND sf0.01, full suite 717 passed / 1 skipped / 0 failed;
+# and at the round-5 FINAL HEAD with the whole image tier hash-graded
+# vs frozen direct-from-pixels goldens (curation gate, snapshot
+# pipeline, resize tier, capped d8 pairs, keep-one dedup) — 170 keys /
+# 173 tests green at sf0.001 AND sf0.01 (only profet_caption_features
+# remains rows-only), full suite 719 passed / 1 skipped / 0 failed)
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
