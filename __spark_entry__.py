@@ -4078,7 +4078,7 @@ def _q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "inter", "na", "nb", "jaccard")
 
 
-_QUERY_SCOPE: "dedup.PersistScope | None" = None
+_QUERY_SCOPES: "list[dedup.PersistScope]" = []
 
 
 def _scoped(fn: Callable[[SparkSession, str], DataFrame]
@@ -4088,23 +4088,25 @@ def _scoped(fn: Callable[[SparkSession, str], DataFrame]
     The dedup/similarity operators persist multiply-referenced
     intermediates; a driver evaluating all 165 keys in ONE session used
     to accumulate those blocks until heap pressure (observed: OOM at
-    key ~112 under a 1 GiB default driver). Each wrapped query now
-    releases the PREVIOUS query's PersistScope and registers its own
-    persists in a fresh one — the scope stays alive after the function
-    returns (the driver evaluates the returned frame next, and the
-    cached subtrees serve that evaluation), and is reclaimed when the
-    next query is constructed. At most one query's intermediates are
-    ever cached; released frames recompute correctly if re-evaluated."""
+    key ~112 under a 1 GiB default driver). Each wrapped query
+    registers its persists in a fresh PersistScope that stays alive
+    after the function returns (the driver evaluates the returned frame
+    next, and the cached subtrees serve that evaluation). The LAST TWO
+    scopes are kept; older ones are released — so a driver that
+    pipelines one step ahead (build query N+1, then evaluate query N)
+    still evaluates N from cache, while the sweep's total footprint
+    stays bounded at two queries' intermediates. Released frames
+    recompute correctly if re-evaluated."""
     import functools
 
     @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        global _QUERY_SCOPE
-        if _QUERY_SCOPE is not None:
-            _QUERY_SCOPE.release()
-        _QUERY_SCOPE = dedup.PersistScope()
+        scope = dedup.PersistScope()
+        _QUERY_SCOPES.append(scope)
+        while len(_QUERY_SCOPES) > 2:
+            _QUERY_SCOPES.pop(0).release()
         prev = dedup.PersistScope._active
-        dedup.PersistScope._active = _QUERY_SCOPE
+        dedup.PersistScope._active = scope
         try:
             return fn(spark, sf_dir)
         finally:

@@ -191,3 +191,29 @@ def test_entry_module_has_no_shadowed_definitions():
              if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
     dupes = {n for n in names if names.count(n) > 1}
     assert not dupes, f"shadowed top-level defs: {sorted(dupes)}"
+
+
+def test_scoped_rotation_bounds_cache_to_two_queries():
+    """The _scoped wrapper must keep at most the last TWO queries'
+    PersistScopes alive (one-step construction/evaluation pipelining
+    stays cached) and release everything older — the round-5 fix for
+    the full-sweep driver OOM."""
+    from profet_spark.operators import dedup as _dd
+
+    ENTRY._QUERY_SCOPES.clear()
+    calls = []
+
+    def fake(spark, sf_dir):
+        # record which scope was active during construction
+        calls.append(_dd.PersistScope._active)
+        return None
+
+    wrapped = ENTRY._scoped(fake)
+    for i in range(5):
+        wrapped(None, None)
+    assert len(ENTRY._QUERY_SCOPES) == 2
+    # the active scope is restored after each call
+    assert _dd.PersistScope._active is None
+    # each call saw its own fresh scope
+    assert len({id(s) for s in calls}) == 5
+    ENTRY._QUERY_SCOPES.clear()
