@@ -76,10 +76,26 @@ def main() -> None:
     """
     runs = int(os.environ.get("SCALING_RUNS", "3"))
     # --out guards the committed per-round records (same convention as
-    # run_weak_scaling.py): an unnamed rerun once clobbered history
+    # run_weak_scaling.py): an unnamed rerun once clobbered history.
+    # Accept both "--out NAME" and "--out=NAME"; a dangling --out is an
+    # error, and any other unrecognized argument aborts BEFORE the
+    # expensive levels run (a typo'd flag must not silently clobber
+    # scaling.json).
     out_name = "scaling.json"
-    if "--out" in sys.argv:
-        out_name = sys.argv[sys.argv.index("--out") + 1]
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--out":
+            if i + 1 >= len(args):
+                raise SystemExit("run_scaling: --out requires a value")
+            out_name = args[i + 1]
+            i += 2
+        elif a.startswith("--out="):
+            out_name = a.split("=", 1)[1]
+            i += 1
+        else:
+            raise SystemExit(f"run_scaling: unknown argument {a!r}")
     zpath = build_zip()
     levels = {c: run_level(c, zpath, runs) for c in (2, 8, 32)}
     eff_2_8 = (levels[8]["rows_per_sec"] / levels[2]["rows_per_sec"]) / 4.0

@@ -948,15 +948,7 @@ def _q_image_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats arithmetic + the C8+W3 hamming-drift window, bit for bit.
     The remaining non-gradable kernels (decode_ok failure mapping,
     dhash, resize) stay numpy-golden-pinned in pytest."""
-    pdf = fixtures.make_fixture(n_entities=80)
-    df = fixtures.to_spark(spark, pdf)
-    out = imgd.add_image_features(df)
-    out = imgd.phash_hamming_to_prev(out)
-    return out.select(
-        "image_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
-        "w", "h", "fmt", "phash", "lum_mean", "lum_var", "edge_density",
-        "rowprof_mean", "phash_dct",
-        F.col("phash_hamming_prev").cast("int").alias("phash_hamming_prev"))
+    return _q_image_pipeline(spark, sf_dir)
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,15 +978,7 @@ def _q_multimodal_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies BOTH codec roundtrips plus the resample plumbing bit for
     bit; the video/audio kernels stay numpy-golden-pinned in
     tests/test_multimodal.py."""
-    from profet_spark.functions import multimodal as mm
-
-    pdf = fixtures.make_fixture(n_entities=24, img_sizes=(16, 32))
-    df = fixtures.to_spark(spark, pdf).select(
-        "image_id", "ts", "bytes", "w", "h", "fmt")
-    resized = mm.resize_images(df, 8, 8)
-    return imgd.add_image_features(resized).select(
-        "image_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
-        "w", "h", "fmt", "lum_mean", "lum_var", "edge_density")
+    return _q_multimodal(spark, sf_dir)
 
 
 def _q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:

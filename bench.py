@@ -374,9 +374,15 @@ def main():
         dedup.signature_store_ingest(
             spark, docs.where(F.col("doc_id") % 2 == 0), store,
             ingest_ts="2025-01-01 00:00:00")
-        return dedup.signature_store_ingest(
+        out = dedup.signature_store_ingest(
             spark, docs.where(F.col("doc_id") % 2 == 1), store,
             ingest_ts="2025-01-02 00:00:00")
+        # the returned pairs are localCheckpoint-materialized inside
+        # signature_store_ingest, so the store files can go now —
+        # without this, 5 iterations leave 5 full text+signature copies
+        # in /tmp per bench run
+        shutil.rmtree(store, ignore_errors=True)
+        return out
 
     stages = {
         "pit_features_events": lambda: pit_features_events(spark, sf_dir, ev_parts),

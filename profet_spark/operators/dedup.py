@@ -1362,7 +1362,8 @@ def signature_store_ingest(spark, batch: DataFrame, store_dir: str, *,
                            threshold: float = 0.5,
                            max_bucket: int | None = None,
                            persist: bool = True,
-                           n_buckets: int = 8) -> DataFrame:
+                           n_buckets: int = 8,
+                           validate_unique: bool = True) -> DataFrame:
     """D11 daily-ingest driver WITH signature maintenance (round 5,
     VERDICT r4 ask #7): detect every near-dup pair touching today's
     batch, then append the batch's signature (and text-accessor) rows
@@ -1392,6 +1393,21 @@ def signature_store_ingest(spark, batch: DataFrame, store_dir: str, *,
     plan's file index may reference — materializing first makes the
     result immune to its own maintenance step.
 
+    Crash safety: the TEXT table is always written/upserted BEFORE the
+    signature table, and "the store exists" is keyed on the signature
+    spec alone — so a crash between the two writes leaves either (a)
+    no signature spec (next call re-runs the whole first ingest; the
+    overwrite-mode text write replaces the partial) or (b) a text
+    table already carrying the batch's rows (the batch-wins anti-join
+    removes them from the detection's store side, and the idempotent
+    re-upsert replaces identical rows). No window wedges a replay.
+
+    ``validate_unique`` (default True): a batch carrying the same id
+    twice would min-merge both texts' shingles into one bogus
+    signature AND violate the S8 upsert's key-unique contract —
+    detected with one narrow id-column aggregate and raised loudly;
+    pass False only when the feed guarantees uniqueness upstream.
+
     At 10^12 docs: per-day cost = batch shingling + a narrow band join
     against materialized signatures + the batch-footprint upsert.
     Nothing rescans or re-shingles the historical corpus."""
@@ -1401,6 +1417,16 @@ def signature_store_ingest(spark, batch: DataFrame, store_dir: str, *,
 
     sig_dir = os.path.join(store_dir, "signatures")
     txt_dir = os.path.join(store_dir, "text")
+    if validate_unique:
+        dup = (batch.groupBy(F.col(id_col)).count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"signature_store_ingest: batch carries id "
+                f"{dup[0][0]!r} more than once — ids must be "
+                f"batch-unique (pre-aggregate the feed, or dedup with "
+                f"exact_dedup first); a duplicate would min-merge both "
+                f"texts' shingles into one bogus signature")
     bsig = _maybe_persist(
         minhash_signature_table(batch, id_col, text_col, k), persist)
     if P.read_spec(sig_dir) is not None:
@@ -1437,13 +1463,14 @@ def signature_store_ingest(spark, batch: DataFrame, store_dir: str, *,
         reingested = (ssig.join(F.broadcast(batch_ids), "id",
                                 "left_semi").limit(1).count() > 0)
         mode = "extend" if reingested else "skip"
-        P.upsert_partitioned(spark, srows, sig_dir, key_cols=["id"],
-                             on_moved_keys=mode)
+        # text FIRST, signatures LAST (see the crash-safety contract)
         P.upsert_partitioned(spark, trows, txt_dir, key_cols=["id"],
                              on_moved_keys=mode)
+        P.upsert_partitioned(spark, srows, sig_dir, key_cols=["id"],
+                             on_moved_keys=mode)
     else:
-        P.write_partitioned(srows, sig_dir, ts_col="ingest_ts",
-                            entity_col="id", n_buckets=n_buckets)
         P.write_partitioned(trows, txt_dir, ts_col="ingest_ts",
+                            entity_col="id", n_buckets=n_buckets)
+        P.write_partitioned(srows, sig_dir, ts_col="ingest_ts",
                             entity_col="id", n_buckets=n_buckets)
     return pairs

@@ -194,7 +194,15 @@ def _common_hash_type(lt: T.DataType, rt: T.DataType) -> T.DataType | None:
     equal as doubles — so precision loss above 2^53 merely merges keys
     the JOIN also merges, a phantom member the exact tier repairs), and
     raises for any other differing pair rather than risk silent false
-    negatives."""
+    negatives.
+
+    The integral×float case matters: Spark's join comparison widens
+    (long, float) to DOUBLE (findWiderTypeForTwo — probed empirically
+    on this Spark: bigint 16777217 vs float 16777216.0f does NOT match
+    a plain equi-join), so hashing both sides as double reproduces the
+    join's equality exactly; a float-side hash would instead merge
+    values beyond float's 24-bit mantissa that the join distinguishes.
+    Pinned by test_long_float_keys_follow_spark_join_coercion."""
     if lt == rt:
         return None
     if isinstance(lt, _INTEGRAL) and isinstance(rt, _INTEGRAL):
@@ -220,9 +228,16 @@ def _hash_exprs(cols: Sequence[str],
                 cast_types: Sequence[T.DataType | None] | None):
     """The per-column expressions fed to ``xxhash64`` — the stored
     columns are NEVER rewritten (output schemas stay byte-identical to
-    the plain joins); only the hash input is coerced."""
+    the plain joins); only the hash input is coerced. A short
+    ``cast_types`` would silently zip-truncate trailing key columns out
+    of the hash on one side — the same false-negative factory
+    ``_key_pair`` guards against — so mismatched lengths raise."""
     if cast_types is None:
         return [F.col(c) for c in cols]
+    if len(cast_types) != len(cols):
+        raise ValueError(
+            f"membership: cast_types has {len(cast_types)} entries for "
+            f"{len(cols)} key columns — they must align")
     return [F.col(c).cast(t) if t is not None else F.col(c)
             for c, t in zip(cols, cast_types)]
 

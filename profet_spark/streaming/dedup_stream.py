@@ -24,9 +24,13 @@ under that replay, BY CONSTRUCTION rather than by coordination:
 - the per-batch pairs directory is written with mode("overwrite"), so
   a replay rewrites identical content instead of appending duplicates.
 
-A ``_batches/<id>.json`` marker (row/pair counts — the lineage+metrics
-record the north rule asks of resumable jobs) additionally short-cuts
-committed replays to a metadata check.
+A ``_batches/<checkpoint-ns>/<id>.json`` marker (row/pair counts — the
+lineage+metrics record the north rule asks of resumable jobs)
+additionally short-cuts committed replays to a metadata check. Markers
+are namespaced by the checkpoint identity: batch ids are only
+meaningful relative to one offset log, so a NEW stream (fresh
+checkpoint, new data) over the same store re-ingests from scratch
+(idempotent) instead of silently skipping ids an older stream used.
 
 Ingest timestamps are derived deterministically from the batch id
 (``base_ts + batch_id days``) so a replay lands in the same store
@@ -35,6 +39,7 @@ partitions it originally wrote.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from datetime import datetime, timedelta
@@ -47,21 +52,42 @@ from profet_spark.operators import dedup
 __all__ = ["ingest_stream", "committed_batches"]
 
 
-def _marker_path(store_dir: str, batch_id: int) -> str:
-    return os.path.join(store_dir, "_batches", f"{batch_id}.json")
+def _ck_namespace(checkpoint_dir: str) -> str:
+    """Markers are NAMESPACED by the checkpoint identity: batch ids are
+    only meaningful relative to one offset log. A bare-batch_id marker
+    would make a NEW stream (fresh checkpoint, new source data) over an
+    existing store silently skip its first batches — batch ids restart
+    at 0 — which is permanent data loss, not a replay. Within one
+    checkpoint, a replayed id IS the same data, so the skip is safe."""
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
 
 
-def committed_batches(store_dir: str) -> dict[int, dict]:
-    """Lineage/metrics records of every committed ingest batch."""
-    d = os.path.join(store_dir, "_batches")
+def _marker_path(store_dir: str, ns: str, batch_id: int) -> str:
+    return os.path.join(store_dir, "_batches", ns, f"{batch_id}.json")
+
+
+def committed_batches(store_dir: str,
+                      checkpoint_dir: str | None = None) -> dict[int, dict]:
+    """Lineage/metrics records of committed ingest batches. With
+    ``checkpoint_dir``, only that stream's namespace; otherwise every
+    namespace flattened (batch ids may repeat across streams — the
+    records carry their ``checkpoint_ns``)."""
+    base = os.path.join(store_dir, "_batches")
     out: dict[int, dict] = {}
-    if not os.path.isdir(d):
+    if not os.path.isdir(base):
         return out
-    for f in os.listdir(d):
-        if f.endswith(".json"):
-            with open(os.path.join(d, f)) as fh:
-                rec = json.load(fh)
-            out[int(rec["batch_id"])] = rec
+    spaces = ([_ck_namespace(checkpoint_dir)] if checkpoint_dir
+              else sorted(os.listdir(base)))
+    for ns in spaces:
+        d = os.path.join(base, ns)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    rec = json.load(fh)
+                out[int(rec["batch_id"])] = rec
     return out
 
 
@@ -78,28 +104,36 @@ def ingest_stream(stream: DataFrame, store_dir: str, pairs_dir: str,
     offset log and replayed batches are skipped via the marker (and are
     idempotent even without it — see module docstring)."""
     base = datetime.strptime(base_ts, "%Y-%m-%d %H:%M:%S")
+    ns = _ck_namespace(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = _marker_path(store_dir, batch_id)
+        marker = _marker_path(store_dir, ns, batch_id)
         if os.path.exists(marker):
-            return  # crash-replay of a committed batch
+            return  # crash-replay of a committed batch (same checkpoint)
         batch_df = batch_df.localCheckpoint(eager=True)
         if not batch_df.take(1):
             return  # empty trigger: nothing ingested, no marker
         spark = batch_df.sparkSession
         ingest_ts = (base + timedelta(days=batch_id)
                      ).strftime("%Y-%m-%d %H:%M:%S")
-        pairs = dedup.signature_store_ingest(
-            spark, batch_df, store_dir, ingest_ts=ingest_ts,
-            id_col=id_col, text_col=text_col, k=k, threshold=threshold,
-            max_bucket=max_bucket)
-        out = os.path.join(pairs_dir, f"batch={batch_id}")
-        pairs.write.mode("overwrite").parquet(out)
-        n_pairs = pairs.count()
+        # scope the detection's persisted intermediates to this batch:
+        # the pairs frame is localCheckpoint-materialized inside
+        # signature_store_ingest, so releasing on exit is free — without
+        # it a long-running stream accumulates one batch's cached
+        # frames per trigger (the VERDICT-r4 hazard, streaming edition)
+        with dedup.PersistScope():
+            pairs = dedup.signature_store_ingest(
+                spark, batch_df, store_dir, ingest_ts=ingest_ts,
+                id_col=id_col, text_col=text_col, k=k,
+                threshold=threshold, max_bucket=max_bucket)
+            out = os.path.join(pairs_dir, f"batch={batch_id}")
+            pairs.write.mode("overwrite").parquet(out)
+            n_pairs = pairs.count()
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id, "ingest_ts": ingest_ts,
+                       "checkpoint_ns": ns,
                        "rows": batch_df.count(), "n_pairs": n_pairs,
                        "pairs_path": out}, fh)
         os.replace(tmp, marker)  # atomic: marker exists => batch complete

@@ -1036,3 +1036,25 @@ def test_signature_store_ingest_reingest_replaces(spark, sf_dir, tmp_path):
     assert len(rows) == 1  # old-day row replaced, not duplicated
     want = dedup.minhash_signature_table(victim).collect()[0]["sig"]
     assert list(rows[0]["sig"]) == list(want)
+
+
+def test_signature_store_ingest_duplicate_batch_ids_raise(spark, sf_dir,
+                                                          tmp_path):
+    """Round-5 review finding: a batch carrying the same id twice would
+    min-merge both texts' shingles into one bogus signature and break
+    the S8 key-unique contract — raise loudly instead."""
+    from profet_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 50)
+    dup = docs.unionByName(docs.limit(1))
+    with pytest.raises(ValueError, match="more than once"):
+        dedup.signature_store_ingest(
+            spark, dup, str(tmp_path / "s"),
+            ingest_ts="2025-01-01 00:00:00", persist=False)
+    # opting out skips the probe (feed guarantees uniqueness upstream)
+    clean = dedup.signature_store_ingest(
+        spark, docs, str(tmp_path / "s2"),
+        ingest_ts="2025-01-01 00:00:00", persist=False,
+        validate_unique=False)
+    assert clean.count() >= 0

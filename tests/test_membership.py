@@ -334,3 +334,35 @@ def test_incompatible_key_dtypes_raise(spark):
         mb.bloom_semi_join(probe, build, "k")
     with pytest.raises(ValueError, match="dtypes"):
         mb.bloom_anti_join(probe, build, "k")
+
+
+def test_long_float_keys_follow_spark_join_coercion(spark):
+    """Discriminating pin for the integral×float hash coercion: Spark
+    widens (long, float) join comparisons to DOUBLE (bigint 16777217
+    does NOT match float 16777216.0f), so the bloom hash must use
+    double too. If Spark ever switched to float-precedence coercion,
+    the plain-join oracle here flips and this test catches the drift."""
+    left = spark.createDataFrame(
+        [Row(k=16777217, v=1), Row(k=16777216, v=2), Row(k=42, v=3)]
+    ).select(F.col("k").cast("bigint").alias("k"), "v")
+    right = spark.createDataFrame(
+        [Row(k=16777216.0), Row(k=42.0)]
+    ).select(F.col("k").cast("float").alias("k"))
+    want = left.join(right.withColumnRenamed("k", "kr").distinct(),
+                     F.col("k") == F.col("kr"), "left_semi")
+    got = mb.bloom_semi_join(left, right, "k")
+    assert _rows(got, "v") == _rows(want, "v") == [(2,), (3,)]
+    got_anti = mb.bloom_anti_join(left, right, "k")
+    want_anti = left.join(right.withColumnRenamed("k", "kr").distinct(),
+                          F.col("k") == F.col("kr"), "left_anti")
+    assert _rows(got_anti, "v") == _rows(want_anti, "v") == [(1,)]
+
+
+def test_cast_types_length_mismatch_raises(spark):
+    """A short cast_types list must raise, never zip-truncate trailing
+    key columns out of the hash (silent false-negative factory)."""
+    from pyspark.sql import types as T
+
+    build = spark.createDataFrame([Row(a=1, b="x")])
+    with pytest.raises(ValueError, match="must align"):
+        mb.build_bloom(build, ["a", "b"], cast_types=[T.LongType()])

@@ -932,11 +932,12 @@ def test_ingest_stream_crash_replay_is_idempotent(spark, sf_dir,
     assert len(sig0) == len(sig1) == docs.count()
     assert all(list(a) == list(b) for a, b in zip(sig0.sig, sig1.sig))
     assert p0[["id_a", "id_b", "inter"]].equals(p1[["id_a", "id_b", "inter"]])
-    # now FORCE the no-marker path: delete markers, replay again — the
-    # by-construction idempotence (upsert no-op + batch-wins anti-join)
-    # must hold without the short-cut
-    for f in os.listdir(store + "/_batches"):
-        os.remove(os.path.join(store, "_batches", f))
+    # now FORCE the no-marker path: delete every marker namespace and
+    # replay again — the by-construction idempotence (upsert no-op +
+    # batch-wins anti-join) must hold without the short-cut
+    import shutil
+
+    shutil.rmtree(store + "/_batches")
     run(str(tmp_path_factory.mktemp("ck3")))
     sig2 = (P.scan_pruned(spark, store + "/signatures",
                           ts_col="ingest_ts", entity_col="id")
@@ -947,3 +948,40 @@ def test_ingest_stream_crash_replay_is_idempotent(spark, sf_dir,
     assert len(sig2) == len(sig0)
     assert all(list(a) == list(b) for a, b in zip(sig0.sig, sig2.sig))
     assert p0[["id_a", "id_b", "inter"]].equals(p2[["id_a", "id_b", "inter"]])
+
+
+def test_ingest_stream_new_checkpoint_new_data_not_skipped(
+        spark, sf_dir, tmp_path_factory):
+    """Round-5 review finding: markers are namespaced by checkpoint —
+    a NEW stream (fresh checkpoint, genuinely new data, ids restarting
+    at batch 0) over an existing store must INGEST, not silently skip
+    because an older stream already used batch id 0."""
+    from profet_spark.sources import partitioned as P
+    from profet_spark.streaming import committed_batches, ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") < 60)
+    second = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+    store = str(tmp_path_factory.mktemp("d11n_store")) + "/store"
+    pairs_dir = str(tmp_path_factory.mktemp("d11n_pairs"))
+
+    def run(df, ck):
+        src = str(tmp_path_factory.mktemp("d11n_src"))
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = ingest_stream(stream, store, pairs_dir, ck)
+        q.awaitTermination(300)
+        return ck
+
+    ck1 = run(first, str(tmp_path_factory.mktemp("ck1")))
+    ck2 = run(second, str(tmp_path_factory.mktemp("ck2")))
+    # BOTH streams' rows made it into the store
+    ssig = P.scan_pruned(spark, store + "/signatures",
+                         ts_col="ingest_ts", entity_col="id")
+    assert ssig.count() == first.count() + second.count()
+    # per-checkpoint marker views see their own batch 0
+    assert set(committed_batches(store, ck1)) == {0}
+    assert set(committed_batches(store, ck2)) == {0}
+    assert committed_batches(store, ck1)[0]["rows"] == first.count()
+    assert committed_batches(store, ck2)[0]["rows"] == second.count()
