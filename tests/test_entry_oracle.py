@@ -35,7 +35,11 @@ import pytest
 # vs frozen direct-from-pixels goldens (curation gate, snapshot
 # pipeline, resize tier, capped d8 pairs, keep-one dedup) — 170 keys /
 # 173 tests green at sf0.001 AND sf0.01 (only profet_caption_features
-# remains rows-only), full suite 719 passed / 1 skipped / 0 failed)
+# remains rows-only), full suite 719 passed / 1 skipped / 0 failed;
+# re-certified after the round-5 review fixes (checkpoint-namespaced
+# ingest markers, crash-safe text-first store writes, duplicate-id
+# guard, membership cast_types guard) — 170 keys / 174 tests green at
+# sf0.001 AND sf0.01, full suite 724 passed / 1 skipped / 0 failed)
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
