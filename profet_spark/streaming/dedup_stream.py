@@ -128,13 +128,24 @@ def ingest_stream(stream: DataFrame, store_dir: str, pairs_dir: str,
                 threshold=threshold, max_bucket=max_bucket)
             out = os.path.join(pairs_dir, f"batch={batch_id}")
             pairs.write.mode("overwrite").parquet(out)
-            n_pairs = pairs.count()
+            # count + order-insensitive checksum in ONE agg over the
+            # checkpointed pairs (S7's manifest convention: sum of
+            # 32-bit-masked row hashes, DECIMAL(38) — exact at any
+            # count), so the marker carries verifiable metrics
+            from pyspark.sql import functions as F
+            h = (F.xxhash64(*sorted(pairs.columns))
+                 .bitwiseAND(F.lit(0xFFFFFFFF)))
+            m = pairs.agg(
+                F.count("*").alias("n"),
+                F.sum(h.cast("decimal(38,0)")).alias("ck")).collect()[0]
+            n_pairs, pairs_ck = int(m["n"]), int(m["ck"] or 0)
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id, "ingest_ts": ingest_ts,
                        "checkpoint_ns": ns,
                        "rows": batch_df.count(), "n_pairs": n_pairs,
+                       "pairs_checksum": pairs_ck,
                        "pairs_path": out}, fh)
         os.replace(tmp, marker)  # atomic: marker exists => batch complete
 

@@ -985,3 +985,31 @@ def test_ingest_stream_new_checkpoint_new_data_not_skipped(
     assert set(committed_batches(store, ck2)) == {0}
     assert committed_batches(store, ck1)[0]["rows"] == first.count()
     assert committed_batches(store, ck2)[0]["rows"] == second.count()
+
+
+def test_ingest_stream_marker_checksum_verifies(spark, sf_dir,
+                                                tmp_path_factory):
+    """The marker's pairs checksum must reproduce from the written
+    pairs parquet (S7's order-insensitive sum-of-masked-hashes
+    convention) — the lineage+metrics record is verifiable, not
+    decorative."""
+    from profet_spark.streaming import committed_batches, ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200).select("doc_id", "text")
+    src = str(tmp_path_factory.mktemp("d11c_src"))
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    store = str(tmp_path_factory.mktemp("d11c_store")) + "/store"
+    pairs_dir = str(tmp_path_factory.mktemp("d11c_pairs"))
+    ck = str(tmp_path_factory.mktemp("d11c_ck"))
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = ingest_stream(stream, store, pairs_dir, ck)
+    q.awaitTermination(300)
+    rec = committed_batches(store, ck)[0]
+    back = spark.read.parquet(rec["pairs_path"])
+    h = F.xxhash64(*sorted(back.columns)).bitwiseAND(F.lit(0xFFFFFFFF))
+    m = back.agg(F.count("*").alias("n"),
+                 F.sum(h.cast("decimal(38,0)")).alias("ck")).collect()[0]
+    assert rec["n_pairs"] == int(m["n"])
+    assert rec["pairs_checksum"] == int(m["ck"] or 0)
