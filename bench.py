@@ -445,6 +445,11 @@ def main():
 
     n_vectors = len(snap_text_pdf) + len(snap_img_pdf)
     total = round(sum(times.values()), 3)
+    # round-over-round comparability: the sum over exactly the 15
+    # round-4 stage keys (incremental_ingest is new in round 5, and a
+    # two-full-lifecycle write stage by design — see BENCH/BASELINE.md)
+    r4_keys = [k for k in times if k != "incremental_ingest"]
+    total_r4_stages = round(sum(times[k] for k in r4_keys), 3)
     desc_sec = times["caption_descriptors"] + times["image_pipeline"]
     print(json.dumps({
         "metric": "headline pipeline wall time (PIT features + descriptors + image decode + agg)",
@@ -453,6 +458,7 @@ def main():
         "queries": times,
         "queries_min": times_min,
         "value_min": round(sum(times_min.values()), 3),
+        "value_r4_stages": total_r4_stages,
         "sf": sf,
         "feature_vectors": n_vectors,
         "feature_vectors_per_sec": round(n_vectors / desc_sec, 1) if desc_sec > 0 else None,
