@@ -366,3 +366,47 @@ def test_cast_types_length_mismatch_raises(spark):
     build = spark.createDataFrame([Row(a=1, b="x")])
     with pytest.raises(ValueError, match="must align"):
         mb.build_bloom(build, ["a", "b"], cast_types=[T.LongType()])
+
+
+def test_bloom_joins_equal_plain_on_random_key_sets(spark):
+    """Hypothesis property (round 5): for arbitrary small probe/build
+    key sets — duplicates, negatives, empty builds, extreme int64
+    values, starved bitmaps — the composed semi+anti joins must equal
+    the plain joins AND partition the probe. Python-set reference, no
+    Spark machinery on the oracle side."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    key = hst.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(probe_keys=hst.lists(key, min_size=0, max_size=30),
+           build_keys=hst.lists(key, min_size=0, max_size=12),
+           max_bits=hst.sampled_from([64, 256, 1 << 20]),
+           overlap=hst.booleans())
+    def run(probe_keys, build_keys, max_bits, overlap):
+        if overlap and probe_keys and build_keys:
+            build_keys = build_keys + probe_keys[:3]
+        probe = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(probe_keys)] or [(0, -1)],
+            "k long, v long")
+        if not probe_keys:
+            probe = probe.where(F.lit(False))
+        build = spark.createDataFrame(
+            [(k,) for k in build_keys] or [(0,)], "k long")
+        if not build_keys:
+            build = build.where(F.lit(False))
+        semi = {r.v for r in mb.bloom_semi_join(
+            probe, build, "k", max_bits=max_bits).collect()}
+        anti = {r.v for r in mb.bloom_anti_join(
+            probe, build, "k", max_bits=max_bits).collect()}
+        bset = set(build_keys)
+        want_semi = {i for i, k in enumerate(probe_keys) if k in bset}
+        want_anti = {i for i, k in enumerate(probe_keys) if k not in bset}
+        assert semi == want_semi
+        assert anti == want_anti
+        assert semi | anti == set(range(len(probe_keys)))
+        assert not (semi & anti)
+
+    run()
