@@ -1446,6 +1446,14 @@ def signature_store_ingest(spark, batch: DataFrame, store_dir: str, *,
                                   max_bucket=max_bucket, persist=persist,
                                   signatures=bsig)
     pairs = pairs.localCheckpoint(eager=True)
+    # empty/short-doc-only batches produce NO signature rows; writing
+    # them would create a _partition_spec.json with zero parquet files,
+    # and every later ingest's scan_pruned would die on schema
+    # inference (found by the random-splits property test). Nothing
+    # signature-worthy → nothing to maintain; the pair result is
+    # already complete (no signatures ⇒ no candidates).
+    if not bsig.take(1):
+        return pairs
     ts_lit = F.lit(ingest_ts).cast("timestamp")
     srows = bsig.select("id", "sig").withColumn("ingest_ts", ts_lit)
     trows = (batch.select(F.col(id_col).alias("id"),

@@ -1058,3 +1058,53 @@ def test_signature_store_ingest_duplicate_batch_ids_raise(spark, sf_dir,
         ingest_ts="2025-01-01 00:00:00", persist=False,
         validate_unique=False)
     assert clean.count() >= 0
+
+
+def test_signature_store_ingest_random_splits_property(spark, sf_dir,
+                                                       tmp_path_factory):
+    """Hypothesis property (round 5): for RANDOM two-day partitions of
+    the corpus — including an empty day and an everything-day — the
+    two ingests' pair union must equal the one-shot full D3 run, and
+    the store must hold exactly one signature row per ingested id."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    from profet_spark.sources import load_table, partitioned as P
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 150).select("doc_id", "text")
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    full = dedup.minhash_lsh_pairs(docs, persist=False).toPandas()
+    key = ["id_a", "id_b", "inter", "na", "nb"]
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(day1_frac=hst.sampled_from([0.0, 0.3, 0.7, 1.0]),
+           salt=hst.integers(0, 10**6))
+    def run(day1_frac, salt):
+        cut = int(len(all_ids) * day1_frac)
+        import random
+        rng = random.Random(salt)
+        ids = list(all_ids)
+        rng.shuffle(ids)
+        d1_ids = set(ids[:cut])
+        day1 = docs.where(F.col("doc_id").isin(list(d1_ids) or [-1]))
+        day2 = docs.where(~F.col("doc_id").isin(list(d1_ids) or [-1]))
+        store = str(tmp_path_factory.mktemp("rnd_store")) + "/s"
+        p1 = dedup.signature_store_ingest(
+            spark, day1, store, ingest_ts="2025-01-01 00:00:00",
+            persist=False).toPandas()
+        p2 = dedup.signature_store_ingest(
+            spark, day2, store, ingest_ts="2025-01-02 00:00:00",
+            persist=False).toPandas()
+        both = (pd.concat([p1, p2]).sort_values(key[:2])
+                .reset_index(drop=True))
+        want = full.sort_values(key[:2]).reset_index(drop=True)
+        assert both[key].equals(want[key]), (day1_frac, salt)
+        ssig = P.scan_pruned(spark, store + "/signatures",
+                             ts_col="ingest_ts", entity_col="id")
+        assert ssig.count() == len(all_ids)
+        assert ssig.select("id").distinct().count() == len(all_ids)
+
+    run()
