@@ -1108,3 +1108,69 @@ def test_signature_store_ingest_random_splits_property(spark, sf_dir,
         assert ssig.select("id").distinct().count() == len(all_ids)
 
     run()
+
+
+def test_signature_store_reingest_random_overlap_property(
+        spark, sf_dir, tmp_path_factory):
+    """Hypothesis property (round 5): with a RANDOM subset of day-1 ids
+    re-ingested on day 2 carrying mutated text, the day-2 pairs must
+    equal the full D3 over the FINAL corpus (day-1 survivors ∪ day-2
+    versions — batch wins) restricted to day-2-touching pairs, and the
+    store must end holding exactly the final corpus's signatures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    from profet_spark.sources import load_table, partitioned as P
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 120).select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    half = len(ids) // 2
+    d1_ids, d2_new_ids = set(ids[:half]), set(ids[half:])
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(n_reingest=hst.integers(0, 10), salt=hst.integers(0, 10**6))
+    def run(n_reingest, salt):
+        import random
+        rng = random.Random(salt)
+        re_ids = set(rng.sample(sorted(d1_ids), min(n_reingest, half)))
+        day1 = docs.where(F.col("doc_id").isin(list(d1_ids)))
+        day2 = (docs.where(F.col("doc_id").isin(
+                    list(d2_new_ids | re_ids) or [-1]))
+                .withColumn("text", F.when(
+                    F.col("doc_id").isin(list(re_ids) or [-1]),
+                    F.concat(F.lit("v2 rewrite "), F.col("text")))
+                    .otherwise(F.col("text"))))
+        store = str(tmp_path_factory.mktemp("ri_store")) + "/s"
+        dedup.signature_store_ingest(
+            spark, day1, store, ingest_ts="2025-01-01 00:00:00",
+            persist=False)
+        p2 = dedup.signature_store_ingest(
+            spark, day2, store, ingest_ts="2025-01-02 00:00:00",
+            persist=False).toPandas()
+        # oracle: full D3 over the final corpus, day-2-touching pairs
+        final = (docs.where(F.col("doc_id").isin(
+                     list(d1_ids - re_ids) or [-1]))
+                 .unionByName(day2))
+        full = dedup.minhash_lsh_pairs(final, persist=False).toPandas()
+        d2 = d2_new_ids | re_ids
+        want = full[[a in d2 or b in d2
+                     for a, b in zip(full.id_a, full.id_b)]]
+        key = ["id_a", "id_b", "inter", "na", "nb"]
+        g = p2.sort_values(key[:2]).reset_index(drop=True)
+        w = want.sort_values(key[:2]).reset_index(drop=True)
+        assert g[key].equals(w[key].reset_index(drop=True)), (n_reingest,
+                                                              salt)
+        # store end-state == signatures of the final corpus, one per id
+        ssig = (P.scan_pruned(spark, store + "/signatures",
+                              ts_col="ingest_ts", entity_col="id")
+                .select("id", "sig").toPandas())
+        fresh = dedup.minhash_signature_table(final).toPandas()
+        assert len(ssig) == len(fresh) == len(ids)
+        m = (ssig.sort_values("id").reset_index(drop=True)
+             .merge(fresh, on="id", suffixes=("_s", "_f")))
+        assert all(list(a) == list(b) for a, b in zip(m.sig_s, m.sig_f))
+
+    run()
