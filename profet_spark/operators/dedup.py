@@ -1456,8 +1456,19 @@ def signature_store_ingest(spark, batch: DataFrame, store_dir: str, *,
         return pairs
     ts_lit = F.lit(ingest_ts).cast("timestamp")
     srows = bsig.select("id", "sig").withColumn("ingest_ts", ts_lit)
+    # store invariant: text-ids == signature-ids. A doc too short to
+    # shingle produces no signature; storing its text anyway would
+    # create ids the signature-keyed re-ingest probe cannot see, and a
+    # later long re-ingest of such an id would leave TWO text rows —
+    # whose shingles the verify tier would merge (the ADVICE-r4 bug
+    # shape through a side door). Candidates only ever come from
+    # signature bands, so signature-less texts are dead weight anyway.
+    # (Known limitation, documented: a stored id re-ingested as a
+    # signature-LESS version keeps its old store rows — keep re-ingested
+    # versions signature-worthy, or expire them via S12.)
     trows = (batch.select(F.col(id_col).alias("id"),
                           F.col(text_col).alias("text"))
+             .join(bsig.select("id"), "id", "left_semi")
              .withColumn("ingest_ts", ts_lit))
     if P.read_spec(sig_dir) is not None:
         # S8 with key_cols=['id'] runs the moved-key probe — a

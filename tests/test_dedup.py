@@ -1174,3 +1174,39 @@ def test_signature_store_reingest_random_overlap_property(
         assert all(list(a) == list(b) for a, b in zip(m.sig_s, m.sig_f))
 
     run()
+
+
+def test_signature_store_short_docs_never_stored(spark, tmp_path):
+    """Store invariant: text-ids == signature-ids. Docs too short to
+    shingle (no signature rows) must not leave text rows either —
+    otherwise a later long re-ingest of that id would duplicate its
+    text (the signature-keyed re-ingest probe cannot see text-only
+    ids) and the verify tier would merge shingles across versions."""
+    from profet_spark.sources import partitioned as P
+
+    long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long2 = "one two three four five six seven eight nine ten eleven"
+    batch1 = spark.createDataFrame(
+        [(1, long1), (2, "tiny"), (3, long2)], ["doc_id", "text"])
+    store = str(tmp_path / "s")
+    dedup.signature_store_ingest(
+        spark, batch1, store, ingest_ts="2025-01-01 00:00:00",
+        persist=False)
+    tids = {r.id for r in P.scan_pruned(
+        spark, store + "/text", ts_col="ingest_ts",
+        entity_col="id").select("id").collect()}
+    sids = {r.id for r in P.scan_pruned(
+        spark, store + "/signatures", ts_col="ingest_ts",
+        entity_col="id").select("id").collect()}
+    assert tids == sids == {1, 3}  # the short doc stored NOTHING
+    # re-ingest id 2 as a LONG doc: fresh ingest, exactly one row each
+    batch2 = spark.createDataFrame(
+        [(2, long1 + " extended with more words here")],
+        ["doc_id", "text"])
+    dedup.signature_store_ingest(
+        spark, batch2, store, ingest_ts="2025-01-02 00:00:00",
+        persist=False)
+    trows = (P.scan_pruned(spark, store + "/text", ts_col="ingest_ts",
+                           entity_col="id")
+             .where(F.col("id") == 2).collect())
+    assert len(trows) == 1
