@@ -39,7 +39,11 @@ import pytest
 # re-certified after the round-5 review fixes (checkpoint-namespaced
 # ingest markers, crash-safe text-first store writes, duplicate-id
 # guard, membership cast_types guard) — 170 keys / 174 tests green at
-# sf0.001 AND sf0.01, full suite 724 passed / 1 skipped / 0 failed)
+# sf0.001 AND sf0.01, full suite 724 passed / 1 skipped / 0 failed;
+# FINAL round-5 certification after the ingest-store hardening
+# (empty-batch guard, text-ids==sig-ids invariant, marker checksums,
+# random-split/overlap property sweeps) — 170 keys / 174 tests green
+# at sf0.001 AND sf0.01, full suite 729 passed / 1 skipped / 0 failed)
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
