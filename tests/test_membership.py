@@ -410,3 +410,30 @@ def test_bloom_joins_equal_plain_on_random_key_sets(spark):
         assert not (semi & anti)
 
     run()
+
+
+def test_composite_key_mixed_dtypes_coerce_per_column(spark):
+    """Composite keys coerce EACH column pair independently: (int vs
+    bigint, string vs string, float vs double) in one key tuple must
+    all hash through their own common types and equal the plain join."""
+    probe = spark.createDataFrame(
+        [Row(a=i % 6, b=f"s{i % 3}", c=float(i % 4), v=i)
+         for i in range(120)]).select(
+        F.col("a").cast("int").alias("a"), "b",
+        F.col("c").cast("float").alias("c"), "v")
+    build = spark.createDataFrame(
+        [Row(x=1, y="s0", z=2.0), Row(x=4, y="s1", z=0.0),
+         Row(x=9, y="s9", z=9.0)]).select(
+        F.col("x").cast("bigint").alias("x"), "y",
+        F.col("z").cast("double").alias("z"))
+    want = probe.join(
+        build.select(F.col("x").alias("a"), F.col("y").alias("b"),
+                     F.col("z").alias("c")).distinct(),
+        ["a", "b", "c"], "left_semi")
+    got = mb.bloom_semi_join(probe, build, ["a", "b", "c"],
+                             right_on=["x", "y", "z"])
+    assert _rows(got, "v") == _rows(want, "v")
+    assert want.count() > 0  # non-vacuous
+    got_anti = mb.bloom_anti_join(probe, build, ["a", "b", "c"],
+                                  right_on=["x", "y", "z"])
+    assert got_anti.count() + got.count() == probe.count()
